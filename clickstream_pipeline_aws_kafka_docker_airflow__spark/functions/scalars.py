@@ -1,0 +1,86 @@
+"""Scalar Column builders mirroring the reference's row-level Python.
+
+Every builder reproduces the exact semantics of a hand-rolled function
+in ``/root/reference`` (cited per function) as a pure Catalyst Column
+expression — JVM-side, inside whole-stage codegen, no Python UDFs. The
+sharp edges (null coalescing, case normalization, cast swallowing) are
+exactly what the DuckDB oracle comparison exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Event-type classification sets — daily_kpis.py:124-127.
+PAGEVIEW_TYPES = ("page_view", "pageview", "view")
+PURCHASE_TYPES = ("purchase", "order", "checkout")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def norm_event_type(c: Column | str) -> Column:
+    """``str(e.get("event_type") or "").lower()`` — daily_kpis.py:123."""
+    return F.lower(F.coalesce(_col(c), F.lit("")))
+
+
+def is_pageview(c: Column | str) -> Column:
+    """Membership in the pageview class — daily_kpis.py:124-125."""
+    return norm_event_type(c).isin(*PAGEVIEW_TYPES)
+
+
+def is_purchase(c: Column | str) -> Column:
+    """Membership in the purchase class — daily_kpis.py:126-127."""
+    return norm_event_type(c).isin(*PURCHASE_TYPES)
+
+
+def price_or_zero(c: Column | str) -> Column:
+    """``float(e.get("price") or 0)`` with cast errors swallowed —
+    daily_kpis.py:128-131. ``try_cast`` swallows, ``coalesce`` zeroes."""
+    return F.coalesce(_col(c).try_cast("double"), F.lit(0.0))
+
+
+def round2(c: Column | str) -> Column:
+    """2-dp rounding of revenue — daily_kpis.py:139."""
+    return F.round(_col(c), 2)
+
+
+def ts_parse_iso(c: Column | str) -> Column:
+    """ISO-8601 parse; Spark's ``to_timestamp`` handles the trailing
+    ``Z`` the reference normalizes by hand (ingest_clickstream_to_s3.py:38)."""
+    return F.to_timestamp(_col(c))
+
+
+def derive_date(ts: Column | str) -> Column:
+    """Event-time partition date — ingest_clickstream_to_s3.py:39."""
+    return F.to_date(_col(ts))
+
+
+def derive_hour(ts: Column | str) -> Column:
+    """Zero-padded hour string 00-23 — ingest_clickstream_to_s3.py:40."""
+    return F.date_format(_col(ts), "HH")
+
+
+def fallback_proc_time(ts: Column | str) -> Column:
+    """Missing/unparseable event time -> processing time bucket —
+    ingest_clickstream_to_s3.py:44-51."""
+    return F.coalesce(_col(ts), F.current_timestamp())
+
+
+def parse_date_multi(s: Column | str) -> Column:
+    """``YYYY-MM-DD`` or full ISO-8601, quotes/space-trimmed —
+    daily_kpis.py:27-44."""
+    t = F.trim(F.regexp_replace(_col(s), "[\"']", ""))
+    return F.to_date(
+        F.coalesce(F.try_to_timestamp(t, F.lit("yyyy-MM-dd")), F.try_to_timestamp(t))
+    )
+
+
+def props_int(props: Column | str, key: str = "k") -> Column:
+    """Extract an integer property from the ``props`` JSON string of the
+    driver ``events`` table. Regexp (not ``get_json_object``) so the
+    DuckDB oracle can use the byte-identical expression."""
+    return F.regexp_extract(
+        _col(props), f'"{key}"\\s*:\\s*(-?\\d+)', 1
+    ).try_cast("bigint")

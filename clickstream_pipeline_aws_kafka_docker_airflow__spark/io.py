@@ -1,0 +1,86 @@
+"""Table loaders and partitioned sinks.
+
+Read side replaces the reference's hand-rolled S3 listing + lazy JSONL
+generator (``/root/reference/airflow/dags/daily_kpis.py:82-107``) with
+Spark datasource scans: partition discovery, predicate pushdown and
+column pruning are free from Catalyst.
+
+Write side replaces the reference's bucket-dict + one-PUT-per-bucket
+sink (``ingest_clickstream_to_s3.py:27-51,65-80``) with
+``partitionBy`` writes — same layout (hive-style ``date=/hour=``), but
+parallel and atomic per task.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import apply_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` we read the raw int64
+    nanoseconds and convert to a microsecond timestamp (``ts div 1000``
+    floors exactly like DuckDB's ns->us truncation, so oracle parity
+    holds).
+    """
+    apply_engine_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def write_jsonl_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("date", "hour"),
+    mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned JSONL sink — the raw-zone layout of the reference
+    (``raw/clickstream/date=YYYY-MM-DD/hour=HH/*.jsonl``,
+    ingest_clickstream_to_s3.py:59-81).
+
+    At scale: repartition by the partition columns first so each
+    (date,hour) bucket is written by few tasks -> few large files instead
+    of tasks x partitions small files (the classic small-file problem).
+    """
+    writer = df.repartition(*[F.col(c) for c in partition_cols]).write
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).mode(mode).json(path)
+
+
+def write_kpis_parquet(df: DataFrame, path: str, partition_col: str = "dt") -> None:
+    """KPI-zone sink: Parquet/snappy partitioned by run date, the
+    ``kpis/daily/dt=YYYY-MM-DD/kpis.parquet`` layout of daily_kpis.py:165-173.
+    """
+    (
+        df.repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(path, compression="snappy")
+    )

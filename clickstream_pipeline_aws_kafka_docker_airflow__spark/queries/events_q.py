@@ -1,0 +1,199 @@
+"""Event-stream queries: scalar-function suite, sessionization,
+event-time windows, JSON-prop extraction, user-set operations.
+
+Sessionization upgrades the reference's degenerate per-event
+``session_id`` (produce_events.py:37 — a fresh UUID for every event) to
+real 30-minute-gap sessions; the windowed rollups generalize the
+reference's (date,hour) bucketing (ingest_clickstream_to_s3.py:39-41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.scalars import (
+    derive_date,
+    derive_hour,
+    is_pageview,
+    is_purchase,
+    norm_event_type,
+    price_or_zero,
+    props_int,
+)
+from ..io import load_table
+from ..registry import register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "scalar_suite",
+    oracle="""
+SELECT event_id,
+       lower(coalesce(event_type,'')) AS etype_norm,
+       (lower(coalesce(event_type,'')) IN ('page_view','pageview','view')) AS is_pv,
+       (lower(coalesce(event_type,'')) IN ('purchase','order','checkout')) AS is_pu,
+       coalesce(TRY_CAST(value AS DOUBLE), 0.0) AS value_or_zero,
+       CAST(ts AS DATE) AS dt,
+       strftime(ts, '%H') AS hh,
+       TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k
+FROM events
+""",
+)
+def scalar_suite(spark, sf_dir):
+    """Row-level projection exercising the §2.2 scalar ops in one query:
+    f_lower_norm, f_isin_classify, f_price_coalesce_cast,
+    f_derive_date_hour, ext_json_props."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        norm_event_type("event_type").alias("etype_norm"),
+        is_pageview("event_type").alias("is_pv"),
+        is_purchase("event_type").alias("is_pu"),
+        price_or_zero("value").alias("value_or_zero"),
+        derive_date("ts").alias("dt"),
+        derive_hour("ts").alias("hh"),
+        props_int("props", "k").alias("k"),
+    )
+
+
+@register(
+    "sessionize_30min",
+    oracle=f"""
+WITH l AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('microseconds', prev_ts, ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM l
+), s AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM g
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s
+GROUP BY user_id, session_idx
+""",
+)
+def sessionize_30min(spark, sf_dir):
+    """Gap-based sessionization (ext_sessionize): lag + cumulative-sum of
+    gap flags. Scale note: one shuffle on user_id; the two analytic
+    functions and the final groupBy(user_id, session_idx) all reuse the
+    same hash partitioning, so Catalyst plans a single exchange."""
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_s = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("new_s", new_s)
+        .withColumn("session_idx", F.sum("new_s").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def tumbling_hourly(spark, sf_dir):
+    """ext_window_tumbling: 1-hour event-time tumbling window.
+    ``date_trunc`` (not ``F.window``) keeps the grouping key a plain
+    timestamp column — same hash-agg plan, and the key is also exactly
+    what a partitioned sink would bucket by."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "json_props_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       ROUND(AVG(k), 4) AS avg_k
+FROM (
+    SELECT event_type,
+           TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+""",
+)
+def json_props_agg(spark, sf_dir):
+    """ext_json_props: extract a typed field from the ``props`` JSON
+    string and aggregate it per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", props_int("props", "k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "setops_users",
+    oracle="""
+WITH p AS (SELECT DISTINCT user_id FROM events
+           WHERE lower(coalesce(event_type,'')) = 'purchase'),
+     v AS (SELECT DISTINCT user_id FROM events
+           WHERE lower(coalesce(event_type,'')) = 'view')
+SELECT 'purchase_and_view' AS cohort, COUNT(*) AS n_users
+FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM v)
+UNION ALL
+SELECT 'purchase_not_view', COUNT(*)
+FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)
+UNION ALL
+SELECT 'purchase_or_view', COUNT(*)
+FROM (SELECT user_id FROM p UNION SELECT user_id FROM v)
+""",
+)
+def setops_users(spark, sf_dir):
+    """Set operations (ext_relational): INTERSECT / EXCEPT / UNION
+    DISTINCT over per-behavior user cohorts."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(norm_event_type("event_type") == "purchase").select("user_id").distinct()
+    v = e.where(norm_event_type("event_type") == "view").select("user_id").distinct()
+
+    def _count(df, tag):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(tag).alias("cohort"), "n_users"
+        )
+
+    return (
+        _count(p.intersect(v), "purchase_and_view")
+        .unionAll(_count(p.subtract(v), "purchase_not_view"))
+        .unionAll(_count(p.union(v).distinct(), "purchase_or_view"))
+    )

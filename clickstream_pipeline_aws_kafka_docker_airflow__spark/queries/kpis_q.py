@@ -1,0 +1,69 @@
+"""KPI queries over the driver ``events`` table + DuckDB oracles.
+
+Maps the reference's daily-KPI semantics (daily_kpis.py:109-140) onto
+the driver schema: ``ts`` for event time, ``user_id`` distinct,
+``value`` as price. The driver events carry no session column, so
+``unique_sessions`` is exercised separately in the clickstream unit
+tests (tests/test_kpis.py) on reference-shaped data.
+"""
+
+from __future__ import annotations
+
+from ..io import load_table
+from ..operators.kpis import daily_kpis, hourly_rollup, single_day_kpis
+from ..registry import register
+
+# CASE-insensitive classification, exactly daily_kpis.py:123-127.
+_PV = "lower(coalesce(event_type,'')) IN ('page_view','pageview','view')"
+_PU = "lower(coalesce(event_type,'')) IN ('purchase','order','checkout')"
+_REV = (
+    f"ROUND(SUM(CASE WHEN {_PU} THEN coalesce(TRY_CAST(value AS DOUBLE),0.0) "
+    "ELSE 0.0 END), 2)"
+)
+
+_KPI_COLS = f"""
+    COUNT(*) AS total_events,
+    COUNT(DISTINCT user_id) AS unique_users,
+    COUNT(CASE WHEN {_PV} THEN 1 END) AS pageviews,
+    COUNT(CASE WHEN {_PU} THEN 1 END) AS purchases,
+    {_REV} AS revenue_usd"""
+
+
+@register(
+    "kpi_daily",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS dt,{_KPI_COLS}
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def kpi_daily(spark, sf_dir):
+    """Flagship: agg_groupby_day + all of §2.3 in one pass."""
+    return daily_kpis(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "kpi_single_day",
+    oracle=f"""
+SELECT{_KPI_COLS}, '2024-01-15' AS dt
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+""",
+)
+def kpi_single_day(spark, sf_dir):
+    """The reference's true unit of work: one run-date per invocation
+    (daily_kpis.py:142-174), exercising the partition-pruning filter."""
+    return single_day_kpis(load_table(spark, sf_dir, "events"), "2024-01-15")
+
+
+@register(
+    "kpi_hourly",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS dt, hour(ts) AS hh,{_KPI_COLS}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def kpi_hourly(spark, sf_dir):
+    """agg_groupby_bucket: the ingest (date,hour) bucketing as a rollup."""
+    return hourly_rollup(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,251 @@
+"""Relational queries (ext_relational) over the driver star schema:
+multi-way joins, semi/anti joins, ranking, TPC-H-style aggregations.
+
+Not present in the reference (SURVEY.md §2.3: its entire surface is
+scan->parse->project->filter->groupBy->sink); these exercise Catalyst's
+join selection. Scale notes per query; the common rule: dimension sides
+(region/nation/customer/supplier/part) are explicitly ``broadcast()`` so
+the fact table (lineitem/orders) never shuffles for a dim join, and
+fact-fact joins (orders⋈lineitem) shuffle-hash on the order key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single-pass wide aggregation over the fact table.
+    Scan reads only the 7 needed columns (column pruning) and the
+    shipdate predicate pushes to parquet; one shuffle on a 6-value key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS l_orderkey,
+       o.o_orderdate AS o_orderdate,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY 1, 2
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: dim⋈fact⋈fact. customer (filtered) broadcasts;
+    orders⋈lineitem shuffles on the order key; the groupBy reuses that
+    same key partitioning so no extra exchange."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. All dims broadcast (region, nation,
+    supplier, customer); the only shuffle join is orders⋈lineitem on the
+    order key. Per-nation group key has 25 values -> AQE coalesces the
+    final tiny shuffle."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    r = t["region"].where(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS -> left-semi join with a compound
+    (equi + inequality) condition; Spark plans a shuffle-hash semi join
+    on the equi key with the inequality as a post-probe filter."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "semi_anti_customers",
+    oracle="""
+SELECT c_mktsegment AS c_mktsegment, cohort, COUNT(*) AS n_customers
+FROM (
+    SELECT c.c_mktsegment,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 400000)
+                THEN 'with_big_order' ELSE 'no_big_order' END AS cohort
+    FROM customer c
+)
+GROUP BY 1, 2
+""",
+)
+def semi_anti_customers(spark, sf_dir):
+    """Explicit left-semi + left-anti joins (ext_relational), same
+    result as EXISTS/NOT EXISTS partitioning of customers."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    cond = F.col("o_custkey") == F.col("c_custkey")
+
+    def _side(join_type, tag):
+        return (
+            c.join(big, cond, join_type)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select("c_mktsegment", F.lit(tag).alias("cohort"), "n_customers")
+        )
+
+    return _side("left_semi", "with_big_order").unionAll(
+        _side("left_anti", "no_big_order")
+    )
+
+
+@register(
+    "topn_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS rn
+    FROM part
+)
+WHERE rn <= 3
+""",
+)
+def topn_parts_per_brand(spark, sf_dir):
+    """ext_rank_topn: top-3 per group via row_number with a
+    deterministic tiebreak. Scale note: rank-then-filter shuffles once
+    on the partition key; for huge groups, pre-aggregate a per-partition
+    top-N before the window to bound state (Spark does this itself via
+    WindowGroupLimit pushdown for rank<=k filters)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )

@@ -1,0 +1,215 @@
+"""Text-analysis queries over ``documents`` (LLM-data-pipeline ops):
+exact dedup, per-language stats, token counting, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+All expressions are portable regex/string ops so each query has a
+byte-equivalent DuckDB oracle. No Python UDFs anywhere — at 100 TB these
+run inside whole-stage codegen at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    PUNCT_RE,
+    STOPWORD_RE,
+    bpe_token_count,
+    fingerprint_md5,
+    lang_scores,
+    punct_count,
+    stopword_count,
+    upper_count,
+    ws_token_count,
+)
+from ..io import load_table
+from ..registry import register
+
+_WS_TOKENS_SQL = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """ext_dedup_exact: hash-groupBy on normalized text; keeps the
+    lowest doc_id as the canonical representative. One shuffle on the
+    text hash (not the full text — narrow shuffle rows at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint_md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "text_stats_by_lang",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens
+FROM (SELECT lang, n_chars, {_WS_TOKENS_SQL} AS n_tokens FROM documents)
+GROUP BY lang
+""",
+)
+def text_stats_by_lang(spark, sf_dir):
+    """ext_text_stats: per-language corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "n_chars", ws_token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "token_profile",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       {_WS_TOKENS_SQL} AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_profile(spark, sf_dir):
+    """ext_token_count: whitespace + BPE-ish regex token counts per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        ws_token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _lang_case_sql() -> str:
+    """CASE ladder picking the max-scoring language, ties -> earlier
+    entry in LANG_MARKERS — mirrored exactly by the Spark when-ladder."""
+    langs = list(LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS s_{lang}"
+    for lang, pat in LANG_MARKERS.items()
+)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, {", ".join(f"s_{l}" for l in LANG_MARKERS)},
+       {_lang_case_sql()} AS pred_lang
+FROM (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents)
+""",
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID by marker-lexicon hit counts (n-gram heuristic),
+    argmax with deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return scored.withColumn("pred_lang", pred)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       ROUND(punct / GREATEST(n_chars, 1), 4) AS punct_ratio,
+       ROUND(uppers / GREATEST(n_chars, 1), 4) AS upper_ratio,
+       ROUND(stops / GREATEST(n_tokens, 1), 4) AS stopword_ratio,
+       ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - punct / GREATEST(n_chars, 1))
+             + 0.3 * LEAST(5.0 * stops / GREATEST(n_tokens, 1), 1.0), 4) AS quality
+FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {_WS_TOKENS_SQL} AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS punct,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS uppers,
+           CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS BIGINT) AS stops
+    FROM documents
+)
+""",
+)
+def quality_score(spark, sf_dir):
+    """ext quality scoring: length/punctuation/stopword heuristics
+    combined into one bounded score."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        ws_token_count("text").alias("n_tokens"),
+        punct_count("text").alias("punct"),
+        upper_count("text").alias("uppers"),
+        stopword_count("text").alias("stops"),
+    )
+    n_chars = F.greatest(F.col("n_chars"), F.lit(1))
+    n_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
+    punct_ratio = F.col("punct") / n_chars
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(5.0 * F.col("stops") / n_tokens, F.lit(1.0))
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(F.col("uppers") / n_chars, 4).alias("upper_ratio"),
+        F.round(F.col("stops") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """ext fingerprinting: md5 over whitespace-normalized lowercase text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fp"))

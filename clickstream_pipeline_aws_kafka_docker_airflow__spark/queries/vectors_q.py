@@ -1,0 +1,154 @@
+"""Embedding-vector queries (LLM-data-pipeline ops): norm statistics,
+brute-force top-k cosine similarity, cosine near-duplicate pairs.
+
+Parity strategy: both engines compute dot products in DOUBLE with
+index-order accumulation (Spark ``aggregate`` fold vs DuckDB
+``list_dot_product`` over ``DOUBLE[]``); similarity values are rounded
+to 4 dp **before** they are used as ordering keys, with the neighbor id
+as tiebreak, so rank assignment is identical even if the two engines
+differ in the last ulp.
+
+Scale notes: brute-force top-k is quadratic — correct baseline at test
+scale; the LSH-bucketed variant (operators/similarity.py) is the 100 TB
+path. Norms are computed once per row before the pairwise join, never
+per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot, norm
+from ..io import load_table
+from ..registry import register
+
+TOPK_K = 5
+TOPK_NQUERIES = 10  # vec_id < 10 are the query vectors
+NEARDUP_THRESHOLD = 0.35  # driver embeddings are unclustered; 0.35 ~ p99.9
+
+_E_DOUBLE = "CAST(embedding AS DOUBLE[])"
+
+
+@register(
+    "embed_norms_by_label",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM (SELECT label, sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
+      FROM embeddings)
+GROUP BY label
+""",
+)
+def embed_norms_by_label(spark, sf_dir):
+    """L2-norm statistics per label — the embedding-hygiene check every
+    training pipeline runs before similarity work."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, {_E_DOUBLE} AS v,
+           sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < {TOPK_NQUERIES}),
+p AS (
+    SELECT qid, e.vec_id AS nid,
+           ROUND(list_dot_product(qv, v) / (qn * nrm), 4) AS sim
+    FROM q JOIN e ON e.vec_id <> qid
+)
+SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
+FROM (SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM p)
+WHERE rn <= {TOPK_K}
+""",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """ext_sim_topk baseline: exact top-k cosine by broadcasting the
+    (small) query set against all vectors. The corpus side never
+    shuffles; ranking uses the per-qid window. 100 TB path: LSH/IVF
+    bucketing in operators/similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    )
+    q = (
+        e.where(F.col("vec_id") < TOPK_NQUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    pairs = e.join(broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= TOPK_K)
+    )
+
+
+@register(
+    "embed_neardup_cosine",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, {_E_DOUBLE} AS v,
+           sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_THRESHOLD}
+""",
+)
+def embed_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label so the
+    pairwise join is per-block quadratic instead of global quadratic —
+    the same blocking idea LSH generalizes (band buckets instead of
+    labels) when no natural key exists."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm("embedding").alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= NEARDUP_THRESHOLD)
+    )

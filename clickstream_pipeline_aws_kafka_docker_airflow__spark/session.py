@@ -1,0 +1,80 @@
+"""SparkSession bootstrap tuned for this engine.
+
+The reference pipeline executes every operator as single-threaded
+row-at-a-time Python inside Airflow tasks
+(``/root/reference/airflow/dags/daily_kpis.py:109-140``). Here the unit
+of execution is a Spark plan; these confs make local runs mirror the
+settings we would ship on a real cluster:
+
+* AQE on (coalesce partitions, skew-join) — runtime re-planning is the
+  100 TB answer to skewed keys and over-partitioned shuffles.
+* UTC session timezone — the reference stores naive ISO-8601 UTC
+  timestamps (``produce_events.py:35``); pinning UTC makes Spark's
+  instant-based ``TimestampType`` arithmetic agree with naive-timestamp
+  engines (DuckDB oracle) on ``to_date``/``date_trunc``.
+* ``parquet.nanosAsLong`` — the driver testdata writes ``events.ts`` as
+  parquet TIMESTAMP(NANOS) which Spark cannot read natively; we read the
+  raw int64 and convert ns -> us in :func:`io.load_table`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set on a *running* session (driver owns the
+# session in the harness). All are runtime-settable SQLConfs.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # dims (region/nation/customer/supplier/part) stay broadcastable far
+    # beyond sf0.1; at 100 TB only true dimension tables fit — facts never
+    # cross this threshold because they arrive via scans, not literals.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime-settable engine confs to a session.
+
+    Called from every loader/operator entry point so the engine behaves
+    identically whether it created the session or was handed one.
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "clickstream-spark-engine",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a local SparkSession with engine defaults.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then all cores. Shuffle
+    partitions default to 2x cores locally; on a real cluster this is
+    instead sized so post-shuffle partitions land ~128-256 MB (AQE
+    coalesce trims the excess either way).
+    """
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8))
+    )
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    )
+    builder = builder.config("spark.ui.enabled", "false")
+    return apply_engine_confs(builder.getOrCreate())
