@@ -1,0 +1,79 @@
+"""JSONL sources with the reference's two malformed-line policies.
+
+The reference is asymmetric (SURVEY.md §2.2):
+
+* ingest path **keeps** undecodable lines, routing them to a
+  processing-time fallback bucket
+  (``ingest_clickstream_to_s3.py:44-51``) — here: PERMISSIVE parse with
+  a ``_corrupt_record`` column, then event-time cols fall back to
+  ``current_timestamp`` for corrupt rows;
+* daily-KPI path **skips** undecodable lines
+  (``daily_kpis.py:93-107``) — here: DROPMALFORMED.
+
+Both run as schema-pinned scans (no inference pass — at 100 TB schema
+inference would read the corpus twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.scalars import derive_date, derive_hour, ts_parse_iso
+from ..schemas import CLICKSTREAM_EVENT_RAW, CLICKSTREAM_EVENT_RAW_PERMISSIVE, CORRUPT_COL
+from ..session import apply_engine_confs
+
+
+def read_jsonl_keep_malformed(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest-path read: malformed lines kept with the raw text in
+    ``_corrupt_record`` and all event fields null."""
+    apply_engine_confs(spark)
+    return (
+        spark.read.schema(CLICKSTREAM_EVENT_RAW_PERMISSIVE)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_jsonl_drop_malformed(spark: SparkSession, path: str) -> DataFrame:
+    """KPI-path read: malformed lines silently skipped."""
+    apply_engine_confs(spark)
+    return (
+        spark.read.schema(CLICKSTREAM_EVENT_RAW)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+
+
+def with_partition_cols(events: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    """Derive event-time partition columns with the reference's
+    processing-time fallback: rows whose ``event_ts`` is missing or
+    unparseable bucket under *now* instead of being dropped
+    (ingest_clickstream_to_s3.py:36-51). Late data therefore back-fills
+    its event-time partition — never dropped (stream_late_data_policy)."""
+    ts = F.coalesce(ts_parse_iso(F.col(ts_col)), F.current_timestamp())
+    return events.withColumn("date", derive_date(ts).cast("string")).withColumn(
+        "hour", derive_hour(ts)
+    )
+
+
+def parse_kafka_value(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a Kafka-style ``value`` byte/string column into typed event
+    columns, keeping malformed payloads (PERMISSIVE ``from_json``)."""
+    parsed = F.from_json(
+        F.col(value_col).cast("string"),
+        CLICKSTREAM_EVENT_RAW_PERMISSIVE,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    base = raw.select(F.col(value_col).cast("string").alias("_raw"), parsed.alias("e"))
+    fields = [f.name for f in CLICKSTREAM_EVENT_RAW.fields]
+    all_null = None
+    for fn in fields:
+        c = F.col(f"e.{fn}").isNull()
+        all_null = c if all_null is None else (all_null & c)
+    # from_json can null out _corrupt_record for some non-object scalars;
+    # normalize: an all-null parse carries the raw payload as corrupt.
+    corrupt = F.coalesce(F.col(f"e.{CORRUPT_COL}"), F.when(all_null, F.col("_raw")))
+    return base.select(
+        *[F.col(f"e.{fn}").alias(fn) for fn in fields], corrupt.alias(CORRUPT_COL)
+    )

@@ -1,0 +1,41 @@
+"""Raw-zone freshness healthcheck (stream_healthcheck_freshness).
+
+The reference lists today's S3 prefix and asserts at least one object
+has ``LastModified >= now - 20 min``, exiting early on the first hit
+(``ingest_healthcheck.py:11-33``). Spark equivalent: scan the day's
+partition with the ``_metadata`` file column and ``limit(1)`` — the
+``CollectLimit`` physical node short-circuits exactly like the early
+return.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def check_freshness(
+    spark: SparkSession,
+    raw_path: str,
+    day: str | None = None,
+    lookback_minutes: int = 20,  # INGEST_HEALTH_LOOKBACK_MIN default (:11)
+    fmt: str = "json",
+) -> bool:
+    """True iff >=1 file under ``raw_path/date=<day>/`` was modified in
+    the lookback window. Raises FileNotFoundError-like AnalysisException
+    only if the whole root is missing; an empty/missing day partition is
+    simply stale (False), matching the reference's fail path."""
+    day = day or dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    path = f"{raw_path}/date={day}"
+    try:
+        df = spark.read.format(fmt).load(path)
+    except Exception:
+        return False
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+    fresh = (
+        df.select(F.col("_metadata.file_modification_time").alias("mtime"))
+        .where(F.col("mtime") >= cutoff)
+        .limit(1)
+    )
+    return len(fresh.collect()) > 0
