@@ -1,0 +1,178 @@
+"""Near-duplicate detection operators (LLM-data-pipeline extension):
+MinHash + LSH banding, SimHash fingerprints, n-gram Jaccard
+verification.
+
+Portability-by-construction: the hash family is ``md5`` over seeded
+strings with **string-ordered mins** instead of engine-specific integer
+hashes (Spark's xxhash64 and DuckDB's hash() disagree), so every stage
+— signatures, band keys, candidate pairs, exact Jaccard — has a
+byte-equivalent DuckDB oracle.
+
+Scale shape (the reason MinHash exists): exact pairwise Jaccard over N
+docs is O(N^2); here only docs **colliding in a band bucket** are
+paired, and the expensive shingle-join verification runs on that small
+candidate set. All stages are shuffles on short hash strings, never on
+document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_N = 3
+NUM_HASHES = 8
+BAND_SIZE = 2  # 8 hashes -> 4 bands of 2: P(candidate) = 1-(1-J^2)^4
+
+HEX = "0123456789abcdef"
+
+
+def tokens(c) -> F.Column:
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingle_table(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the lowercased text.
+    Docs shorter than n tokens produce no shingles (and thus never pair).
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # sequence(a,b) DESCENDS when b<a — guard short docs to an empty list
+    grams = F.when(
+        F.size(F.col("t")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, k: int = NUM_HASHES) -> DataFrame:
+    """doc_id -> k minhashes: ``min(md5('<i>|' || shingle))`` per seed.
+    One hash-aggregate pass computes all k mins (map-side partial agg)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = NUM_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature, self-join on (band, band_key): docs agreeing
+    on ALL hashes of any band become candidates. The join key is a
+    16-byte md5 — uniform, so no skew."""
+    n_bands = k // band_size
+    bands = None
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat(*[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+        )
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"), key.alias("bkey")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "bkey"
+    )
+    b_ = bands.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    return (
+        a.join(b_, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(shingles: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only:
+    |A ∩ B| / (|A| + |B| - |A ∩ B|), via a shingle equi-join restricted
+    to the candidate set (left-semi style blow-up control)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingles.select(F.col("doc_id").alias("id_a"), "shingle")
+    s2 = shingles.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(s1, "id_a")
+        .join(s2, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        candidates.join(common, ["id_a", "id_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    k: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> band -> candidate -> exact
+    Jaccard. Returns (id_a, id_b, jaccard) for every candidate pair."""
+    sh = shingle_table(docs, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, band_size)
+    return jaccard_verify(sh, cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+SIMHASH_BITS = 32
+
+
+def _hex_val(col: str, pos: int) -> str:
+    """SQL fragment: value of hex nibble ``pos`` (0-based) of column
+    expression ``col`` — portable (Spark locate == DuckDB strpos-swapped).
+    BIGINT cast up front: locate returns int32 and the 16^7 scale
+    overflows under ANSI arithmetic otherwise."""
+    return f"(CAST(locate(substr({col}, {pos + 1}, 1), '{HEX}') AS BIGINT) - 1)"
+
+
+def token_hash32_sql(col: str = "token") -> str:
+    """Portable SQL: first 8 md5 hex nibbles of the token as a 32-bit
+    int, built from per-nibble positions (no engine-specific hex cast)."""
+    h = f"md5({col})"
+    terms = " + ".join(
+        f"{_hex_val(h, p)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    return f"({terms})"
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """doc_id -> SimHash over distinct lowercased tokens: per bit j, sum
+    +1/-1 by bit value of the 32-bit token hash; fingerprint sets bit j
+    iff the sum is positive. One explode + one aggregate."""
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+        .withColumn("h32", F.expr(token_hash32_sql("token")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h32 div {1 << j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))

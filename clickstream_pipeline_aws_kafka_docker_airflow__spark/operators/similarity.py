@@ -1,0 +1,105 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two tiers (SURVEY.md §2.5 ext_sim_topk):
+
+* brute-force cosine top-k (queries/vectors_q.py) — the exact baseline,
+  quadratic; fine when one side is small enough to broadcast;
+* **sign-LSH bucketing** (here) — random-hyperplane signatures: vectors
+  agreeing on all ``nbits`` signs land in one bucket, search runs
+  within-bucket only. At 100 TB: bucket id is the shuffle key, each
+  bucket is a small local problem, and recall tunes with ``nbits``
+  (fewer bits -> bigger buckets -> higher recall, more compute).
+
+The hyperplanes are generated from a fixed seed and inlined as literal
+arrays in BOTH the Spark plan and the DuckDB oracle — float64 literals
+round-trip exactly, so the sign bits (and therefore buckets) agree
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.vectors import dot
+
+ANN_BITS = 8
+ANN_DIM = 64
+ANN_SEED = 7
+
+
+@lru_cache(maxsize=None)
+def hyperplanes(nbits: int = ANN_BITS, dim: int = ANN_DIM, seed: int = ANN_SEED):
+    rng = np.random.default_rng(seed)
+    return tuple(tuple(float(x) for x in row) for row in rng.standard_normal((nbits, dim)))
+
+
+def _plane_dot(emb: Column | str, plane: tuple[float, ...]) -> Column:
+    arr = F.array(*[F.lit(x) for x in plane])
+    c = F.col(emb) if isinstance(emb, str) else emb
+    prods = F.zip_with(c, arr, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def bucket_expr(emb: Column | str = "embedding", nbits: int = ANN_BITS,
+                dim: int = ANN_DIM, seed: int = ANN_SEED) -> Column:
+    """Sign-bit bucket id as a '0'/'1' string of length nbits."""
+    bits = [
+        F.when(_plane_dot(emb, p) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in hyperplanes(nbits, dim, seed)
+    ]
+    return F.concat(*bits)
+
+
+def bucket_sql(emb_sql: str = "CAST(embedding AS DOUBLE[])", nbits: int = ANN_BITS,
+               dim: int = ANN_DIM, seed: int = ANN_SEED) -> str:
+    """The DuckDB spelling of :func:`bucket_expr` with identical plane
+    literals (repr round-trips float64 exactly)."""
+    parts = []
+    for p in hyperplanes(nbits, dim, seed):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({emb_sql}, {arr}) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def ann_topk_bucketed(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    nbits: int = ANN_BITS,
+) -> DataFrame:
+    """Within-bucket top-k cosine for query vectors (vec_id < n_queries).
+
+    Join is on the bucket id, so the pairwise work is (bucket size)^2,
+    not corpus^2. sim is rounded to 4 dp BEFORE ranking (deterministic
+    cross-engine order; ties break on neighbor id).
+    """
+    from ..functions.vectors import norm
+    from pyspark.sql.window import Window
+
+    base = emb.select(
+        "vec_id", "embedding", norm("embedding").alias("nrm"),
+        bucket_expr("embedding", nbits).alias("bucket"),
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    pairs = base.join(F.broadcast(q), "bucket").where(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )

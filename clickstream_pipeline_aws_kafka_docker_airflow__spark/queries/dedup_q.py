@@ -1,0 +1,120 @@
+"""Near-dup queries + DuckDB oracles.
+
+The oracle SQL is generated from the SAME constants
+(shingle width, hash count, band size, bit count) as the Spark
+operators, so the two implementations cannot drift apart silently.
+"""
+
+from __future__ import annotations
+
+from ..io import load_table
+from ..operators.dedup import (
+    BAND_SIZE,
+    NUM_HASHES,
+    SHINGLE_N,
+    SIMHASH_BITS,
+    minhash_near_dup,
+    simhash_fingerprints,
+    token_hash32_sql,
+)
+from ..registry import register
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || ".join(
+                f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
+                  i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}), ' '))) AS shingle
+    FROM toks
+    WHERE len(t) >= {SHINGLE_N}
+), sig AS (
+    SELECT doc_id, {mins}
+    FROM sh GROUP BY doc_id
+), bands AS (
+    {band_rows}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                             AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.id_a
+    JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(n_common, 0) * 1.0
+             / (sa.n + sb.n - COALESCE(n_common, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN common USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+
+
+@register("dedup_near_minhash", oracle=_minhash_oracle())
+def dedup_near_minhash(spark, sf_dir):
+    """ext_dedup_near: MinHash signatures -> LSH bands -> candidate
+    pairs -> exact n-gram Jaccard on candidates only."""
+    return minhash_near_dup(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    # identical per-bit +1/-1 construction; DuckDB strpos(str, ch) ==
+    # Spark locate(ch, str), handled inside token_hash32_sql via locate
+    # on Spark — here we inline the DuckDB spelling.
+    h = "md5(token)"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h32 // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+), th AS (
+    SELECT doc_id, ({terms}) AS h32 FROM tok WHERE token <> ''
+), agg AS (
+    SELECT doc_id, {bit_sums}
+    FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+@register("simhash_fingerprints", oracle=_simhash_oracle())
+def simhash_q(spark, sf_dir):
+    """ext SimHash: 32-bit sign-sum fingerprint over distinct tokens."""
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# keep the generated-SQL helper importable for tests
+_ = token_hash32_sql

@@ -55,6 +55,15 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .queries import events_q, kpis_q, relational_q, text_q, vectors_q  # noqa: F401
+    from .queries import (  # noqa: F401
+        dedup_q,
+        events_q,
+        kpis_q,
+        multimodal_q,
+        relational_q,
+        similarity_q,
+        text_q,
+        vectors_q,
+    )
 
     _LOADED = True
