@@ -1,0 +1,90 @@
+"""Sliding event-time windows + multi-format date parsing + generator.
+
+The sliding-window oracle reconstructs Spark's ``window(ts, '1 hour',
+'30 minutes')`` semantics by hand in SQL: every event belongs to
+exactly two 1-hour windows whose starts are the enclosing 30-minute
+epoch buckets — integer-microsecond arithmetic on both sides so bucket
+edges agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalars import parse_date_multi
+from ..io import load_table
+from ..registry import register
+
+SLIDE_US = 30 * 60 * 1_000_000
+WINDOW_US = 2 * SLIDE_US
+
+
+@register(
+    "sliding_window_hourly",
+    oracle=f"""
+WITH b AS (
+    SELECT (epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} AS b0, value FROM events
+), x AS (
+    SELECT make_timestamp(b0) AS window_start, value FROM b
+    UNION ALL
+    SELECT make_timestamp(b0 - {SLIDE_US}), value FROM b
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM x
+GROUP BY window_start
+""",
+)
+def sliding_window_hourly(spark, sf_dir):
+    """ext_window_tumbling (sliding variant): 1-hour windows advancing
+    every 30 minutes via the native ``window`` operator — each event
+    feeds 2 overlapping windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "date_parse_multi",
+    oracle="""
+SELECT event_id,
+       CAST(COALESCE(try_strptime(clean, '%Y-%m-%d'),
+                     try_strptime(clean, '%Y-%m-%d %H:%M:%S')) AS DATE) AS dt
+FROM (
+    SELECT event_id,
+           trim(regexp_replace(CASE event_id % 3
+               WHEN 0 THEN strftime(ts, '%Y-%m-%d')
+               WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+               ELSE '"' || strftime(ts, '%Y-%m-%d') || '" '
+           END, '["'']', '', 'g')) AS clean
+    FROM events
+)
+""",
+)
+def date_parse_multi(spark, sf_dir):
+    """f_date_parse_multi (daily_kpis.py:27-44): accept plain dates,
+    full timestamps, and quote/space-wrapped values."""
+    e = load_table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.concat(F.lit('"'), F.date_format("ts", "yyyy-MM-dd"), F.lit('" ')))
+    )
+    return e.select("event_id", parse_date_multi(raw).alias("dt"))
+
+
+@register("gen_synthetic_events", oracle=None)  # RNG output -> rows-only check
+def gen_synthetic_events(spark, sf_dir):
+    """gen_synthetic_events (produce_events.py:23-74): distributional
+    properties are asserted in tests/test_generator.py; the driver
+    check is rows-only because the draw is nondeterministic by design."""
+    from ..sources.generator import generate_events_batch
+
+    return generate_events_batch(spark, 10_000, start_date="2025-09-01", days=7)

@@ -64,6 +64,7 @@ def _load_all() -> None:
         similarity_q,
         text_q,
         vectors_q,
+        windows_q,
     )
 
     _LOADED = True

@@ -1,0 +1,84 @@
+"""Behavioral tests of near-dup/similarity operators on constructed
+data with KNOWN duplicates — the driver testdata has none, so oracle
+parity alone can't prove recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+    minhash_near_dup,
+    shingle_table,
+    simhash_fingerprints,
+)
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall fence near the old barn every morning"
+    )
+    near = base.replace("lazy", "sleepy")  # 1-word edit -> high jaccard
+    far = "completely different text about spark query engines and distributed shuffles at scale"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),          # exact dup
+            Row(doc_id=3, text=near),          # near dup
+            Row(doc_id=4, text=far),           # unrelated
+            Row(doc_id=5, text="tiny doc"),    # < 3 tokens -> no shingles
+        ]
+    )
+
+
+def test_minhash_finds_known_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup(_docs(spark)).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup always collides, J=1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7  # near dup found
+    assert all(4 not in p for p in pairs)  # unrelated never pairs
+    assert all(5 not in p for p in pairs)  # shingle-less doc never pairs
+
+
+def test_shingles_short_doc_empty(spark):
+    sh = shingle_table(_docs(spark))
+    assert sh.where("doc_id = 5").count() == 0
+    assert sh.where("doc_id = 1").count() > 0
+
+
+def test_simhash_properties(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near < ham_far  # near dup closer in hamming space
+    assert 0 <= fps[1] < 2**32
+
+
+def test_ann_bucket_recall_on_clusters(spark):
+    """Vectors built as tight clusters must find their cluster peers."""
+    import numpy as np
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        ann_topk_bucketed,
+    )
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for cluster in range(5):
+        center = rng.standard_normal(64)
+        for j in range(6):
+            v = center + rng.standard_normal(64) * 0.01
+            rows.append(
+                Row(vec_id=cluster * 6 + j, embedding=[float(x) for x in v], label=cluster)
+            )
+    emb = spark.createDataFrame(rows)
+    out = ann_topk_bucketed(emb, n_queries=6, k=3)  # queries = cluster 0
+    got = {(r["qid"], r["nid"]) for r in out.collect()}
+    # every cluster-0 query finds only cluster-0 neighbors, at sim ~1
+    assert got, "no neighbors found"
+    assert all(nid < 6 for _, nid in got)
+    sims = [r["sim"] for r in out.collect()]
+    assert min(sims) > 0.99
