@@ -63,15 +63,24 @@ def lsh_candidate_pairs(
     on ALL hashes of any band become candidates. The join key is a
     16-byte md5 — uniform, so no skew."""
     n_bands = k // band_size
-    bands = None
-    for b in range(n_bands):
-        key = F.md5(
-            F.concat(*[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
-        )
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"), key.alias("bkey")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one explode instead of an n_bands-way union: a single pass over the
+    # signatures, one scan, one stage
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band", "bkey"
     )
@@ -123,7 +132,14 @@ def minhash_near_dup(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> band -> candidate -> exact
-    Jaccard. Returns (id_a, id_b, jaccard) for every candidate pair."""
+    Jaccard. Returns (id_a, id_b, jaccard) for every candidate pair.
+
+    The shingle table feeds four consumers (signatures, sizes, both
+    sides of the common-shingle join) and is deliberately NOT persisted:
+    measured locally, recomputing the narrow tokenize+explode chain is
+    ~3x faster than caching it (cache materialization defeats AQE
+    partition coalescing). At 100 TB the call is different — there you
+    materialize shingles once to a staging table and amortize the scan."""
     sh = shingle_table(docs, n)
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, band_size)
     return jaccard_verify(sh, cands)

@@ -131,7 +131,11 @@ def embed_neardup_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm("embedding").alias("nrm")
     )
-    a = e.select(
+    # probe side repartitions for parallelism: a single parquet file
+    # would otherwise put ALL pairwise dot products on one task; the
+    # build side broadcasts (the blocking key has ~10 values, so a
+    # shuffle join would likewise cap parallelism at 10 tasks)
+    a = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("va"),
@@ -146,7 +150,7 @@ def embed_neardup_cosine(spark, sf_dir):
     sim = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b", sim.alias("sim"))
