@@ -1,0 +1,119 @@
+"""spark-submit job entry points — the units the orchestrator schedules.
+
+One function per reference DAG task:
+
+* :func:`run_ingest`       <- consume_and_upload (ingest_clickstream_to_s3.py:7-81)
+* :func:`run_daily_kpis`   <- compute_kpis        (daily_kpis.py:142-174)
+* :func:`run_healthcheck`  <- check_recent_ingest (ingest_healthcheck.py:11-33)
+
+plus :func:`resolve_run_date`, the reference's four-step run-date
+precedence (daily_kpis.py:46-77): explicit conf -> $RUN_DATE -> the
+orchestrator's logical date -> today in $CLICKSTREAM_TZ.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import zoneinfo
+
+from pyspark.sql import SparkSession, functions as F
+
+from .io import write_kpis_parquet
+from .operators.kpis import daily_kpis
+from .sources.jsonl import read_jsonl_drop_malformed
+from .streaming import healthcheck as hc
+from .streaming.ingest import start_ingest
+
+
+def _parse_date_any(s: str) -> dt.date | None:
+    """Python twin of functions.scalars.parse_date_multi — YYYY-MM-DD or
+    full ISO-8601, quotes/space trimmed, None when unparseable."""
+    s = (s or "").strip().strip("\"'")
+    if not s:
+        return None
+    for parse in (
+        lambda x: dt.datetime.strptime(x, "%Y-%m-%d"),
+        dt.datetime.fromisoformat,
+    ):
+        try:
+            return parse(s).date()
+        except ValueError:
+            continue
+    return None
+
+
+def resolve_run_date(
+    conf_run_date: str | None = None,
+    logical_date: dt.datetime | None = None,
+    env: dict[str, str] | None = None,
+) -> str:
+    """daily_kpis.py:46-77 precedence, returned as 'YYYY-MM-DD'."""
+    env = os.environ if env is None else env
+    for candidate in (conf_run_date, env.get("RUN_DATE")):
+        parsed = _parse_date_any(candidate) if candidate else None
+        if parsed:
+            return parsed.isoformat()
+    if logical_date is not None:
+        return logical_date.date().isoformat()
+    tz = zoneinfo.ZoneInfo(env.get("CLICKSTREAM_TZ", "UTC"))
+    return dt.datetime.now(tz).date().isoformat()
+
+
+def run_ingest(
+    spark: SparkSession,
+    source_stream,
+    raw_path: str,
+    checkpoint_dir: str,
+    window_seconds: int | None = None,
+) -> None:
+    """One orchestrated ingest run. ``window_seconds=None`` drains the
+    source and stops (Trigger.AvailableNow — the batch-per-run shape);
+    a value runs the reference's fixed-cadence micro-batch loop."""
+    trigger = (
+        {"availableNow": True}
+        if window_seconds is None
+        else {"processingTime": f"{window_seconds} seconds"}
+    )
+    q = start_ingest(source_stream, raw_path, checkpoint_dir, trigger=trigger)
+    if window_seconds is None:
+        q.awaitTermination()
+    # cadenced mode: caller owns the query lifecycle
+
+
+def run_daily_kpis(
+    spark: SparkSession,
+    raw_path: str,
+    kpi_path: str,
+    run_date: str | None = None,
+) -> str:
+    """Read one day's raw partition, aggregate, write the KPI zone.
+    Returns the reference's NO_INPUT marker when the partition is empty
+    (daily_kpis.py:157-159)."""
+    day = resolve_run_date(run_date)
+    try:
+        events = read_jsonl_drop_malformed(spark, f"{raw_path}/date={day}")
+    except Exception:
+        return "NO_INPUT"
+    parsed = events.withColumn("ts", F.to_timestamp("event_ts"))
+    kpis = (
+        daily_kpis(
+            parsed, ts="ts", user="user_id", session="session_id",
+            etype="event_type", price="price",
+        )
+        .withColumn("dt", F.col("dt").cast("string"))
+        .where(F.col("dt") == day)
+    )
+    if kpis.isEmpty():
+        return "NO_INPUT"
+    write_kpis_parquet(kpis, kpi_path)
+    return "OK"
+
+
+def run_healthcheck(spark: SparkSession, raw_path: str, lookback_minutes: int = 20) -> None:
+    """Freshness gate: raise if no raw file landed in the lookback
+    window (ingest_healthcheck.py:30-33 fail path)."""
+    if not hc.check_freshness(spark, raw_path, lookback_minutes=lookback_minutes):
+        raise RuntimeError(
+            f"no fresh ingest under {raw_path} in the last {lookback_minutes} min"
+        )
