@@ -1,0 +1,87 @@
+"""Scale techniques as reusable operators: bucketed co-located joins
+and skew salting.
+
+Neither exists in the reference (single-threaded Python has no
+shuffles); both are part of the 100 TB design contract
+(SURVEY.md, BASELINE.json north star) and are verified by plan-shape
+tests (tests/test_scale.py), not just by values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Two tables bucketed identically on their join key co-locate: the
+    join compiles to a zero-shuffle SortMergeJoin. At 100 TB this is
+    the difference between re-shuffling the fact table on every run and
+    paying the shuffle once at write time.
+    """
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str],
+    how: str = "inner"
+) -> DataFrame:
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_col: str,
+    agg_exprs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (key, random salt) so one hot key spreads over
+    ``n_salts`` reducers; phase 2 re-aggregates the partials. Only
+    algebraic aggregates decompose this way — sums and counts here
+    (partial COUNT re-aggregates as SUM). Note Spark's hash aggregate
+    already does map-side partial aggregation, which absorbs *moderate*
+    skew; explicit salting is for the pathological case where even the
+    merged partials of one key overwhelm a single reducer, and for
+    high-cardinality-state aggs (collect_*, exact distinct) where
+    map-side combine cannot shrink the hot key.
+    """
+    salted = df.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    phase1 = salted.groupBy(group_col, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, c in agg_exprs.items()]
+    )
+    # COUNT partials re-combine as SUM; everything else by its own op
+    recombine = {
+        name: (F.sum if name.startswith(("count", "n_", "sum", "total")) else None)
+        for name in agg_exprs
+    }
+    finals = []
+    for name in agg_exprs:
+        op = recombine[name] or F.sum
+        finals.append(op(F.col(f"_p_{name}")).alias(name))
+    return phase1.groupBy(group_col).agg(*finals)
+
+
+def salted_broadcast_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 16
+) -> DataFrame:
+    """Skewed-key join where the small side fits in memory: explode the
+    small side n_salts ways, salt the big side once — every hot-key row
+    of the big side still lands on a different reducer. (With AQE's
+    skew-join handling on, prefer letting AQE split oversized partitions
+    first; this is the manual fallback for non-AQE paths/sinks.)"""
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
+    small_exploded = small.select("*", salts)
+    big_salted = big.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    return big_salted.join(F.broadcast(small_exploded), [key, "_salt"]).drop("_salt")

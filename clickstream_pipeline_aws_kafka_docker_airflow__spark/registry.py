@@ -63,6 +63,7 @@ def _load_all() -> None:
         relational_q,
         similarity_q,
         text_q,
+        time_q,
         vectors_q,
         windows_q,
     )
