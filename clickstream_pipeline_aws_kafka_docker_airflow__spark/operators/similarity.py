@@ -66,6 +66,79 @@ def bucket_sql(emb_sql: str = "CAST(embedding AS DOUBLE[])", nbits: int = ANN_BI
     return " || ".join(parts)
 
 
+def topk_matmul_arrow(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+) -> DataFrame:
+    """Brute-force top-k cosine via Arrow-batched numpy matmul.
+
+    Same semantics as the Column-expression version
+    (queries/vectors_q.py::sim_topk_bruteforce) but each Arrow batch
+    computes one (batch x dim) @ (dim x n_queries) matrix product
+    instead of per-row fold expressions — the pattern that wins once
+    dim x candidates is large (BLAS vs interpreted higher-order
+    functions). The query matrix is collected once (tiny) and shipped
+    inside the closure; the corpus side streams through executors.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    q_rows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = [r["vec_id"] for r in q_rows]
+    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nid", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def _sims(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        _qids = _np.array(qids, dtype=_np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _np.stack(pdf["embedding"].map(_np.asarray)).astype(_np.float64)
+            vnorm = _np.sqrt((v * v).sum(axis=1))
+            sims = (v @ qmat.T) / _np.outer(vnorm, qnorm)  # (B, nq)
+            b = len(pdf)
+            yield _pd.DataFrame(
+                {
+                    "qid": _np.repeat(_qids.reshape(1, -1), b, axis=0).ravel(),
+                    "nid": _np.repeat(pdf["vec_id"].to_numpy(_np.int64), len(_qids)),
+                    "sim": _np.round(sims, 4).ravel(),
+                }
+            )
+
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_sims, out_schema)
+        .where(F.col("nid") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def ann_topk_bucketed(
     emb: DataFrame,
     n_queries: int,

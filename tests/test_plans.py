@@ -55,9 +55,12 @@ def test_sessionize_single_shuffle(spark):
     assert f.python_evals == 0
 
 
-def test_no_python_eval_outside_multimodal(spark):
+ARROW_BY_DESIGN = {"multimodal_meta", "sim_topk_vectorized"}
+
+
+def test_no_python_eval_outside_arrow_paths(spark):
     for name, fn in _Q.items():
-        if name == "multimodal_meta":
+        if name in ARROW_BY_DESIGN:
             continue
         assert plan_facts(fn(spark, SF_SMOKE)).python_evals == 0, name
 
