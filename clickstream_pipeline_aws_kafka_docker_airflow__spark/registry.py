@@ -56,6 +56,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .queries import (  # noqa: F401
+        advanced_q,
         dedup_q,
         events_q,
         kpis_q,

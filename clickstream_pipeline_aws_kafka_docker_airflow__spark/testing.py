@@ -28,7 +28,7 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon_value(v):
     """Canonicalize one cell for comparison across engines."""
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float):
         if math.isnan(v):

@@ -1,0 +1,55 @@
+"""applyInPandasWithState: running totals accumulate across
+micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+# state-store snapshot maintenance makes this take ~3 min locally; the
+# operator is exercised on demand (RUN_SLOW=1), not in the default gate
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"), reason="slow: state-store startup ~3min (RUN_SLOW=1 to enable)"
+)
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.stateful import (
+    running_user_totals,
+)
+
+
+def test_running_totals_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame([Row(user_id=1, value=10.0), Row(user_id=2, value=5.0)])
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame([Row(user_id=1, value=2.5)]).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM running").collect()
+    # user 1 appears in both batches: final emission carries 10.0 + 2.5
+    totals = {}
+    for r in rows:
+        totals[r["user_id"]] = max(
+            totals.get(r["user_id"], (0, 0.0)), (r["n_events"], r["total_value"])
+        )
+    assert totals[1] == (2, 12.5)
+    assert totals[2] == (1, 5.0)
