@@ -46,6 +46,21 @@ def round2(c: Column | str) -> Column:
     return F.round(_col(c), 2)
 
 
+def dec_sum_round2(c: Column | str) -> Column:
+    """Order-independent 2-dp sum of a double expression.
+
+    ``ROUND(SUM(double), 2)`` is knife-edge unstable across engines:
+    the per-row product doubles are bit-identical everywhere (IEEE),
+    but summation ORDER differs with partitioning, and a sum landing
+    within an ulp of a .005 boundary rounds differently (observed at
+    sf0.1). Casting each addend to DECIMAL(24,8) makes the sum exact
+    and order-independent; the final round/cast is then deterministic.
+    DuckDB oracle twin:
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(24,8))), 2) AS DOUBLE)``.
+    """
+    return F.round(F.sum(_col(c).cast("decimal(24,8)")), 2).cast("double")
+
+
 def ts_parse_iso(c: Column | str) -> Column:
     """ISO-8601 parse; Spark's ``to_timestamp`` handles the trailing
     ``Z`` the reference normalizes by hand (ingest_clickstream_to_s3.py:38)."""

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.scalars import is_pageview, is_purchase, price_or_zero, round2
+from ..functions.scalars import dec_sum_round2, is_pageview, is_purchase, price_or_zero
 
 
 def kpi_aggs(
@@ -42,8 +42,8 @@ def kpi_aggs(
     aggs += [
         F.count(F.when(is_pageview(etype), 1)).alias("pageviews"),
         F.count(F.when(is_purchase(etype), 1)).alias("purchases"),
-        round2(
-            F.sum(F.when(is_purchase(etype), price_or_zero(price)).otherwise(0.0))
+        dec_sum_round2(
+            F.when(is_purchase(etype), price_or_zero(price)).otherwise(0.0)
         ).alias("revenue_usd"),
     ]
     return aggs

@@ -8,6 +8,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..functions.scalars import dec_sum_round2
 from ..operators.asof import asof_join
 from ..registry import register
 
@@ -52,7 +53,7 @@ def asof_last_purchase(spark, sf_dir):
 SELECT event_type, CAST(ts AS DATE) AS dt,
        CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
        COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY CUBE(event_type, CAST(ts AS DATE))
 """,
@@ -69,7 +70,7 @@ def kpi_cube(spark, sf_dir):
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum_round2("value").alias("total_value"),
         )
     )
 
@@ -120,10 +121,10 @@ def window_funcs_suite(spark, sf_dir):
     "q18_large_orders",
     oracle="""
 SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       ROUND(s.sum_qty, 2) AS sum_qty
-FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+       CAST(ROUND(s.sum_qty, 2) AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(24,8))) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(l_quantity) > 300) s
+      HAVING SUM(CAST(l_quantity AS DECIMAL(24,8))) > 300) s
 JOIN orders o ON o.o_orderkey = s.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 """,
@@ -137,9 +138,9 @@ def q18_large_orders(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     s = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("_q"))
         .where(F.col("_q") > 300)
-        .select("l_orderkey", F.round("_q", 2).alias("sum_qty"))
+        .select("l_orderkey", F.round("_q", 2).cast("double").alias("sum_qty"))
     )
     return (
         s.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -153,7 +154,7 @@ def q18_large_orders(spark, sf_dir):
     oracle="""
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -195,8 +196,8 @@ def q7_nation_volume(spark, sf_dir):
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dec_sum_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )

@@ -64,7 +64,7 @@ WITH toks AS (
     GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
-       ROUND(COALESCE(n_common, 0) * 1.0
+       ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
              / (sa.n + sb.n - COALESCE(n_common, 0)), 4) AS jaccard
 FROM cand c
 LEFT JOIN common USING (id_a, id_b)
@@ -114,6 +114,67 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
 def simhash_q(spark, sf_dir):
     """ext SimHash: 32-bit sign-sum fingerprint over distinct tokens."""
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Candidate generation by shared shingle (no LSH): any pair with
+    >=1 common 3-gram gets an exact Jaccard; threshold keeps output
+    small."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
+                  i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}), ' '))) AS shingle
+    FROM toks
+    WHERE len(t) >= {SHINGLE_N}
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*) AS n_common
+    FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.05
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_ngram_jaccard_oracle())
+def ngram_jaccard_pairs(spark, sf_dir):
+    """ext_dedup_near (exact variant): all-pairs n-gram Jaccard with
+    shared-shingle blocking — every overlapping pair, not just LSH band
+    collisions. Scale note: the shingle self-join's group sizes are
+    bounded by shingle frequency; a hot shingle (boilerplate) would
+    need a frequency cap, the text analog of a skewed join key."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import shingle_table
+
+    sh = shingle_table(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        s1.join(s2, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 # keep the generated-SQL helper importable for tests

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..functions.scalars import (
+    dec_sum_round2,
     derive_date,
     derive_hour,
     is_pageview,
@@ -114,7 +115,7 @@ def sessionize_30min(spark, sf_dir):
 SELECT date_trunc('hour', ts) AS hour_start,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1
 """,
@@ -128,7 +129,7 @@ def tumbling_hourly(spark, sf_dir):
     return e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        dec_sum_round2("value").alias("total_value"),
     )
 
 

@@ -16,9 +16,10 @@ from ..registry import register
 # CASE-insensitive classification, exactly daily_kpis.py:123-127.
 _PV = "lower(coalesce(event_type,'')) IN ('page_view','pageview','view')"
 _PU = "lower(coalesce(event_type,'')) IN ('purchase','order','checkout')"
+# decimal accumulation -> order-independent (see scalars.dec_sum_round2)
 _REV = (
-    f"ROUND(SUM(CASE WHEN {_PU} THEN coalesce(TRY_CAST(value AS DOUBLE),0.0) "
-    "ELSE 0.0 END), 2)"
+    f"CAST(ROUND(SUM(CAST(CASE WHEN {_PU} THEN coalesce(TRY_CAST(value AS DOUBLE),0.0) "
+    "ELSE 0.0 END AS DECIMAL(24,8))), 2) AS DOUBLE)"
 )
 
 _KPI_COLS = f"""

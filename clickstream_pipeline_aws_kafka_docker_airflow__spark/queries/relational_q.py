@@ -15,18 +15,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from ..functions.scalars import dec_sum_round2
 from ..io import load_table
 from ..registry import register
+
+# DuckDB twin of scalars.dec_sum_round2 — exact, order-independent sum
+def _dec_sum2(x: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({x} AS DECIMAL(24,8))), 2) AS DOUBLE)"
+
+
+_REV_SQL = _dec_sum2("l_extendedprice * (1 - l_discount)")
 
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {_dec_sum2("l_quantity")} AS sum_qty,
+       {_dec_sum2("l_extendedprice")} AS sum_base_price,
+       {_REV_SQL} AS sum_disc_price,
+       {_dec_sum2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_extendedprice), 4) AS avg_price,
        ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -46,10 +54,10 @@ def q1_pricing_summary(spark, sf_dir):
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dec_sum_round2("l_quantity").alias("sum_qty"),
+            dec_sum_round2("l_extendedprice").alias("sum_base_price"),
+            dec_sum_round2(disc_price).alias("sum_disc_price"),
+            dec_sum_round2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -60,10 +68,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey AS l_orderkey,
        o.o_orderdate AS o_orderdate,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_dec_sum2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -91,8 +99,8 @@ def q3_shipping_priority(spark, sf_dir):
         .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dec_sum_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -100,9 +108,9 @@ def q3_shipping_priority(spark, sf_dir):
 
 @register(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name AS n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_dec_sum2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -140,8 +148,8 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dec_sum_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )

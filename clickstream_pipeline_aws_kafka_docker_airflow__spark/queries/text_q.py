@@ -149,18 +149,44 @@ def lang_id_heuristic(spark, sf_dir):
     return scored.withColumn("pred_lang", pred)
 
 
-@register(
-    "quality_score",
-    oracle=f"""
+# Quality is a sum of rationals of small integers, so float rounding at
+# a 4-dp tie (e.g. exactly 0.84025) is knife-edge unstable across
+# engines (hit at sf0.1). Exact fix: one integer rational per output,
+# truncated to 4 dp with integer division — bit-identical everywhere.
+# quality = 0.4*min(t,100)/100 + 0.3*(c-p)/c + 0.3*min(5s,t)/t
+#         = (4*min(t,100)*c*t + 300*(c-p)*t + 300*min(5s,t)*c) / (1000*c*t)
+_Q_NUM = (
+    "4 * LEAST(n_tokens, 100) * c * t + 300 * (c - punct) * t "
+    "+ 300 * LEAST(5 * stops, t) * c"
+)
+_Q_DEN = "1000 * c * t"
+
+
+def _ratio4(num: str, den: str, idiv: str) -> str:
+    """Truncate num/den to 4 dp via integer division (`idiv` = 'div' on
+    Spark, '//' on DuckDB)."""
+    # CAST(... AS DOUBLE): Spark SQL parses a bare `10000.0` literal as
+    # DECIMAL and would propagate decimal types through the division
+    return f"(({num}) * 10000 {idiv} ({den})) / CAST(10000 AS DOUBLE)"
+
+
+def _quality_outputs(idiv: str) -> str:
+    return f"""
 SELECT doc_id,
        n_tokens,
-       ROUND(punct / GREATEST(n_chars, 1), 4) AS punct_ratio,
-       ROUND(uppers / GREATEST(n_chars, 1), 4) AS upper_ratio,
-       ROUND(stops / GREATEST(n_tokens, 1), 4) AS stopword_ratio,
-       ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - punct / GREATEST(n_chars, 1))
-             + 0.3 * LEAST(5.0 * stops / GREATEST(n_tokens, 1), 1.0), 4) AS quality
+       {_ratio4("punct", "c", idiv)} AS punct_ratio,
+       {_ratio4("uppers", "c", idiv)} AS upper_ratio,
+       {_ratio4("stops", "t", idiv)} AS stopword_ratio,
+       {_ratio4(_Q_NUM, _Q_DEN, idiv)} AS quality
 FROM (
+    SELECT doc_id, n_tokens, punct, uppers, stops,
+           GREATEST(n_chars, 1) AS c, GREATEST(n_tokens, 1) AS t
+    FROM __Q_BASE__
+)
+"""
+
+
+_Q_BASE_SQL = f"""(
     SELECT doc_id,
            length(text) AS n_chars,
            {_WS_TOKENS_SQL} AS n_tokens,
@@ -168,12 +194,17 @@ FROM (
            CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS uppers,
            CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS BIGINT) AS stops
     FROM documents
-)
-""",
+)"""
+
+
+@register(
+    "quality_score",
+    oracle=_quality_outputs("//").replace("__Q_BASE__", _Q_BASE_SQL),
 )
 def quality_score(spark, sf_dir):
     """ext quality scoring: length/punctuation/stopword heuristics
-    combined into one bounded score."""
+    combined into one bounded score, computed in exact integer
+    arithmetic (see note above)."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -182,22 +213,18 @@ def quality_score(spark, sf_dir):
         punct_count("text").alias("punct"),
         upper_count("text").alias("uppers"),
         stopword_count("text").alias("stops"),
-    )
-    n_chars = F.greatest(F.col("n_chars"), F.lit(1))
-    n_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
-    punct_ratio = F.col("punct") / n_chars
-    quality = (
-        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - punct_ratio)
-        + 0.3 * F.least(5.0 * F.col("stops") / n_tokens, F.lit(1.0))
+    ).select(
+        "doc_id", "n_tokens", "punct", "uppers", "stops",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("c"),
+        F.greatest(F.col("n_tokens"), F.lit(1)).alias("t"),
     )
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(F.col("uppers") / n_chars, 4).alias("upper_ratio"),
-        F.round(F.col("stops") / n_tokens, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality"),
+        F.expr(_ratio4("punct", "c", "div")).alias("punct_ratio"),
+        F.expr(_ratio4("uppers", "c", "div")).alias("upper_ratio"),
+        F.expr(_ratio4("stops", "t", "div")).alias("stopword_ratio"),
+        F.expr(_ratio4(_Q_NUM, _Q_DEN, "div")).alias("quality"),
     )
 
 

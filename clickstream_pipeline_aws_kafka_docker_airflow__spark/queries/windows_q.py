@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.scalars import parse_date_multi
+from ..functions.scalars import dec_sum_round2, parse_date_multi
 from ..io import load_table
 from ..registry import register
 
@@ -31,7 +31,7 @@ WITH b AS (
 )
 SELECT window_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) AS total_value
 FROM x
 GROUP BY window_start
 """,
@@ -45,7 +45,7 @@ def sliding_window_hourly(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum_round2("value").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
