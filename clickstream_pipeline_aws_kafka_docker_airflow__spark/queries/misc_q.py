@@ -1,0 +1,170 @@
+"""Remaining operator families: range join, ordered array aggregation
+(user journeys), pivot, exact percentiles, string-function suite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_sum_round2
+from ..io import load_table
+from ..operators.rangejoin import range_join_bucketed
+from ..registry import register
+
+# Deterministic synthetic promo windows over the events' January 2024
+# span: every 3rd day, 06:00-18:00. Same constants feed the Spark
+# literal DataFrame and the oracle VALUES list.
+_RANGES = [
+    (i, f"2024-01-{d:02d} 06:00:00", f"2024-01-{d:02d} 18:00:00")
+    for i, d in enumerate(range(1, 31, 3))
+]
+_RANGES_SQL = ", ".join(
+    f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in _RANGES
+)
+
+
+@register(
+    "range_join_windows",
+    oracle=f"""
+SELECT r.range_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(24,8))), 2) AS DOUBLE) AS total_value
+FROM events e
+JOIN (VALUES {_RANGES_SQL}) r(range_id, w_start, w_end)
+  ON e.ts >= r.w_start AND e.ts < r.w_end
+GROUP BY r.range_id
+""",
+)
+def range_join_windows(spark, sf_dir):
+    """Range join (interval predicate, no equi key) via the bucketed
+    operator — events landing inside each promo window."""
+    e = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [
+            (i, dt.datetime.fromisoformat(s), dt.datetime.fromisoformat(en))
+            for i, s, en in _RANGES
+        ],
+        "range_id INT, w_start TIMESTAMP, w_end TIMESTAMP",
+    )
+    return (
+        range_join_bucketed(e, ranges, "ts", "w_start", "w_end")
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum_round2("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "user_journeys",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       list(event_type ORDER BY ts, event_id) AS journey
+FROM events
+GROUP BY user_id
+""",
+)
+def user_journeys(spark, sf_dir):
+    """Ordered array aggregation: each user's event-type sequence in
+    event order. collect_list has no ordering guarantee after a
+    shuffle, so the deterministic construction is collect structs ->
+    array_sort (lexicographic on (ts, event_id)) -> project the field."""
+    e = load_table(spark, sf_dir, "events")
+    journey = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), journey.alias("journey")
+    )
+
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS dt,
+       {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _ETYPES)}
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot: long->wide per-day event-type counts with a pinned column
+    list (open-ended pivots need a values scan first — at 100 TB always
+    pin the spine)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("dt"))
+        .pivot("event_type", list(_ETYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_ETYPES))
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). Scale note: exact percentile sorts per group —
+    at 100 TB swap in approx_percentile (t-digest) and accept the
+    documented error bound."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+@register(
+    "string_suite",
+    oracle="""
+SELECT doc_id,
+       substr(trim(text), 1, 40) AS head40,
+       upper(lang) AS lang_up,
+       concat_ws('|', lang, source) AS lang_src,
+       replace(source, 'src', 'S') AS src_short,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad,
+       reverse(lang) AS lang_rev,
+       contains(text, 'data') AS has_data,
+       starts_with(source, 'src1') AS is_src1,
+       CAST(strpos(text, 'the') AS BIGINT) AS first_the,
+       CAST(levenshtein(lang, 'en') AS BIGINT) AS lang_lev
+FROM documents
+""",
+)
+def string_suite(spark, sf_dir):
+    """String-function family in one projection (portable pairs:
+    strpos <-> locate with swapped args, etc.)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.trim("text"), 1, 40).alias("head40"),
+        F.upper("lang").alias("lang_up"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("S")).alias("src_short"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("id_pad"),
+        F.reverse("lang").alias("lang_rev"),
+        F.contains("text", F.lit("data")).alias("has_data"),
+        F.startswith("source", F.lit("src1")).alias("is_src1"),
+        F.locate("the", F.col("text")).cast("bigint").alias("first_the"),
+        F.levenshtein("lang", F.lit("en")).cast("bigint").alias("lang_lev"),
+    )
