@@ -1,0 +1,15 @@
+.PHONY: test test-slow bench verify smoke
+
+test:
+	python -m pytest tests/ -q
+
+test-slow:
+	RUN_SLOW=1 python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+smoke:
+	python -c "import __spark_entry__ as E; \
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.session import get_spark; \
+print(len(E.entry(get_spark()).collect()), 'rows')"
