@@ -61,7 +61,7 @@ def range_join_windows(spark, sf_dir):
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       list(event_type ORDER BY ts, event_id) AS journey
+       array_to_string(list(event_type ORDER BY ts, event_id), '->') AS journey
 FROM events
 GROUP BY user_id
 """,
@@ -70,11 +70,15 @@ def user_journeys(spark, sf_dir):
     """Ordered array aggregation: each user's event-type sequence in
     event order. collect_list has no ordering guarantee after a
     shuffle, so the deterministic construction is collect structs ->
-    array_sort (lexicographic on (ts, event_id)) -> project the field."""
+    array_sort (lexicographic on (ts, event_id)) -> project the field.
+    Serialized '->'-joined for a scalar-typed output column."""
     e = load_table(spark, sf_dir, "events")
-    journey = F.transform(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-        lambda x: x["event_type"],
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        "->",
     )
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), journey.alias("journey")

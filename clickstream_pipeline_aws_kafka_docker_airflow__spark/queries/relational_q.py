@@ -225,6 +225,47 @@ def semi_anti_customers(spark, sf_dir):
 
 
 @register(
+    "q17_small_quantity",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,8))) AS DOUBLE)
+             / CAST(7 AS DOUBLE), 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5 * CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(ROUND(l2.l_quantity * 100) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (quantity below 20%%
+    of the part's average). The oracle keeps the correlated form; the
+    Spark plan IS the decorrelated rewrite — one per-part aggregate
+    joined back, which is what any optimizer produces. The threshold
+    compares in exact integer space (quantities scaled x100) so the
+    inequality cannot flip on a float ulp between engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    q100 = F.round(F.col("l_quantity") * 100).cast("bigint")
+    stats = l.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum(q100).alias("sum100"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(stats, F.col("s_partkey") == F.col("l_partkey"))
+        .where(5 * q100 * F.col("cnt") < F.col("sum100"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double")
+                / F.lit(7).cast("double"),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
     "topn_parts_per_brand",
     oracle="""
 SELECT p_brand, p_partkey, p_retailprice,
