@@ -1,0 +1,92 @@
+"""Lateral explode + outer-join coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+TOP_TOKENS_K = 25
+
+
+@register(
+    "top_tokens",
+    oracle=f"""
+SELECT token, n, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+    FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        )
+        WHERE token <> ''
+        GROUP BY token
+    )
+)
+WHERE rn <= {TOP_TOKENS_K}
+""",
+)
+def top_tokens(spark, sf_dir):
+    """Lateral explode -> global top-k: corpus-wide token frequencies.
+    Scale note: the aggregate runs distributed; only the (tiny)
+    aggregated table passes through the single-partition ranking window
+    — never rank raw rows globally."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= TOP_TOKENS_K)
+    )
+
+
+@register(
+    "join_outer_daily",
+    oracle="""
+WITH p AS (
+    SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), e AS (
+    SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_errors
+    FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT coalesce(p.dt, e.dt) AS dt,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(n_errors, 0) AS n_errors
+FROM p FULL OUTER JOIN e ON p.dt = e.dt
+""",
+)
+def join_outer_daily(spark, sf_dir):
+    """FULL OUTER join coverage: daily purchase vs error counts with
+    either side possibly absent."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("p_dt"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("e_dt"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        p.join(e, F.col("p_dt") == F.col("e_dt"), "full_outer")
+        .select(
+            F.coalesce("p_dt", "e_dt").alias("dt"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
