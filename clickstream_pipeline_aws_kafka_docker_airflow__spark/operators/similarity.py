@@ -66,6 +66,89 @@ def bucket_sql(emb_sql: str = "CAST(embedding AS DOUBLE[])", nbits: int = ANN_BI
     return " || ".join(parts)
 
 
+IVF_NCENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = IVF_NCENTROIDS) -> DataFrame:
+    """Coarse quantizer: nearest-centroid assignment per vector.
+
+    Centroids are the first ``n_centroids`` vectors themselves (sampled
+    training points — the deterministic flavor of IVF training; a
+    k-means refinement would drop in here without changing the search
+    path). Distance ranking uses squared L2 expanded as
+    ||v||^2 - 2 v.c + ||c||^2; ties break on centroid id.
+
+    Returns (vec_id, centroid_id, crank) where crank=1 is the home
+    cell, crank<=nprobe are the probe cells.
+    """
+    from pyspark.sql.window import Window
+
+    cent = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
+    d2 = (
+        dot("embedding", "embedding")
+        - 2 * dot("embedding", "cvec")
+        + dot("cvec", "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
+    return (
+        pairs.select("vec_id", "centroid_id", d2.alias("d2"))
+        .withColumn("crank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    n_centroids: int = IVF_NCENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF search: corpus vectors live in their home cell (crank=1);
+    each query probes its ``nprobe`` nearest cells and ranks exact
+    cosine only within them. Scale shape: the shuffle key is the cell
+    id, per-cell work is (cell size x nprobe queries), recall tunes
+    with nprobe — the inverted-file trade."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import norm
+
+    assign = ivf_assignments(emb, n_centroids)
+    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    corpus = base.join(
+        assign.where(F.col("crank") == 1).select("vec_id", "centroid_id"),
+        "vec_id",
+    )
+    probes = (
+        assign.where((F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe))
+        .select(F.col("vec_id").alias("qid"), "centroid_id")
+        .join(
+            base.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv"),
+                F.col("nrm").alias("qn"),
+            ),
+            "qid",
+        )
+    )
+    cands = corpus.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = F.round(dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    # no dedup needed: each corpus vector has exactly one home cell, so
+    # a (qid, nid) pair arises from at most one probed cell
+    return (
+        cands.select("qid", F.col("vec_id").alias("nid"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def topk_matmul_arrow(
     emb: DataFrame,
     n_queries: int,

@@ -82,3 +82,33 @@ def test_ann_bucket_recall_on_clusters(spark):
     assert all(nid < 6 for _, nid in got)
     sims = [r["sim"] for r in out.collect()]
     assert min(sims) > 0.99
+
+
+def test_ivf_recall_on_clusters(spark):
+    """IVF with sampled centroids: cluster members must find cluster
+    peers through the probed cells."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = []
+    # ids interleaved (vec_id % 4 == cluster) so the sampled centroids
+    # (vec_id < 4) cover one member of EACH cluster
+    for cluster in range(4):
+        center = rng.standard_normal(64) * 3
+        for j in range(8):
+            v = center + rng.standard_normal(64) * 0.05
+            rows.append(
+                Row(vec_id=j * 4 + cluster, embedding=[float(x) for x in v])
+            )
+    emb = spark.createDataFrame(rows)
+    out = ivf_topk(emb, n_queries=4, k=3, n_centroids=4, nprobe=1)
+    got = {(r["qid"], r["nid"]) for r in out.collect()}
+    assert got
+    # with tight clusters, every retrieved neighbor shares the query's
+    # cluster (same id residue)
+    assert all(nid % 4 == qid % 4 for qid, nid in got), got
