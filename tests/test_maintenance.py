@@ -1,0 +1,76 @@
+"""Lake-maintenance operators: compaction collapses micro-batch files,
+clustered writes narrow per-file stat ranges, dynamic partition
+overwrite leaves sibling partitions untouched."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import Row, functions as F
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.maintenance import (
+    compact_partitioned,
+    overwrite_day_partition,
+    write_clustered,
+)
+
+
+def test_compaction_collapses_small_files(spark, tmp_path):
+    src = tmp_path / "raw"
+    # simulate 12 micro-batches into one (date,hour) partition
+    for i in range(12):
+        part = src / "date=2025-09-01" / "hour=10"
+        part.mkdir(parents=True, exist_ok=True)
+        (part / f"batch{i}.json").write_text(
+            "\n".join(json.dumps({"user_id": f"u{j}", "v": i}) for j in range(50)) + "\n"
+        )
+    before = len(glob.glob(str(src / "date=*" / "hour=*" / "*.json")))
+    assert before == 12
+    dst = tmp_path / "compacted"
+    compact_partitioned(spark, str(src), str(dst), ["date", "hour"])
+    after = glob.glob(str(dst / "date=*" / "hour=*" / "part-*"))
+    assert 1 <= len(after) <= 2  # 600 tiny rows -> one file
+    # values preserved
+    assert spark.read.json(str(dst)).count() == 600
+
+
+def test_clustered_write_narrows_file_ranges(spark, tmp_path):
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    out = tmp_path / "clustered"
+    write_clustered(df, str(out), range_col="k", cluster_cols=["k"], n_files=8)
+    files = glob.glob(str(out / "part-*.parquet"))
+    assert len(files) == 8
+    # each file must cover a narrow, disjoint slice of k
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    total = 100_000
+    for lo, hi in spans:
+        assert hi - lo < total / 4  # narrow band, not full-range files
+    for (_lo_prev, hi_prev), (lo_next, _hi_next) in zip(spans, spans[1:]):
+        assert lo_next > hi_prev  # disjoint -> pruning-friendly
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    kpi = tmp_path / "kpis"
+    d1 = spark.createDataFrame([Row(dt="2025-09-01", n=1), Row(dt="2025-09-02", n=2)])
+    overwrite_day_partition(spark, d1, str(kpi))
+    # rebuild ONLY day 2 with a corrected value
+    d2 = spark.createDataFrame([Row(dt="2025-09-02", n=99)])
+    day1_files = set(glob.glob(str(kpi / "dt=2025-09-01" / "*")))
+    overwrite_day_partition(spark, d2, str(kpi))
+    assert set(glob.glob(str(kpi / "dt=2025-09-01" / "*"))) == day1_files  # untouched
+    out = {str(r["dt"]): r["n"] for r in spark.read.parquet(str(kpi)).collect()}
+    assert out == {"2025-09-01": 1, "2025-09-02": 99}
