@@ -172,3 +172,15 @@ def string_suite(spark, sf_dir):
         F.locate("the", F.col("text")).cast("bigint").alias("first_the"),
         F.levenshtein("lang", F.lit("en")).cast("bigint").alias("lang_lev"),
     )
+
+
+@register("value_percentiles_approx", oracle=None)  # t-digest estimates are engine-specific
+def value_percentiles_approx(spark, sf_dir):
+    """The 100 TB percentile path: approx_percentile (mergeable sketch,
+    single pass, bounded memory) — rows-only check; accuracy vs the
+    exact operator is asserted in tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").alias("pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
