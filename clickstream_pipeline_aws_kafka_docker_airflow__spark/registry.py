@@ -59,6 +59,7 @@ def _load_all() -> None:
         advanced_q,
         dedup_q,
         events_q,
+        groupsets_q,
         kpis_q,
         lateral_q,
         misc_q,
