@@ -11,24 +11,29 @@ from ..registry import register
 
 # {gid}: Spark spells the multi-column bitmask `grouping_id(...)`,
 # DuckDB `GROUPING(...)` — same MSB-first bitmask either way.
+# {src}: table name — a private temp-view name on the Spark side so we
+# never clobber session state the (driver-owned) session may hold.
 _GS_SQL = """
 SELECT event_type, CAST(ts AS DATE) AS dt,
        CAST({gid}(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users
-FROM events
+FROM {src}
 GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 """
 
 
-@register("kpi_grouping_sets", oracle=_GS_SQL.format(gid="GROUPING"))
+@register(
+    "kpi_grouping_sets", oracle=_GS_SQL.format(gid="GROUPING", src="events")
+)
 def kpi_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS — the two marginals and the grand total
     WITHOUT the (event_type, dt) cross cells a CUBE would add. Spark's
     DataFrame API has cube/rollup only, so this goes through Spark SQL —
     the same Catalyst Expand node either way."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_GS_SQL.format(gid="grouping_id"))
+    view = "__cs_engine_events_gs"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(_GS_SQL.format(gid="grouping_id", src=view))
 
 
 @register(
