@@ -61,6 +61,39 @@ def dec_sum_round2(c: Column | str) -> Column:
     return F.round(F.sum(_col(c).cast("decimal(24,8)")), 2).cast("double")
 
 
+def dec_avg_trunc4_sql(x: str, idiv: str) -> str:
+    """SQL for an order-independent 4-dp truncated average, portable
+    across Spark (``idiv='div'``) and DuckDB (``idiv='//'``).
+
+    ``ROUND(AVG(double), 4)`` is the same knife-edge as
+    :func:`dec_sum_round2`: partial-aggregation summation order differs
+    between engines/partitionings, and a mean landing within an ulp of a
+    0.00005 boundary rounds differently (both r1 correctness hash fails
+    were this class). Construction:
+
+    1. each addend -> DECIMAL(24,8) (deterministic per-row rounding),
+    2. exact decimal SUM -> scaled integer ``I = SUM * 1e8`` (BIGINT),
+    3. ``trunc4(avg) = I div (COUNT(x) * 1e4) / 1e4`` — integer
+       arithmetic only; both ``div`` and ``//`` truncate toward zero.
+
+    ``NULLIF`` keeps the all-NULL-group case NULL (matching AVG) instead
+    of tripping ANSI divide-by-zero. BIGINT bound: |SUM(x)| < 9.2e10
+    (fine through sf1 here; at larger scale keep the scaled value in
+    DECIMAL(38,0) — the helper exists for cross-engine verification).
+    """
+    scaled = f"CAST(SUM(CAST({x} AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
+    return (
+        f"({scaled} {idiv} (NULLIF(COUNT({x}), 0) * 10000))"
+        " / CAST(10000 AS DOUBLE)"
+    )
+
+
+def dec_avg_trunc4(x: str) -> Column:
+    """Spark Column twin of :func:`dec_avg_trunc4_sql` (``div`` form).
+    ``x`` is a SQL expression string so both sides share one text."""
+    return F.expr(dec_avg_trunc4_sql(x, "div"))
+
+
 def ts_parse_iso(c: Column | str) -> Column:
     """ISO-8601 parse; Spark's ``to_timestamp`` handles the trailing
     ``Z`` the reference normalizes by hand (ingest_clickstream_to_s3.py:38)."""

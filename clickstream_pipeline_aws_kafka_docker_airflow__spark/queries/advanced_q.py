@@ -161,8 +161,8 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
 JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
-WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+WHERE ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+    OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6'))
 GROUP BY 1, 2, 3
 """,
 )
@@ -180,9 +180,12 @@ def q7_nation_volume(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
+    # nation-pair literals exist in the driver testdata (names are
+    # NATION_<k>) so the 6-way join path is actually exercised — the
+    # original TPC-H FRANCE/GERMANY pair matched zero rows there
     pair = (
-        (F.col("cust_nation") == "FRANCE") & (F.col("supp_nation") == "GERMANY")
-    ) | ((F.col("cust_nation") == "GERMANY") & (F.col("supp_nation") == "FRANCE"))
+        (F.col("cust_nation") == "NATION_6") & (F.col("supp_nation") == "NATION_9")
+    ) | ((F.col("cust_nation") == "NATION_9") & (F.col("supp_nation") == "NATION_6"))
     return (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..functions.scalars import (
+    dec_avg_trunc4,
+    dec_avg_trunc4_sql,
     dec_sum_round2,
     derive_date,
     derive_hour,
@@ -135,11 +137,11 @@ def tumbling_hourly(spark, sf_dir):
 
 @register(
     "json_props_agg",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        COUNT(*) AS n,
        MIN(k) AS min_k, MAX(k) AS max_k,
-       ROUND(AVG(k), 4) AS avg_k
+       {dec_avg_trunc4_sql("k", "//")} AS avg_k
 FROM (
     SELECT event_type,
            TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k
@@ -159,7 +161,7 @@ def json_props_agg(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            dec_avg_trunc4("k").alias("avg_k"),
         )
     )
 

@@ -178,9 +178,25 @@ def string_suite(spark, sf_dir):
 def value_percentiles_approx(spark, sf_dir):
     """The 100 TB percentile path: approx_percentile (mergeable sketch,
     single pass, bounded memory) — rows-only check; accuracy vs the
-    exact operator is asserted in tests/test_sketches.py."""
+    exact operator is asserted in tests/test_sketches.py.
+
+    Output is projected to scalar ``p50/p90/p99`` doubles (not the raw
+    ``array<double>``) so downstream row-wise consumers — including the
+    driver's canonicalizer — need no array handling."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").alias("pcts"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
     )

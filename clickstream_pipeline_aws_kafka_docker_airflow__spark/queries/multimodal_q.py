@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
 from ..operators.multimodal import attach_fake_media, extract_media_meta
 from ..registry import register
@@ -14,12 +15,12 @@ from ..registry import register
 
 @register(
     "multimodal_meta",
-    oracle="""
+    oracle=f"""
 SELECT media_type,
        COUNT(*) AS n_assets,
        SUM(n_bytes) AS total_bytes,
-       ROUND(AVG(width), 4) AS avg_width,
-       ROUND(AVG(height), 4) AS avg_height
+       {dec_avg_trunc4_sql("width", "//")} AS avg_width,
+       {dec_avg_trunc4_sql("height", "//")} AS avg_height
 FROM (
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                            ELSE 'video' END AS media_type,
@@ -39,6 +40,6 @@ def multimodal_meta(spark, sf_dir):
     return meta.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("height"), 4).alias("avg_height"),
+        dec_avg_trunc4("width").alias("avg_width"),
+        dec_avg_trunc4("height").alias("avg_height"),
     )

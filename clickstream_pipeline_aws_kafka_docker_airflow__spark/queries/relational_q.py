@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.scalars import dec_sum_round2
+from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql, dec_sum_round2
 from ..io import load_table
 from ..registry import register
 
@@ -35,9 +35,9 @@ SELECT l_returnflag, l_linestatus,
        {_dec_sum2("l_extendedprice")} AS sum_base_price,
        {_REV_SQL} AS sum_disc_price,
        {_dec_sum2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       {dec_avg_trunc4_sql("l_quantity", "//")} AS avg_qty,
+       {dec_avg_trunc4_sql("l_extendedprice", "//")} AS avg_price,
+       {dec_avg_trunc4_sql("l_discount", "//")} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -58,9 +58,9 @@ def q1_pricing_summary(spark, sf_dir):
             dec_sum_round2("l_extendedprice").alias("sum_base_price"),
             dec_sum_round2(disc_price).alias("sum_disc_price"),
             dec_sum_round2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_avg_trunc4("l_quantity").alias("avg_qty"),
+            dec_avg_trunc4("l_extendedprice").alias("avg_price"),
+            dec_avg_trunc4("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -24,6 +24,7 @@ from ..functions.text import (
     upper_count,
     ws_token_count,
 )
+from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
 from ..registry import register
 
@@ -59,24 +60,25 @@ def dedup_exact_docs(spark, sf_dir):
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       ROUND(AVG(n_chars), 4) AS avg_chars,
+       {dec_avg_trunc4_sql("n_chars", "//")} AS avg_chars,
        SUM(n_tokens) AS total_tokens,
-       ROUND(AVG(n_tokens), 4) AS avg_tokens
+       {dec_avg_trunc4_sql("n_tokens", "//")} AS avg_tokens
 FROM (SELECT lang, n_chars, {_WS_TOKENS_SQL} AS n_tokens FROM documents)
 GROUP BY lang
 """,
 )
 def text_stats_by_lang(spark, sf_dir):
-    """ext_text_stats: per-language corpus statistics."""
+    """ext_text_stats: per-language corpus statistics. Averages use the
+    order-independent decimal construction (r1 hash-fail fix)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", "n_chars", ws_token_count("text").alias("n_tokens"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            dec_avg_trunc4("n_chars").alias("avg_chars"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            dec_avg_trunc4("n_tokens").alias("avg_tokens"),
         )
     )
 

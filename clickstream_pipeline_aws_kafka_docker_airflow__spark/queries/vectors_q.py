@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..functions.vectors import dot, norm
 from ..io import load_table
 from ..registry import register
@@ -36,7 +37,7 @@ _E_DOUBLE = "CAST(embedding AS DOUBLE[])"
     oracle=f"""
 SELECT label,
        COUNT(*) AS n_vecs,
-       ROUND(AVG(nrm), 4) AS avg_norm,
+       {dec_avg_trunc4_sql("nrm", "//")} AS avg_norm,
        ROUND(MIN(nrm), 4) AS min_norm,
        ROUND(MAX(nrm), 4) AS max_norm
 FROM (SELECT label, sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
@@ -53,7 +54,7 @@ def embed_norms_by_label(spark, sf_dir):
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            dec_avg_trunc4("nrm").alias("avg_norm"),
             F.round(F.min("nrm"), 4).alias("min_norm"),
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )

@@ -109,6 +109,129 @@ def generate_events_batch(
     return _events_from(base, ts)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic variant: hash-based draws instead of rand().
+#
+# Same distributions as the reference producer, but every field is a
+# pure function of the row index via md5 — so (a) backfills are
+# reproducible run-to-run, and (b) the generator itself gets a full
+# DuckDB oracle (the rand() variant can only ever be rows-checked).
+# Draws are 24-bit integers (first 6 md5 hex nibbles); all selection
+# arithmetic stays in integer space so both engines agree bit-for-bit.
+
+GEN_SEED = "g"
+DRAW_BITS = 24
+DRAW_SCALE = 1 << DRAW_BITS  # 16^6
+HEX = "0123456789abcdef"
+
+# CDF thresholds in integer draw space (floor of cumulative weight)
+_CUM = []
+_acc = 0.0
+for _w in EVENT_WEIGHTS[:-1]:
+    _acc += _w
+    _CUM.append(int(_acc * DRAW_SCALE))
+TYPE_THRESHOLDS = tuple(_CUM)  # page_view / add_to_cart / checkout cutoffs
+PURCHASE_MIN_DRAW = TYPE_THRESHOLDS[-1]  # draw >= this -> purchase
+PRICE_CENT_SPAN = 11500  # uniform(5,120) in cents: 500 + [0, 11500)
+
+
+def _det_draw(field: str, i: Column) -> Column:
+    """24-bit deterministic uniform draw for (field, row-index)."""
+    h = F.md5(F.concat(F.lit(f"{GEN_SEED}|{field}|"), i.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint")
+
+
+def det_draw_duckdb_sql(field: str, i_sql: str) -> str:
+    """DuckDB twin of :func:`_det_draw` — strpos nibble ladder (DuckDB
+    has no base-16 conv)."""
+    h = f"md5('{GEN_SEED}|{field}|' || CAST({i_sql} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({h}, {p + 1}, 1)) - 1) * {16 ** (5 - p)}"
+        for p in range(6)
+    )
+    return f"({terms})"
+
+
+def _det_uuid(i: Column) -> Column:
+    """UUID-shaped deterministic id: md5 hex grouped 8-4-4-4-12."""
+    h = F.md5(F.concat(F.lit(f"{GEN_SEED}|sess|"), i.cast("string")))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def det_uuid_duckdb_sql(i_sql: str) -> str:
+    h = f"md5('{GEN_SEED}|sess|' || CAST({i_sql} AS VARCHAR))"
+    return (
+        f"substr({h},1,8) || '-' || substr({h},9,4) || '-' || "
+        f"substr({h},13,4) || '-' || substr({h},17,4) || '-' || substr({h},21,12)"
+    )
+
+
+def step_micros(n_events: int, days: int) -> int:
+    return int(days * 86_400_000_000 / max(n_events, 1))
+
+
+def generate_events_batch_deterministic(
+    spark: SparkSession,
+    n_events: int,
+    start_date: str = "2025-09-01",
+    days: int = 7,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible fast-forward backfill: same schema/distributions as
+    :func:`generate_events_batch`, draws derived from the row index.
+    Scale shape is identical — ``spark.range`` slices, no shuffle, no
+    driver loop; md5 + integer ops run inside whole-stage codegen."""
+    step_us = step_micros(n_events, days)
+    base = spark.range(
+        0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism
+    )
+    i = F.col("id")
+    ts = F.timestamp_micros(
+        F.unix_micros(F.lit(start_date).cast("timestamp")) + i * step_us
+    )
+    d_type = _det_draw("type", i)
+    etype = (
+        F.when(d_type < TYPE_THRESHOLDS[0], EVENT_TYPES[0])
+        .when(d_type < TYPE_THRESHOLDS[1], EVENT_TYPES[1])
+        .when(d_type < TYPE_THRESHOLDS[2], EVENT_TYPES[2])
+        .otherwise(EVENT_TYPES[3])
+    )
+    # scaled-integer index selection: (draw * n) >> 24 — pure integer
+    # ops, bit-identical across engines (the oracle uses `>> 24` too)
+    u_idx = F.shiftright(_det_draw("user", i) * N_USERS, DRAW_BITS)
+    sku_idx = F.shiftright(_det_draw("sku", i) * N_SKUS, DRAW_BITS)
+    page_idx = F.shiftright(_det_draw("page", i) * len(PAGES), DRAW_BITS).cast("int")
+    ref_idx = F.shiftright(
+        _det_draw("ref", i) * len(REFERRERS), DRAW_BITS
+    ).cast("int")
+    cents = F.lit(500) + F.shiftright(
+        _det_draw("price", i) * PRICE_CENT_SPAN, DRAW_BITS
+    )
+    return base.select(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("event_ts"),
+        F.concat(F.lit("u_"), (u_idx + 1).cast("string")).alias("user_id"),
+        _det_uuid(i).alias("session_id"),
+        etype.alias("event_type"),
+        F.element_at(F.array(*[F.lit(p) for p in PAGES]), page_idx + 1).alias("page"),
+        F.concat(F.lit("sku_"), (sku_idx + 1).cast("string")).alias("product_id"),
+        F.when(
+            d_type >= PURCHASE_MIN_DRAW, cents / F.lit(100).cast("double")
+        ).alias("price"),
+        F.lit("USD").alias("currency"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in REFERRERS]), ref_idx + 1
+        ).alias("referrer"),
+        F.lit(USER_AGENT).alias("user_agent"),
+    )
+
+
 def generate_events_stream(
     spark: SparkSession, rows_per_second: int = 20, num_partitions: int = 1
 ) -> DataFrame:
