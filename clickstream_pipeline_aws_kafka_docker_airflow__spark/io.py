@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .session import apply_engine_confs
+from .session import apply_engine_confs, temp_confs
 
 TABLES = (
     "region",
@@ -77,10 +77,19 @@ def write_jsonl_partitioned(
 def write_kpis_parquet(df: DataFrame, path: str, partition_col: str = "dt") -> None:
     """KPI-zone sink: Parquet/snappy partitioned by run date, the
     ``kpis/daily/dt=YYYY-MM-DD/kpis.parquet`` layout of daily_kpis.py:165-173.
+
+    Overwrite is DYNAMIC (scoped to this write): the reference's day-run
+    rewrites only ``kpis/daily/dt=<day>/`` — under the default static
+    mode a day-N run would delete every other day's partition, and the
+    mirrored DAG's catchup backfill (16 concurrent day-runs,
+    daily_kpis.py:187-188) would race full-zone overwrites and lose data.
     """
-    (
-        df.repartition(F.col(partition_col))
-        .write.partitionBy(partition_col)
-        .mode("overwrite")
-        .parquet(path, compression="snappy")
-    )
+    with temp_confs(
+        df.sparkSession, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        (
+            df.repartition(F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(path, compression="snappy")
+        )

@@ -17,6 +17,7 @@ import datetime as dt
 import os
 import zoneinfo
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession, functions as F
 
 from .io import write_kpis_parquet
@@ -93,8 +94,14 @@ def run_daily_kpis(
     day = resolve_run_date(run_date)
     try:
         events = read_jsonl_drop_malformed(spark, f"{raw_path}/date={day}")
-    except Exception:
-        return "NO_INPUT"
+    except AnalysisException as e:
+        # only a missing day-partition is NO_INPUT (the reference's
+        # empty-listing guard, daily_kpis.py:155-159); corrupt files,
+        # permission errors etc. must propagate, not masquerade as an
+        # empty day
+        if (e.getCondition() or "") == "PATH_NOT_FOUND":
+            return "NO_INPUT"
+        raise
     parsed = events.withColumn("ts", F.to_timestamp("event_ts"))
     kpis = (
         daily_kpis(

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..session import temp_confs
+
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
@@ -77,11 +79,13 @@ def overwrite_day_partition(
     """Dynamic partition overwrite: replace ONLY the partitions present
     in ``kpis``, leaving sibling days' files untouched — the day-level
     rebuild the reference does by re-running one Airflow day-run
-    (daily_kpis.py:186-188), without rewriting the zone."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        kpis.repartition(F.col(partition_col))
-        .write.partitionBy(partition_col)
-        .mode("overwrite")
-        .parquet(kpi_path)
-    )
+    (daily_kpis.py:186-188), without rewriting the zone. The conf is
+    scoped to this write — a shared session keeps its prior overwrite
+    semantics."""
+    with temp_confs(spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}):
+        (
+            kpis.repartition(F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(kpi_path)
+        )

@@ -9,6 +9,8 @@ tests (tests/test_scale.py), not just by values.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
@@ -44,32 +46,51 @@ def salted_agg(
     group_col: str,
     agg_exprs: dict[str, Column],
     n_salts: int = 16,
+    recombine: dict[str, Callable[[Column | str], Column]] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
 
     Phase 1 groups on (key, random salt) so one hot key spreads over
     ``n_salts`` reducers; phase 2 re-aggregates the partials. Only
-    algebraic aggregates decompose this way — sums and counts here
-    (partial COUNT re-aggregates as SUM). Note Spark's hash aggregate
-    already does map-side partial aggregation, which absorbs *moderate*
-    skew; explicit salting is for the pathological case where even the
-    merged partials of one key overwhelm a single reducer, and for
-    high-cardinality-state aggs (collect_*, exact distinct) where
-    map-side combine cannot shrink the hot key.
+    algebraic aggregates decompose this way — by default sums and counts
+    (partial COUNT re-aggregates as SUM, inferred from the output name);
+    ``max``/``min`` partials recombine as themselves via an explicit
+    ``recombine={'name': F.max}`` entry. Any aggregate whose recombine
+    op can't be determined raises — silently SUM-merging a MAX partial
+    would return wrong values with no error. Non-decomposable aggs
+    (avg, exact distinct) must be rewritten over decomposable partials
+    (sum+count, two-level distinct) before salting.
+
+    Note Spark's hash aggregate already does map-side partial
+    aggregation, which absorbs *moderate* skew; explicit salting is for
+    the pathological case where even the merged partials of one key
+    overwhelm a single reducer, and for high-cardinality-state aggs
+    (collect_*, exact distinct) where map-side combine cannot shrink
+    the hot key.
     """
+    recombine = dict(recombine or {})
+    for name in agg_exprs:
+        if name in recombine:
+            continue
+        if name.startswith(("count", "n_", "sum", "total")):
+            recombine[name] = F.sum
+        elif name.startswith(("max", "min")):
+            recombine[name] = F.max if name.startswith("max") else F.min
+        else:
+            raise ValueError(
+                f"salted_agg: no recombine op for aggregate {name!r} — "
+                "pass recombine={name: F.<op>} (the op that merges its "
+                "phase-1 partials), or rename to a count/sum/max/min "
+                "prefix. Refusing to guess: a wrong merge op returns "
+                "wrong values silently."
+            )
     salted = df.withColumn("_salt", (F.rand() * n_salts).cast("int"))
     phase1 = salted.groupBy(group_col, "_salt").agg(
         *[c.alias(f"_p_{name}") for name, c in agg_exprs.items()]
     )
-    # COUNT partials re-combine as SUM; everything else by its own op
-    recombine = {
-        name: (F.sum if name.startswith(("count", "n_", "sum", "total")) else None)
-        for name in agg_exprs
-    }
-    finals = []
-    for name in agg_exprs:
-        op = recombine[name] or F.sum
-        finals.append(op(F.col(f"_p_{name}")).alias(name))
+    finals = [
+        recombine[name](F.col(f"_p_{name}")).alias(name) for name in agg_exprs
+    ]
     return phase1.groupBy(group_col).agg(*finals)
 
 

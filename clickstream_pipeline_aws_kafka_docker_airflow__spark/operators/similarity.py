@@ -153,6 +153,7 @@ def topk_matmul_arrow(
     emb: DataFrame,
     n_queries: int,
     k: int,
+    rescore_margin: int = 5,
 ) -> DataFrame:
     """Brute-force top-k cosine via Arrow-batched numpy matmul.
 
@@ -163,6 +164,16 @@ def topk_matmul_arrow(
     dim x candidates is large (BLAS vs interpreted higher-order
     functions). The query matrix is collected once (tiny) and shipped
     inside the closure; the corpus side streams through executors.
+
+    Determinism: BLAS accumulates pairwise/in-register, so a dot
+    product can land within an ulp of a 4-dp rounding boundary and
+    disagree with a sequential in-order fold. The matmul therefore only
+    PRUNES — per query the top ``k + rescore_margin`` candidates by
+    approximate sim — and the survivors (a few rows per query) are
+    re-scored with the same sequential-fold ``aggregate`` expression
+    the exact baseline uses. Final sims are bit-identical to the
+    fold-order reference regardless of BLAS/batching, while the heavy
+    corpus scan stays vectorized.
     """
     import numpy as np
     from pyspark.sql.types import (
@@ -206,18 +217,47 @@ def topk_matmul_arrow(
                 {
                     "qid": _np.repeat(_qids.reshape(1, -1), b, axis=0).ravel(),
                     "nid": _np.repeat(pdf["vec_id"].to_numpy(_np.int64), len(_qids)),
-                    "sim": _np.round(sims, 4).ravel(),
+                    "sim": sims.ravel(),  # unrounded: prune key only
                 }
             )
 
-    pairs = (
+    from ..functions.vectors import norm
+
+    approx = (
         emb.select("vec_id", "embedding")
         .mapInPandas(_sims, out_schema)
         .where(F.col("nid") != F.col("qid"))
     )
+    wp = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    cand = (
+        approx.withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= k + rescore_margin)
+        .select("qid", "nid")
+    )
+    # exact re-score of the tiny candidate set: corpus streams, the
+    # (n_queries x (k+margin)) candidate list and query vectors broadcast
+    nvecs = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        norm("embedding").alias("nn"),
+    )
+    qvecs = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        norm("embedding").alias("qn"),
+    )
+    rescored = (
+        nvecs.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(qvecs), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 4).alias("sim"),
+        )
+    )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= k)
     )
 

@@ -119,10 +119,10 @@ def ann_topk_ivf(spark, sf_dir):
 
 @register("sim_topk_vectorized", oracle=_BRUTE_ORACLE)
 def sim_topk_vectorized(spark, sf_dir):
-    """ext_sim_topk via Arrow-batched numpy matmul — numerically
-    equivalent to the Column-expression baseline at 4 dp, an order of
-    magnitude faster when dim x corpus grows (BLAS beats interpreted
-    higher-order functions)."""
+    """ext_sim_topk via Arrow-batched numpy matmul. BLAS prunes to
+    top-(k+margin); survivors are re-scored with the sequential-fold
+    expression, so final sims match the exact baseline bit-for-bit
+    (BLAS summation order never reaches the output)."""
     from ..operators.similarity import topk_matmul_arrow
 
     return topk_matmul_arrow(load_table(spark, sf_dir, "embeddings"), 10, 5)

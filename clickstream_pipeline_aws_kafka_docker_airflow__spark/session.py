@@ -19,6 +19,7 @@ settings we would ship on a real cluster:
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -52,6 +53,30 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-settable on this build — keep going
     return spark
+
+
+@contextlib.contextmanager
+def temp_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set SQLConfs for the duration of a block, then restore the prior
+    values (or unset keys that had none). Operators that need a special
+    conf for one write (e.g. dynamic partition overwrite) must not leak
+    it into a shared — possibly caller-owned — session and silently
+    change the semantics of later unrelated writes."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, prior in saved.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
 
 
 def get_spark(

@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..session import temp_confs
+
 
 def start_partition_upsert(
     stream_df: DataFrame,
@@ -32,12 +34,14 @@ def start_partition_upsert(
         if out.isEmpty():
             return
         spark = out.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            out.write.partitionBy(partition_col)
-            .mode("overwrite")
-            .parquet(path)
-        )
+        with temp_confs(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            (
+                out.write.partitionBy(partition_col)
+                .mode("overwrite")
+                .parquet(path)
+            )
 
     return (
         stream_df.writeStream.foreachBatch(_upsert)

@@ -74,3 +74,66 @@ def test_dags_importable_without_airflow():
     assert mod.HAVE_AIRFLOW is False  # container has no airflow
     # task callables still defined and reference real jobs
     assert callable(mod._task_daily_kpis)
+
+
+def test_run_daily_kpis_two_days_survive(spark, tmp_path):
+    """Day-N run must rewrite ONLY dt=<day> (dynamic partition
+    overwrite): under static mode a second day-run deletes the first
+    day's partition — the data-loss race of a catchup backfill."""
+    raw = tmp_path / "raw"
+    ev = {
+        "event_ts": "2025-09-01T10:00:00Z",
+        "user_id": "u_1",
+        "session_id": "s1",
+        "event_type": "purchase",
+        "page": "/",
+        "product_id": "sku_1",
+        "price": 10.0,
+        "currency": "USD",
+        "referrer": "google",
+        "user_agent": "UA",
+    }
+    for day in ("2025-09-01", "2025-09-02"):
+        d = raw / f"date={day}" / "hour=10"
+        d.mkdir(parents=True)
+        (d / "b.jsonl").write_text(
+            json.dumps(dict(ev, event_ts=f"{day}T10:00:00Z")) + "\n"
+        )
+    kpi = str(tmp_path / "kpis")
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    assert run_daily_kpis(spark, str(raw), kpi, "2025-09-01") == "OK"
+    assert run_daily_kpis(spark, str(raw), kpi, "2025-09-02") == "OK"
+    days = sorted(
+        str(r["dt"]) for r in spark.read.parquet(kpi).select("dt").collect()
+    )
+    assert days == ["2025-09-01", "2025-09-02"]
+    # the dynamic-overwrite conf must not leak into the shared session
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prior
+
+
+def test_run_daily_kpis_no_input_vs_error(spark, tmp_path):
+    """Missing day-partition -> NO_INPUT; any other read failure must
+    propagate (the reference only treats an empty listing as NO_INPUT,
+    daily_kpis.py:155-159)."""
+    import pytest
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark import jobs
+
+    assert (
+        run_daily_kpis(
+            spark, str(tmp_path / "nowhere"), str(tmp_path / "kpis"), "2025-09-01"
+        )
+        == "NO_INPUT"
+    )
+    # a non-path failure (corrupt store, permissions, ...) must NOT be
+    # masked as an empty day — the old bare-except swallowed it
+    def _boom(*a, **k):
+        raise RuntimeError("storage failure")
+
+    orig = jobs.read_jsonl_drop_malformed
+    jobs.read_jsonl_drop_malformed = _boom
+    try:
+        with pytest.raises(RuntimeError, match="storage failure"):
+            run_daily_kpis(spark, str(tmp_path), str(tmp_path / "kpis"), "2025-09-01")
+    finally:
+        jobs.read_jsonl_drop_malformed = orig

@@ -81,3 +81,26 @@ def test_salted_broadcast_join_matches(spark):
     out = salted_broadcast_join(big, small, "k")
     assert out.count() == 9_001  # 9000 hot + 1 cold
     assert out.where("name = 'cold'").count() == 1
+
+
+def test_salted_agg_rejects_unknown_recombine(spark):
+    """max/min work via prefix or explicit recombine; anything the
+    helper can't merge must raise instead of silently SUM-merging."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0)], "k string, v double"
+    )
+    out = {
+        r["k"]: (r["max_v"], r["peak"])
+        for r in salted_agg(
+            df,
+            "k",
+            {"max_v": F.max("v"), "peak": F.max("v")},
+            recombine={"peak": F.max},
+        ).collect()
+    }
+    assert out == {"a": (5.0, 5.0), "b": (2.0, 2.0)}
+    with pytest.raises(ValueError, match="no recombine op"):
+        salted_agg(df, "k", {"avg_v": F.avg("v")})
