@@ -145,6 +145,57 @@ def minhash_near_dup(
     return jaccard_verify(sh, cands)
 
 
+SHINGLE_DF_CAP = 50  # shingles in more docs than this are boilerplate
+
+
+def ngram_jaccard_all_pairs(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = 0.05,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >=1 (non-boilerplate)
+    shingle — the LSH-free variant of near-dup detection.
+
+    The skew guard that makes this survive 100 TB: shingles whose
+    document frequency exceeds ``df_cap`` are dropped BEFORE the
+    self-join (and from the size denominators, so the Jaccard is over
+    the capped vocabulary on both sides). A boilerplate shingle shared
+    by f documents otherwise creates an O(f^2) join group — one hot
+    "click here to unsubscribe" 3-gram at corpus scale is a quadratic
+    blowup on a single key. With the cap, per-shingle join work is
+    bounded by df_cap^2 regardless of corpus size, and frequent
+    shingles carry no near-dup signal anyway (that is exactly what
+    makes them frequent).
+    """
+    sh = shingle_table(docs, n)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    shk = sh.join(keep, "shingle")
+    sizes = shk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shk.select(F.col("doc_id").alias("id_a"), "shingle")
+    s2 = shk.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        s1.join(s2, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -11,6 +11,7 @@ from ..io import load_table
 from ..operators.dedup import (
     BAND_SIZE,
     NUM_HASHES,
+    SHINGLE_DF_CAP,
     SHINGLE_N,
     SIMHASH_BITS,
     minhash_near_dup,
@@ -118,17 +119,22 @@ def simhash_q(spark, sf_dir):
 
 def _ngram_jaccard_oracle() -> str:
     """Candidate generation by shared shingle (no LSH): any pair with
-    >=1 common 3-gram gets an exact Jaccard; threshold keeps output
-    small."""
+    >=1 common non-boilerplate 3-gram gets an exact Jaccard. The
+    document-frequency cap mirrors operators/dedup.py::
+    ngram_jaccard_all_pairs — capped vocabulary on both engines."""
     return f"""
 WITH toks AS (
     SELECT doc_id, {_TOKS} AS t FROM documents
-), sh AS (
+), sh0 AS (
     SELECT DISTINCT doc_id,
            unnest(list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
                   i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}), ' '))) AS shingle
     FROM toks
     WHERE len(t) >= {SHINGLE_N}
+), keep AS (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+), sh AS (
+    SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
@@ -148,33 +154,12 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.05
 @register("ngram_jaccard_pairs", oracle=_ngram_jaccard_oracle())
 def ngram_jaccard_pairs(spark, sf_dir):
     """ext_dedup_near (exact variant): all-pairs n-gram Jaccard with
-    shared-shingle blocking — every overlapping pair, not just LSH band
-    collisions. Scale note: the shingle self-join's group sizes are
-    bounded by shingle frequency; a hot shingle (boilerplate) would
-    need a frequency cap, the text analog of a skewed join key."""
-    from pyspark.sql import functions as F
+    shared-shingle blocking and a shingle document-frequency cap — the
+    skew guard that keeps the self-join's per-key group size bounded at
+    100 TB (see operators/dedup.py::ngram_jaccard_all_pairs)."""
+    from ..operators.dedup import ngram_jaccard_all_pairs
 
-    from ..operators.dedup import shingle_table
-
-    sh = shingle_table(load_table(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        s1.join(s2, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .where(jac >= 0.05)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return ngram_jaccard_all_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # keep the generated-SQL helper importable for tests

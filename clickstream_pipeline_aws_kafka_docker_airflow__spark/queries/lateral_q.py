@@ -33,9 +33,15 @@ WHERE rn <= {TOP_TOKENS_K}
 )
 def top_tokens(spark, sf_dir):
     """Lateral explode -> global top-k: corpus-wide token frequencies.
-    Scale note: the aggregate runs distributed; only the (tiny)
-    aggregated table passes through the single-partition ranking window
-    — never rank raw rows globally."""
+
+    Scale shape: ``orderBy(...).limit(K)`` compiles to
+    TakeOrderedAndProject — per-partition top-K heaps merged at the
+    driver — so the full vocabulary (itself huge at 100 TB) is never
+    globally sorted and never funneled through one WindowExec
+    partition. Ranks are then assigned on the K survivors WITHOUT a
+    window: rn = 1 + count of survivors strictly ahead in the sort
+    order, via a K x K broadcast self-join — no Window node anywhere in
+    the plan, so nothing ever moves 'all data to a single partition'."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(
@@ -45,10 +51,15 @@ def top_tokens(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("token")).limit(TOP_TOKENS_K)
+    other = topk.select(F.col("n").alias("n2"), F.col("token").alias("token2"))
+    ahead = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("token2") < F.col("token"))
+    )
     return (
-        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rn") <= TOP_TOKENS_K)
+        topk.join(F.broadcast(other))
+        .groupBy("token", "n")
+        .agg((F.sum(ahead.cast("int")) + 1).cast("bigint").alias("rn"))
     )
 
 

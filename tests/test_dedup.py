@@ -112,3 +112,33 @@ def test_ivf_recall_on_clusters(spark):
     # with tight clusters, every retrieved neighbor shares the query's
     # cluster (same id residue)
     assert all(nid % 4 == qid % 4 for qid, nid in got), got
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by more docs than SHINGLE_DF_CAP
+    must be dropped before the self-join: no quadratic candidate group,
+    and pairs only arise from genuinely shared rare shingles."""
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        ngram_jaccard_all_pairs,
+    )
+
+    n_docs = SHINGLE_DF_CAP + 10  # boilerplate shingle exceeds the cap
+    boiler = "click here to unsubscribe now"
+    rows = [(i, f"{boiler} unique{i} filler{i} token{i} tail{i}") for i in range(n_docs)]
+    # one true near-dup pair sharing rare content
+    rows += [(1000, "alpha beta gamma delta epsilon zeta"),
+             (1001, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = ngram_jaccard_all_pairs(docs, threshold=0.05)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # without the cap every boilerplate pair would appear: ~n_docs^2/2
+    assert (1000, 1001) in got
+    assert all(a >= 1000 for a, _ in got), got  # no boilerplate-only pairs
+
+    # sanity: with a huge cap the boilerplate DOES pair everything
+    uncapped = ngram_jaccard_all_pairs(docs, threshold=0.05, df_cap=10**6)
+    assert uncapped.where(F.col("id_a") < 1000).count() > 1000

@@ -69,3 +69,14 @@ def test_topn_window_group_limit(spark):
     # rank<=k filters push a per-partition group limit below the shuffle
     f = plan_facts(_Q["topn_parts_per_brand"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in f.text
+
+
+def test_top_tokens_take_ordered_not_global_window(spark):
+    """top_tokens must rank via per-partition top-K merge
+    (TakeOrderedAndProject), never a global-sort window over the whole
+    vocabulary; the residual ranking window sees only K rows and has an
+    explicit partition spec."""
+    df = _Q["top_tokens"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan  # rank via K x K join, no window
