@@ -25,43 +25,11 @@ GEN_N = 10_000
 GEN_START = "2025-09-01"
 GEN_START_US = 1_756_684_800_000_000  # 2025-09-01T00:00:00Z
 GEN_DAYS = 7
-_T0, _T1, _T2 = G.TYPE_THRESHOLDS
-_PAGES_SQL = "[" + ", ".join(f"'{p}'" for p in G.PAGES) + "]"
-_REFS_SQL = "[" + ", ".join(f"'{r}'" for r in G.REFERRERS) + "]"
 
 
 @register(
     "gen_synthetic_events",
-    oracle=f"""
-WITH base AS (SELECT CAST(i AS BIGINT) AS id FROM range(0, {GEN_N}) t(i)),
-d AS (
-    SELECT id,
-           {G.det_draw_duckdb_sql("type", "id")} AS d_type,
-           {G.det_draw_duckdb_sql("user", "id")} AS d_user,
-           {G.det_draw_duckdb_sql("sku", "id")} AS d_sku,
-           {G.det_draw_duckdb_sql("page", "id")} AS d_page,
-           {G.det_draw_duckdb_sql("ref", "id")} AS d_ref,
-           {G.det_draw_duckdb_sql("price", "id")} AS d_price
-    FROM base
-)
-SELECT strftime(make_timestamp({GEN_START_US} + id * {G.step_micros(GEN_N, GEN_DAYS)}),
-                '%Y-%m-%dT%H:%M:%S.%fZ') AS event_ts,
-       'u_' || CAST(((d_user * {G.N_USERS}) >> {G.DRAW_BITS}) + 1 AS VARCHAR) AS user_id,
-       {G.det_uuid_duckdb_sql("id")} AS session_id,
-       CASE WHEN d_type < {_T0} THEN 'page_view'
-            WHEN d_type < {_T1} THEN 'add_to_cart'
-            WHEN d_type < {_T2} THEN 'checkout'
-            ELSE 'purchase' END AS event_type,
-       list_extract({_PAGES_SQL}, CAST((d_page * {len(G.PAGES)}) >> {G.DRAW_BITS} AS INT) + 1) AS page,
-       'sku_' || CAST(((d_sku * {G.N_SKUS}) >> {G.DRAW_BITS}) + 1 AS VARCHAR) AS product_id,
-       CASE WHEN d_type >= {_T2}
-            THEN (500 + ((d_price * {G.PRICE_CENT_SPAN}) >> {G.DRAW_BITS})) / CAST(100 AS DOUBLE)
-       END AS price,
-       'USD' AS currency,
-       list_extract({_REFS_SQL}, CAST((d_ref * {len(G.REFERRERS)}) >> {G.DRAW_BITS} AS INT) + 1) AS referrer,
-       '{G.USER_AGENT}' AS user_agent
-FROM d
-""",
+    oracle=G.gen_events_oracle_sql(GEN_N, GEN_START_US, GEN_DAYS),
 )
 def gen_synthetic_events(spark, sf_dir):
     """gen_synthetic_events (produce_events.py:23-74): deterministic

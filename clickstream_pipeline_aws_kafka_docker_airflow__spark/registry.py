@@ -60,6 +60,7 @@ def _load_all() -> None:
         dedup_q,
         events_q,
         groupsets_q,
+        kafka_q,
         kpis_q,
         lateral_q,
         misc_q,

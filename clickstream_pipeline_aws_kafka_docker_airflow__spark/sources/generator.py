@@ -232,6 +232,45 @@ def generate_events_batch_deterministic(
     )
 
 
+def gen_events_oracle_sql(n_events: int, start_us: int, days: int) -> str:
+    """DuckDB twin of :func:`generate_events_batch_deterministic` — the
+    full event projection as one SELECT (no trailing semicolon), shared
+    by the generator oracle and the Kafka round-trip oracle."""
+    t0, t1, t2 = TYPE_THRESHOLDS
+    pages = "[" + ", ".join(f"'{p}'" for p in PAGES) + "]"
+    refs = "[" + ", ".join(f"'{r}'" for r in REFERRERS) + "]"
+    return f"""
+WITH base AS (SELECT CAST(i AS BIGINT) AS id FROM range(0, {n_events}) t(i)),
+d AS (
+    SELECT id,
+           {det_draw_duckdb_sql("type", "id")} AS d_type,
+           {det_draw_duckdb_sql("user", "id")} AS d_user,
+           {det_draw_duckdb_sql("sku", "id")} AS d_sku,
+           {det_draw_duckdb_sql("page", "id")} AS d_page,
+           {det_draw_duckdb_sql("ref", "id")} AS d_ref,
+           {det_draw_duckdb_sql("price", "id")} AS d_price
+    FROM base
+)
+SELECT strftime(make_timestamp({start_us} + id * {step_micros(n_events, days)}),
+                '%Y-%m-%dT%H:%M:%S.%fZ') AS event_ts,
+       'u_' || CAST(((d_user * {N_USERS}) >> {DRAW_BITS}) + 1 AS VARCHAR) AS user_id,
+       {det_uuid_duckdb_sql("id")} AS session_id,
+       CASE WHEN d_type < {t0} THEN '{EVENT_TYPES[0]}'
+            WHEN d_type < {t1} THEN '{EVENT_TYPES[1]}'
+            WHEN d_type < {t2} THEN '{EVENT_TYPES[2]}'
+            ELSE '{EVENT_TYPES[3]}' END AS event_type,
+       list_extract({pages}, CAST((d_page * {len(PAGES)}) >> {DRAW_BITS} AS INT) + 1) AS page,
+       'sku_' || CAST(((d_sku * {N_SKUS}) >> {DRAW_BITS}) + 1 AS VARCHAR) AS product_id,
+       CASE WHEN d_type >= {t2}
+            THEN (500 + ((d_price * {PRICE_CENT_SPAN}) >> {DRAW_BITS})) / CAST(100 AS DOUBLE)
+       END AS price,
+       'USD' AS currency,
+       list_extract({refs}, CAST((d_ref * {len(REFERRERS)}) >> {DRAW_BITS} AS INT) + 1) AS referrer,
+       '{USER_AGENT}' AS user_agent
+FROM d
+"""
+
+
 def generate_events_stream(
     spark: SparkSession, rows_per_second: int = 20, num_partitions: int = 1
 ) -> DataFrame:

@@ -59,10 +59,19 @@ def read_kafka_batch(spark: SparkSession, bootstrap_servers: str, **kw) -> DataF
     return reader.load()
 
 
-def to_kafka_payload(df: DataFrame) -> DataFrame:
+def to_kafka_payload(df: DataFrame, keep_null_fields: bool = True) -> DataFrame:
     """Serialize all columns to one JSON object per message
-    (produce_events.py:82): ``value = to_json(struct(*))``."""
-    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    (produce_events.py:82): ``value = to_json(struct(*))``.
+
+    ``keep_null_fields`` matches the reference payload shape exactly:
+    ``json.dumps`` emits ``"price": null`` on non-purchases
+    (produce_events.py:34,41), while Spark's ``to_json`` default DROPS
+    null fields — a consumer asserting all 10 keys would break on the
+    default. Field order follows the DataFrame columns, which mirror
+    the producer's dict insertion order (schemas.CLICKSTREAM_EVENT_RAW).
+    """
+    opts = {"ignoreNullFields": "false"} if keep_null_fields else {}
+    return df.select(F.to_json(F.struct(*df.columns), opts).alias("value"))
 
 
 def write_kafka_stream(
