@@ -169,13 +169,18 @@ def ngram_jaccard_all_pairs(
     makes them frequent).
     """
     sh = shingle_table(docs, n)
-    keep = (
+    # anti-join against the HOT list: shingles over the cap are few by
+    # construction (the cap exists because they are pathological), so
+    # the exclusion broadcasts and the shingle table never shuffles for
+    # the filter — joining the keep-list instead would shuffle the
+    # whole vocabulary
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= df_cap)
+        .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    shk = sh.join(keep, "shingle")
+    shk = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = shk.select(F.col("doc_id").alias("id_a"), "shingle")
     s2 = shk.select(F.col("doc_id").alias("id_b"), "shingle")

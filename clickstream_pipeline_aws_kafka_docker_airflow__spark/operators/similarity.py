@@ -25,9 +25,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.vectors import dot
 
-ANN_BITS = 8
+# Recall/cost dial (sign-LSH): P(neighbor at angle theta shares one
+# table's bucket) = (1 - theta/pi)^ANN_BITS; OR over ANN_TABLES tables
+# amplifies recall, bucket size ~ corpus/2^ANN_BITS bounds cost. On the
+# driver's UNCLUSTERED embeddings (top-5 sims ~0.3) 6 bits x 8 tables
+# predicts recall ~0.35 (measured in tests/test_ann_recall.py); fewer
+# bits / more tables buys recall linearly in candidate work.
+ANN_BITS = 6
 ANN_DIM = 64
 ANN_SEED = 7
+ANN_TABLES = 8  # OR-amplification: candidate if SAME bucket in ANY table
 
 
 @lru_cache(maxsize=None)
@@ -68,26 +75,27 @@ def bucket_sql(emb_sql: str = "CAST(embedding AS DOUBLE[])", nbits: int = ANN_BI
 
 IVF_NCENTROIDS = 16
 IVF_NPROBE = 2
+IVF_KMEANS_ITERS = 2
+
+# Truncated 6-dp per-dimension centroid mean in exact arithmetic:
+# addends -> DECIMAL(24,8) (deterministic per-value rounding), exact
+# decimal SUM -> scaled BIGINT, integer division. Cross-engine
+# bit-identical centroids are what keep the refined-IVF oracle green —
+# a plain AVG(double) mean would drift by an ulp between engines and
+# flip cell assignments. (Same construction as scalars.dec_avg_trunc4,
+# at 6 dp.)
+MEAN_TRUNC6_SQL = (
+    "(CAST(SUM(CAST(x AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
+    " div (COUNT(x) * 100)) / CAST(1000000 AS DOUBLE)"
+)
 
 
-def ivf_assignments(emb: DataFrame, n_centroids: int = IVF_NCENTROIDS) -> DataFrame:
-    """Coarse quantizer: nearest-centroid assignment per vector.
-
-    Centroids are the first ``n_centroids`` vectors themselves (sampled
-    training points — the deterministic flavor of IVF training; a
-    k-means refinement would drop in here without changing the search
-    path). Distance ranking uses squared L2 expanded as
-    ||v||^2 - 2 v.c + ||c||^2; ties break on centroid id.
-
-    Returns (vec_id, centroid_id, crank) where crank=1 is the home
-    cell, crank<=nprobe are the probe cells.
-    """
+def _assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid ranking per vector: squared L2 expanded as
+    ||v||^2 - 2 v.c + ||c||^2, ties on centroid id. Returns
+    (vec_id, centroid_id, crank); crank=1 is the home cell."""
     from pyspark.sql.window import Window
 
-    cent = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cvec"),
-    )
     pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
     d2 = (
         dot("embedding", "embedding")
@@ -101,23 +109,108 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = IVF_NCENTROIDS) -> DataFr
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = IVF_NCENTROIDS,
+    n_iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """IVF training: deterministic Lloyd refinement of sampled seeds.
+
+    Init = the first ``n_centroids`` vectors (the sampled-training-point
+    quantizer); each of the FIXED ``n_iters`` iterations reassigns every
+    vector to its nearest centroid and recomputes per-dimension means in
+    exact truncated-decimal arithmetic (MEAN_TRUNC6_SQL). Fixed
+    iteration count + exact means + id tie-breaks = the whole training
+    is reproducible and has a DuckDB oracle twin.
+
+    The per-iteration ``collect()`` moves only ``n_centroids x dim``
+    doubles (16 x 64 here) — centroid state is tiny by construction;
+    the corpus-side assignment and mean reduction stay distributed. At
+    100 TB that is still the right shape: k-means-on-Spark keeps
+    centroids as broadcast state and streams the corpus.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # each Lloyd iteration is one action over the training vectors; the
+    # cache avoids re-scanning the source per iteration (training state
+    # itself — n_centroids x dim — lives at the driver). At 100 TB the
+    # quantizer trains on a SAMPLE once and is persisted/reused across
+    # queries; retraining per query here is a harness artifact.
+    base = base.persist()
+    try:
+        seeds = base.where(F.col("vec_id") < n_centroids).collect()
+        cents = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+
+        def _cent_df(cs):
+            return spark.createDataFrame(
+                [(cid, coords) for cid, coords in cs],
+                "centroid_id bigint, cvec array<double>",
+            )
+
+        for _ in range(n_iters):
+            assign = _assign_to_centroids(
+                base.select("vec_id", F.col("v").alias("embedding")),
+                _cent_df(cents),
+            ).where(F.col("crank") == 1)
+            means = (
+                base.join(assign.select("vec_id", "centroid_id"), "vec_id")
+                .select("centroid_id", F.posexplode("v").alias("pos", "x"))
+                .groupBy("centroid_id", "pos")
+                .agg(F.expr(MEAN_TRUNC6_SQL).alias("coord"))
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means.collect():
+                by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
+            # empty clusters simply drop out (same on both engines — the
+            # assignment that emptied them is identical)
+            cents = sorted(
+                (cid, [coords[p] for p in sorted(coords)])
+                for cid, coords in by_cid.items()
+            )
+        return _cent_df(cents)
+    finally:
+        base.unpersist()
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = IVF_NCENTROIDS,
+    n_iters: int = IVF_KMEANS_ITERS,
+) -> DataFrame:
+    """Coarse quantizer: nearest-centroid assignment per vector against
+    the (optionally k-means-refined) centroid set."""
+    if n_iters > 0:
+        cent = kmeans_centroids(emb, n_centroids, n_iters)
+    else:
+        cent = emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    return _assign_to_centroids(emb, cent)
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int,
     k: int,
     n_centroids: int = IVF_NCENTROIDS,
     nprobe: int = IVF_NPROBE,
+    n_iters: int = IVF_KMEANS_ITERS,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their home cell (crank=1);
     each query probes its ``nprobe`` nearest cells and ranks exact
     cosine only within them. Scale shape: the shuffle key is the cell
     id, per-cell work is (cell size x nprobe queries), recall tunes
-    with nprobe — the inverted-file trade."""
+    with nprobe — the inverted-file trade. Cells come from the
+    deterministic k-means quantizer (``n_iters=0`` falls back to raw
+    sampled seeds)."""
     from pyspark.sql.window import Window
 
     from ..functions.vectors import norm
 
-    assign = ivf_assignments(emb, n_centroids)
+    assign = ivf_assignments(emb, n_centroids, n_iters)
     base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
     corpus = base.join(
         assign.where(F.col("crank") == 1).select("vec_id", "centroid_id"),
@@ -267,32 +360,66 @@ def ann_topk_bucketed(
     n_queries: int,
     k: int,
     nbits: int = ANN_BITS,
+    n_tables: int = ANN_TABLES,
 ) -> DataFrame:
     """Within-bucket top-k cosine for query vectors (vec_id < n_queries).
 
-    Join is on the bucket id, so the pairwise work is (bucket size)^2,
-    not corpus^2. sim is rounded to 4 dp BEFORE ranking (deterministic
-    cross-engine order; ties break on neighbor id).
+    ``n_tables`` independent hash tables (hyperplane seeds
+    ``ANN_SEED + t``) with OR-amplification: a corpus vector is a
+    candidate if it shares the query's bucket in ANY table — the
+    standard recall lever for sign-LSH (one ``nbits``-bit table alone
+    has P(candidate) = ((1 - theta/pi)^nbits), near zero for the
+    moderate-similarity neighbors that dominate real top-k sets).
+
+    Scale shape: the bucket join carries only ids (never vectors), the
+    candidate set is de-duplicated before vectors are fetched, so work
+    is sum of bucket sizes across tables, still never corpus^2. sim is
+    rounded to 4 dp BEFORE ranking (deterministic cross-engine order;
+    ties break on neighbor id).
     """
-    from ..functions.vectors import norm
     from pyspark.sql.window import Window
 
-    base = emb.select(
-        "vec_id", "embedding", norm("embedding").alias("nrm"),
-        bucket_expr("embedding", nbits).alias("bucket"),
+    from ..functions.vectors import norm
+
+    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    tables = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket_expr("embedding", nbits, seed=ANN_SEED + t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    bands = emb.select("vec_id", tables).select("vec_id", "tb.tbl", "tb.bucket")
+    qb = bands.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
     )
-    q = base.where(F.col("vec_id") < n_queries).select(
+    cand = (
+        bands.join(F.broadcast(qb), ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    qv = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
+        F.col("embedding").alias("qvec"),
         F.col("nrm").alias("qn"),
-        "bucket",
     )
-    pairs = base.join(F.broadcast(q), "bucket").where(
-        F.col("vec_id") != F.col("qid")
-    ).select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        F.round(dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4).alias("sim"),
+    pairs = (
+        base.join(cand, F.col("vec_id") == F.col("nid"))
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (

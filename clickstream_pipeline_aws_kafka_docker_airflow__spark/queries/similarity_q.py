@@ -3,7 +3,14 @@
 from __future__ import annotations
 
 from ..io import load_table
-from ..operators.similarity import ANN_BITS, ann_topk_bucketed, bucket_sql
+from ..operators.similarity import (
+    ANN_BITS,
+    IVF_KMEANS_ITERS,
+    IVF_NCENTROIDS,
+    IVF_NPROBE,
+    ann_topk_bucketed,
+    bucket_sql,
+)
 from ..registry import register
 
 ANN_K = 5
@@ -13,20 +20,33 @@ _E = "CAST(embedding AS DOUBLE[])"
 
 
 def _ann_oracle() -> str:
+    from ..operators.similarity import ANN_SEED, ANN_TABLES
+
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"({bucket_sql(_E, ANN_BITS, seed=ANN_SEED + t)}) AS bucket FROM embeddings"
+        for t in range(ANN_TABLES)
+    )
     return f"""
 WITH e AS (
     SELECT vec_id, {_E} AS v,
-           sqrt(list_dot_product({_E}, {_E})) AS nrm,
-           ({bucket_sql(_E, ANN_BITS)}) AS bucket
+           sqrt(list_dot_product({_E}, {_E})) AS nrm
     FROM embeddings
 ),
-q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM e
-      WHERE vec_id < {ANN_NQUERIES}),
+b AS (
+    {band_rows}
+),
+cand AS (
+    SELECT DISTINCT qb.vec_id AS qid, b.vec_id AS nid
+    FROM b JOIN b qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+    WHERE qb.vec_id < {ANN_NQUERIES} AND b.vec_id <> qb.vec_id
+),
 p AS (
-    SELECT qid, e.vec_id AS nid,
-           ROUND(list_dot_product(qv, v) / (qn * nrm), 4) AS sim
-    FROM q JOIN e USING (bucket)
-    WHERE e.vec_id <> qid
+    SELECT qid, nid,
+           ROUND(list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm), 4) AS sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = qid
+    JOIN e en ON en.vec_id = nid
 )
 SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
 FROM (SELECT qid, nid, sim,
@@ -38,8 +58,9 @@ WHERE rn <= {ANN_K}
 
 @register("ann_topk_lsh", oracle=_ann_oracle())
 def ann_topk_lsh(spark, sf_dir):
-    """ext_sim_topk scale path: random-hyperplane LSH buckets, exact
-    cosine only within the query's bucket."""
+    """ext_sim_topk scale path: random-hyperplane sign-LSH with
+    OR-amplified multi-table buckets (candidate = same bucket in any of
+    the tables), exact cosine only on the de-duplicated candidates."""
     return ann_topk_bucketed(
         load_table(spark, sf_dir, "embeddings"), ANN_NQUERIES, ANN_K
     )
@@ -66,21 +87,54 @@ WHERE rn <= 5
 """
 
 
-_IVF_ORACLE = f"""
+def _ivf_refined_oracle(n_centroids: int, n_iters: int, nprobe: int) -> str:
+    """DuckDB twin of the k-means-refined IVF search: iterations are
+    unrolled as WITH stages; centroid means use the identical exact
+    truncated-decimal construction (operators/similarity.py::
+    MEAN_TRUNC6_SQL), so centroids — and therefore cells, candidates,
+    and top-k — are bit-identical across engines."""
+    from ..operators.similarity import ANN_DIM
+
+    assign_over = (
+        "SELECT e.vec_id, centroid_id,\n"
+        "           ROW_NUMBER() OVER (\n"
+        "               PARTITION BY e.vec_id\n"
+        "               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cvec)\n"
+        "                        + list_dot_product(cvec, cvec),\n"
+        "                        centroid_id) AS crank\n"
+        "    FROM e CROSS JOIN {cent}"
+    )
+    sql = f"""
 WITH e AS (
     SELECT vec_id, {_E} AS v,
            sqrt(list_dot_product({_E}, {_E})) AS nrm
     FROM embeddings
 ),
-cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 16),
+cent0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+          WHERE vec_id < {n_centroids})"""
+    prev = "cent0"
+    for i in range(1, n_iters + 1):
+        sql += f""",
+a{i} AS (
+    {assign_over.format(cent=prev)}
+),
+cent{i} AS (
+    SELECT centroid_id, list(coord ORDER BY dim) AS cvec
+    FROM (
+        SELECT a.centroid_id, r.dim,
+               (CAST(SUM(CAST(v[dim] AS DECIMAL(24,8))) * 100000000 AS BIGINT)
+                // (COUNT(*) * 100)) / CAST(1000000 AS DOUBLE) AS coord
+        FROM e
+        JOIN a{i} a ON a.vec_id = e.vec_id AND a.crank = 1
+        CROSS JOIN range(1, {ANN_DIM + 1}) r(dim)
+        GROUP BY a.centroid_id, r.dim
+    )
+    GROUP BY centroid_id
+)"""
+        prev = f"cent{i}"
+    sql += f""",
 assign AS (
-    SELECT e.vec_id, centroid_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cvec)
-                        + list_dot_product(cvec, cvec),
-                        centroid_id) AS crank
-    FROM e CROSS JOIN cent
+    {assign_over.format(cent=prev)}
 ),
 corpus AS (
     SELECT e.vec_id, v, nrm, centroid_id
@@ -89,7 +143,7 @@ corpus AS (
 probes AS (
     SELECT a.vec_id AS qid, a.centroid_id, e.v AS qv, e.nrm AS qn
     FROM assign a JOIN e ON e.vec_id = a.vec_id
-    WHERE a.vec_id < {ANN_NQUERIES} AND a.crank <= 2
+    WHERE a.vec_id < {ANN_NQUERIES} AND a.crank <= {nprobe}
 ),
 cands AS (
     SELECT p.qid, c.vec_id AS nid,
@@ -103,13 +157,21 @@ FROM (SELECT qid, nid, sim,
       FROM cands)
 WHERE rn <= {ANN_K}
 """
+    return sql
 
 
-@register("ann_topk_ivf", oracle=_IVF_ORACLE)
+@register(
+    "ann_topk_ivf",
+    oracle=_ivf_refined_oracle(IVF_NCENTROIDS, IVF_KMEANS_ITERS, IVF_NPROBE),
+)
 def ann_topk_ivf(spark, sf_dir):
-    """ext_sim_topk IVF path: coarse quantizer (16 sampled centroids) +
-    nprobe=2 cell search — the inverted-file alternative to sign-LSH;
-    recall/cost tunes with nprobe instead of nbits."""
+    """ext_sim_topk IVF path: deterministic k-means quantizer (16 seeds
+    + 2 exact-arithmetic Lloyd iterations) + nprobe=2 cell search — the
+    inverted-file alternative to sign-LSH; recall/cost tunes with
+    nprobe instead of nbits. Refinement re-centers cells on the data
+    (balanced cells = bounded per-cell work at scale) at zero search
+    cost; recall vs brute force is reported with stated floors in
+    tests/test_ann_recall.py."""
     from ..operators.similarity import ivf_topk
 
     return ivf_topk(
