@@ -55,6 +55,49 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Object-store (S3/s3a) conf surface — the cluster-deployment twin of
+# the reference's boto3 writes (SSE-AES256 per object,
+# ingest_clickstream_to_s3.py:74-79; daily_kpis.py:169-173). Not applied
+# in the sandbox (no object store, no hadoop-aws jars); on a real
+# cluster pass these at session build time together with
+# --packages org.apache.hadoop:hadoop-aws.
+#
+# Committer note for 100 TB: the default FileOutputCommitter
+# (rename-based) is both slow and UNSAFE on S3 — rename is a COPY per
+# object and task-commit visibility is not atomic. The S3A "magic"
+# committer writes data as incomplete multipart uploads and completes
+# them only at job commit: zero-rename, atomic-enough task commits, and
+# job-commit cost proportional to file COUNT, not bytes.
+OBJECT_STORE_CONFS: dict[str, str] = {
+    # SSE parity with the reference's ExtraArgs={"ServerSideEncryption": "AES256"}
+    "spark.hadoop.fs.s3a.encryption.algorithm": "AES256",
+    # zero-rename magic committer
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    # listing/scan behavior sized for hive-partitioned raw zones
+    "spark.hadoop.fs.s3a.connection.maximum": "96",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+}
+
+
+def object_store_builder_confs(
+    builder, confs: dict[str, str] | None = None
+):
+    """Apply :data:`OBJECT_STORE_CONFS` to a SparkSession.Builder.
+
+    Builder-time only: committer classes and fs.* settings are fixed at
+    session start (unlike the runtime SQLConfs in ENGINE_CONFS)."""
+    for k, v in (confs or OBJECT_STORE_CONFS).items():
+        builder = builder.config(k, v)
+    return builder
+
+
 @contextlib.contextmanager
 def temp_confs(spark: SparkSession, confs: dict[str, str]):
     """Set SQLConfs for the duration of a block, then restore the prior

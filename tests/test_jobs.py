@@ -137,3 +137,22 @@ def test_run_daily_kpis_no_input_vs_error(spark, tmp_path):
             run_daily_kpis(spark, str(tmp_path), str(tmp_path / "kpis"), "2025-09-01")
     finally:
         jobs.read_jsonl_drop_malformed = orig
+
+
+def test_object_store_conf_surface():
+    """The s3a block carries SSE parity with the reference (AES256,
+    ingest_clickstream_to_s3.py:74-79) and a zero-rename committer —
+    builder-time confs, asserted without starting a session."""
+    from pyspark.sql import SparkSession
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.session import (
+        OBJECT_STORE_CONFS,
+        object_store_builder_confs,
+    )
+
+    assert OBJECT_STORE_CONFS["spark.hadoop.fs.s3a.encryption.algorithm"] == "AES256"
+    assert OBJECT_STORE_CONFS["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    b = object_store_builder_confs(SparkSession.builder)
+    opts = b._options
+    for k, v in OBJECT_STORE_CONFS.items():
+        assert opts.get(k) == v
