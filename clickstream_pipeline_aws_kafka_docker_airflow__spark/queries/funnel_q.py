@@ -1,0 +1,122 @@
+"""Behavioral analytics over the clickstream: ordered conversion
+funnels and first-touch retention cohorts.
+
+These extend the reference's per-day KPI counts (daily_kpis.py:118-140)
+to the cross-day questions a product team asks next: "of the users who
+viewed, how many clicked *after* viewing, then purchased *after*
+clicking?" and "of the users first seen on day D, how many came back on
+day D+n?". Neither exists in the reference; both are derivable from the
+same events table, so they register with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalars import norm_event_type
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE lower(coalesce(event_type,'')) = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE lower(coalesce(e.event_type,'')) = 'click' GROUP BY 1
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE lower(coalesce(e.event_type,'')) = 'purchase' GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'view_click', COUNT(*) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'view_click_purchase', COUNT(*) FROM p
+""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Strictly-ordered 3-step funnel (view -> click -> purchase): each
+    step counts users whose step event happened AFTER their previous
+    step's first occurrence, not merely users who ever did both.
+
+    Scale: every aggregate and join keys on ``user_id``, so Catalyst
+    reuses one hash partitioning across the whole chain — the per-step
+    min-timestamp frames are already co-partitioned with the events
+    they filter. No broadcast: at 100 TB the per-step user sets are
+    themselves fact-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    et = norm_event_type("event_type")
+
+    v = e.where(et == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.where(et == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(et == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _row(df, step, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+
+    return (
+        _row(v, 1, "view")
+        .unionAll(_row(c, 2, "view_click"))
+        .unionAll(_row(p, 3, "view_click_purchase"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_dt
+    FROM events GROUP BY 1
+)
+SELECT f.cohort_dt AS cohort_dt,
+       CAST(date_diff('day', f.cohort_dt, CAST(e.ts AS DATE)) AS BIGINT) AS day_n,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark, sf_dir):
+    """First-touch retention triangle: cohort = a user's first active
+    date; each (cohort, day-offset) cell counts distinct users active
+    that many days after first touch.
+
+    Scale: the first-touch frame and the activity join both key on
+    ``user_id`` (one exchange, reused); the final rollup's key space is
+    tiny (days x offsets), so its shuffle is negligible and AQE
+    coalesces it. The distinct-count is per-cell exact; swap in the
+    HLL variant from kpis.py if 2%% error is acceptable at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_dt"))
+    return (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .join(f, "user_id")
+        .groupBy(
+            "cohort_dt",
+            F.datediff("d", "cohort_dt").cast("bigint").alias("day_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

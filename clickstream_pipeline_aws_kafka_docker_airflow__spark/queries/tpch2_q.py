@@ -1,0 +1,318 @@
+"""Second TPC-H wave (ext_relational): plan shapes not covered by
+relational_q/advanced_q — pure scan-agg (Q6), LIKE-filtered 5-way join
+with year rollup (Q9 shape), returned-item join rollup (Q10),
+conditional-aggregate ratio (Q14), disjunctive join predicate (Q19
+shape), and scalar-subquery threshold + windowed anti-join (Q22 shape).
+
+The driver's star schema lacks ``partsupp`` and lineitem's
+commit/receipt/shipmode columns, so Q9/Q19/Q22 are adapted to the
+columns that exist (adaptation noted per query); the plan shape — which
+is what these exercise — is unchanged. Literals are chosen to be
+non-vacuous on the driver testdata (counts verified at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.scalars import dec_sum_round2
+from ..io import load_table
+from ..registry import register
+
+
+def _dec_sum2(x: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({x} AS DECIMAL(24,8))), 2) AS DOUBLE)"
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {_dec_sum2("l_extendedprice * l_discount")} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure filter + ungrouped aggregate — the canonical
+    pushdown benchmark. All three predicates reach the parquet scan
+    (shipdate min/max rowgroup skipping does the heavy lifting at
+    100 TB); no shuffle at all, partials combine in one reduce.
+    The discount band compares in integer cents on both engines so a
+    stored-double ulp can't flip membership.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc100 = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc100.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dec_sum_round2(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       {_dec_sum2("l." + _REV)} AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no ``partsupp`` in the driver schema,
+    so profit = discounted revenue rather than revenue minus supply
+    cost): LIKE-filtered part drives a 5-way join rolled up by supplier
+    nation and order year.
+
+    Scale: part (LIKE-filtered), supplier, and nation broadcast; the
+    only shuffle join is orders⋈lineitem on the order key. The
+    (nation, year) group key is tiny — AQE coalesces the final
+    exchange. The LIKE filter can't push to parquet as a range, but it
+    prunes the broadcast side before the join, which is what matters.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "part", "supplier", "orders", "nation")}
+    p = t["part"].where(F.col("p_name").like("%red%"))
+    return (
+        t["lineitem"]
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            dec_sum_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       {_dec_sum2("l." + _REV)} AS revenue,
+       c.c_acctbal AS c_acctbal, n.n_name AS n_name,
+       c.c_mktsegment AS c_mktsegment
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5, 6
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: lost-revenue-per-customer over one quarter of
+    returned items. (The spec's ORDER BY revenue LIMIT 20 is dropped:
+    2-dp revenue ties make a cross-engine top-20 nondeterministic; the
+    full grouped set is the checkable form and the plan shape is
+    identical up to the final TakeOrdered.)
+
+    Scale: customer + nation broadcast; orders (quarter-filtered,
+    pushdown) ⋈ lineitem (returnflag pushdown) shuffles on the order
+    key; the groupBy re-shuffles on custkey once.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            dec_sum_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+                "c_mktsegment")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT
+  {_dec_sum2(f"CASE WHEN p.p_type = 'PROMO' THEN l.{_REV} ELSE 0 END")}
+      AS promo_revenue,
+  {_dec_sum2("l." + _REV)} AS total_revenue,
+  ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.{_REV} ELSE 0 END
+                              AS DECIMAL(24,8))) AS DOUBLE)
+              / CAST(SUM(CAST(l.{_REV} AS DECIMAL(24,8))) AS DOUBLE),
+        2) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promotion revenue share for one month. The ratio is
+    computed from the two order-independent DECIMAL sums cast to
+    double — both engines divide bit-identical doubles, so the final
+    2-dp round is deterministic (unlike rounding an order-dependent
+    double sum).
+
+    Scale: part broadcasts; the month filter pushes to the lineitem
+    scan; ungrouped aggregate -> partials combine, no shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    promo_dec = F.sum(promo.cast("decimal(24,8)"))
+    total_dec = F.sum(rev.cast("decimal(24,8)"))
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(promo_dec, 2).cast("double").alias("promo_revenue"),
+            F.round(total_dec, 2).cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * promo_dec.cast("double") / total_dec.cast("double"),
+                2,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {_dec_sum2("l." + _REV)} AS revenue, COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 5 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 45)
+""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (adapted: no container/shipmode columns — the
+    brand/size/quantity disjunction carries the same plan challenge):
+    an OR-of-ANDs predicate straddling both join sides. Catalyst
+    extracts the common ``p_partkey = l_partkey`` equi-key and keeps
+    the disjunction as a post-join filter; the brand IN-set implied by
+    the OR branches prunes the broadcast side.
+
+    Scale: part broadcasts (already brand-filtered by the pushed-down
+    ``p_brand IN (...)`` Catalyst derives from the disjunction);
+    lineitem never shuffles.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = lambda brand, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & q.between(q0, q1)
+    )
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            branch("Brand#1", 1, 15, 1, 20)
+            | branch("Brand#13", 5, 25, 10, 30)
+            | branch("Brand#23", 10, 40, 20, 45)
+        )
+        .agg(
+            dec_sum_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_value",
+    oracle="""
+WITH s AS (
+    SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+           COUNT(*) AS cnt
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment AS c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(24,8))), 2) AS DOUBLE)
+           AS totacctbal
+FROM customer c, s
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * s.cnt > s.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def q22_dormant_value(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: no phone-prefix column, segment plays
+    the country-code role; "never ordered" is vacuous on the driver
+    data, so the anti-join is windowed to "no order since 2000" — the
+    churned-high-balance-customer question): scalar-subquery threshold
+    + NOT EXISTS + rollup.
+
+    The above-average test multiplies integer cents by the count on
+    both engines (``bal > sum/cnt`` as ``bal_cents*cnt > sum_cents``)
+    so no engine ever materializes a divided average a ulp off.
+
+    Scale: the threshold aggregate is one row — broadcast cross-join,
+    not a shuffle; the anti-join shuffles both sides on custkey (the
+    date filter pushes down and shrinks the orders side first).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        c.crossJoin(broadcast(stats))
+        .where(cents * F.col("cnt") > F.col("sum_cents"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum_round2("c_acctbal").alias("totacctbal"),
+        )
+    )

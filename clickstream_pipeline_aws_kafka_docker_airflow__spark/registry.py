@@ -59,6 +59,7 @@ def _load_all() -> None:
         advanced_q,
         dedup_q,
         events_q,
+        funnel_q,
         groupsets_q,
         kafka_q,
         kpis_q,
@@ -69,6 +70,7 @@ def _load_all() -> None:
         similarity_q,
         text_q,
         time_q,
+        tpch2_q,
         vectors_q,
         windows_q,
     )
