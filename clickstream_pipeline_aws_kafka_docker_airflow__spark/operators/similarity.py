@@ -90,23 +90,100 @@ MEAN_TRUNC6_SQL = (
 )
 
 
-def _assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid ranking per vector: squared L2 expanded as
-    ||v||^2 - 2 v.c + ||c||^2, ties on centroid id. Returns
-    (vec_id, centroid_id, crank); crank=1 is the home cell."""
-    from pyspark.sql.window import Window
+def _assign_to_centroids(
+    emb: DataFrame, cents: list[tuple[int, list[float]]], top: int
+) -> DataFrame:
+    """Nearest-centroid ranking per vector against LITERAL centroids:
+    squared L2 expanded as ||v||^2 - 2 v.c + ||c||^2, ties on centroid
+    id. Returns (vec_id, centroid_id, crank) for crank <= top; crank=1
+    is the home cell.
 
-    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
-    d2 = (
-        dot("embedding", "embedding")
-        - 2 * dot("embedding", "cvec")
-        + dot("cvec", "cvec")
+    Centroid state is tiny (n_centroids x dim doubles) so it inlines
+    into the plan as literals; ranking is a per-row ``array_sort`` over
+    the (d2, cid) structs — a pure projection. No crossJoin, no
+    shuffle, no window: at 100 TB the corpus streams through map tasks
+    and the quantizer rides inside the closure, which is the shape a
+    sort-free IVF assignment should have. ||c||^2 is folded at the
+    driver with the same sequential in-order float64 accumulation the
+    engines' fold expressions use, so d2 stays bit-identical to the
+    DuckDB oracle's ``list_dot_product`` spelling.
+    """
+    dvv = dot("embedding", "embedding")
+    entries = []
+    for cid, coords in cents:
+        cc = 0.0
+        for x in coords:
+            cc += x * x
+        # one array Literal per centroid (not 64 scalar nodes) keeps the
+        # plan tree small enough that Catalyst analysis stays O(cells)
+        carr = F.lit([float(x) for x in coords])
+        prods = F.zip_with(F.col("embedding"), carr, lambda a, b: a.cast("double") * b)
+        dvc = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        entries.append(
+            F.struct(
+                (dvv - 2 * dvc + F.lit(cc)).alias("d2"),
+                F.lit(cid).cast("bigint").alias("centroid_id"),
+            )
+        )
+    ranked = F.array_sort(F.array(*entries))
+    return emb.select(
+        "vec_id", F.posexplode(F.slice(ranked, 1, top)).alias("rk", "s")
+    ).select(
+        "vec_id",
+        F.col("s.centroid_id").alias("centroid_id"),
+        (F.col("rk") + 1).cast("bigint").alias("crank"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
-    return (
-        pairs.select("vec_id", "centroid_id", d2.alias("d2"))
-        .withColumn("crank", F.row_number().over(w).cast("bigint"))
+
+
+def kmeans_centroid_list(
+    emb: DataFrame,
+    n_centroids: int = IVF_NCENTROIDS,
+    n_iters: int = IVF_KMEANS_ITERS,
+) -> list[tuple[int, list[float]]]:
+    """IVF training: deterministic Lloyd refinement of sampled seeds.
+
+    Init = the first ``n_centroids`` vectors (the sampled-training-point
+    quantizer); each of the FIXED ``n_iters`` iterations reassigns every
+    vector to its nearest centroid (literal-centroid map-side ranking —
+    no shuffle) and recomputes per-dimension means in exact
+    truncated-decimal arithmetic (MEAN_TRUNC6_SQL). Fixed iteration
+    count + exact means + id tie-breaks = the whole training is
+    reproducible and has a DuckDB oracle twin.
+
+    The per-iteration ``collect()`` moves only ``n_centroids x dim``
+    doubles (16 x 64 here) — centroid state is tiny by construction;
+    the corpus-side mean reduction stays distributed. At 100 TB that is
+    still the right shape: k-means-on-Spark keeps centroids as
+    broadcast/literal state and streams the corpus; the quantizer
+    trains on a SAMPLE once and is persisted/reused across queries —
+    retraining per query here is a harness artifact.
+    """
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    seeds = base.where(F.col("vec_id") < n_centroids).collect()
+    cents = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+
+    for _ in range(n_iters):
+        assign = _assign_to_centroids(
+            base.select("vec_id", F.col("v").alias("embedding")), cents, top=1
+        )
+        means = (
+            base.join(assign.select("vec_id", "centroid_id"), "vec_id")
+            .select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.expr(MEAN_TRUNC6_SQL).alias("coord"))
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
+        # empty clusters simply drop out (same on both engines — the
+        # assignment that emptied them is identical)
+        cents = sorted(
+            (cid, [coords[p] for p in sorted(coords)])
+            for cid, coords in by_cid.items()
+        )
+    return cents
 
 
 def kmeans_centroids(
@@ -114,81 +191,33 @@ def kmeans_centroids(
     n_centroids: int = IVF_NCENTROIDS,
     n_iters: int = IVF_KMEANS_ITERS,
 ) -> DataFrame:
-    """IVF training: deterministic Lloyd refinement of sampled seeds.
-
-    Init = the first ``n_centroids`` vectors (the sampled-training-point
-    quantizer); each of the FIXED ``n_iters`` iterations reassigns every
-    vector to its nearest centroid and recomputes per-dimension means in
-    exact truncated-decimal arithmetic (MEAN_TRUNC6_SQL). Fixed
-    iteration count + exact means + id tie-breaks = the whole training
-    is reproducible and has a DuckDB oracle twin.
-
-    The per-iteration ``collect()`` moves only ``n_centroids x dim``
-    doubles (16 x 64 here) — centroid state is tiny by construction;
-    the corpus-side assignment and mean reduction stay distributed. At
-    100 TB that is still the right shape: k-means-on-Spark keeps
-    centroids as broadcast state and streams the corpus.
-    """
-    spark = emb.sparkSession
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """DataFrame view of :func:`kmeans_centroid_list` (API surface for
+    callers that join rather than inline)."""
+    return emb.sparkSession.createDataFrame(
+        kmeans_centroid_list(emb, n_centroids, n_iters),
+        "centroid_id bigint, cvec array<double>",
     )
-    # each Lloyd iteration is one action over the training vectors; the
-    # cache avoids re-scanning the source per iteration (training state
-    # itself — n_centroids x dim — lives at the driver). At 100 TB the
-    # quantizer trains on a SAMPLE once and is persisted/reused across
-    # queries; retraining per query here is a harness artifact.
-    base = base.persist()
-    try:
-        seeds = base.where(F.col("vec_id") < n_centroids).collect()
-        cents = sorted((r["vec_id"], list(r["v"])) for r in seeds)
-
-        def _cent_df(cs):
-            return spark.createDataFrame(
-                [(cid, coords) for cid, coords in cs],
-                "centroid_id bigint, cvec array<double>",
-            )
-
-        for _ in range(n_iters):
-            assign = _assign_to_centroids(
-                base.select("vec_id", F.col("v").alias("embedding")),
-                _cent_df(cents),
-            ).where(F.col("crank") == 1)
-            means = (
-                base.join(assign.select("vec_id", "centroid_id"), "vec_id")
-                .select("centroid_id", F.posexplode("v").alias("pos", "x"))
-                .groupBy("centroid_id", "pos")
-                .agg(F.expr(MEAN_TRUNC6_SQL).alias("coord"))
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in means.collect():
-                by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
-            # empty clusters simply drop out (same on both engines — the
-            # assignment that emptied them is identical)
-            cents = sorted(
-                (cid, [coords[p] for p in sorted(coords)])
-                for cid, coords in by_cid.items()
-            )
-        return _cent_df(cents)
-    finally:
-        base.unpersist()
 
 
 def ivf_assignments(
     emb: DataFrame,
     n_centroids: int = IVF_NCENTROIDS,
     n_iters: int = IVF_KMEANS_ITERS,
+    top: int | None = None,
 ) -> DataFrame:
-    """Coarse quantizer: nearest-centroid assignment per vector against
-    the (optionally k-means-refined) centroid set."""
+    """Coarse quantizer: nearest-centroid ranking per vector against
+    the (optionally k-means-refined) centroid set, limited to the
+    ``top`` nearest cells (default: full ranking)."""
     if n_iters > 0:
-        cent = kmeans_centroids(emb, n_centroids, n_iters)
+        cents = kmeans_centroid_list(emb, n_centroids, n_iters)
     else:
-        cent = emb.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cvec"),
+        cents = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") < n_centroids)
+            .select("vec_id", "embedding")
+            .collect()
         )
-    return _assign_to_centroids(emb, cent)
+    return _assign_to_centroids(emb, cents, top=top or len(cents))
 
 
 def ivf_topk(
@@ -205,28 +234,46 @@ def ivf_topk(
     id, per-cell work is (cell size x nprobe queries), recall tunes
     with nprobe — the inverted-file trade. Cells come from the
     deterministic k-means quantizer (``n_iters=0`` falls back to raw
-    sampled seeds)."""
+    sampled seeds).
+
+    The query-side probe assignments are collected at the driver — the
+    query set is tiny by definition (same justification as the query
+    matrix in :func:`topk_matmul_arrow`), and collecting them means the
+    centroid-distance expression is evaluated exactly once over the
+    corpus and once over the queries, never re-derived per plan branch.
+    """
     from pyspark.sql.window import Window
 
     from ..functions.vectors import norm
 
-    assign = ivf_assignments(emb, n_centroids, n_iters)
+    if n_iters > 0:
+        cents = kmeans_centroid_list(emb, n_centroids, n_iters)
+    else:
+        cents = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") < n_centroids)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
     corpus = base.join(
-        assign.where(F.col("crank") == 1).select("vec_id", "centroid_id"),
+        _assign_to_centroids(emb, cents, top=1).select("vec_id", "centroid_id"),
         "vec_id",
     )
-    probes = (
-        assign.where((F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe))
-        .select(F.col("vec_id").alias("qid"), "centroid_id")
-        .join(
-            base.select(
-                F.col("vec_id").alias("qid"),
-                F.col("embedding").alias("qv"),
-                F.col("nrm").alias("qn"),
-            ),
-            "qid",
-        )
+    probe_rows = _assign_to_centroids(
+        emb.where(F.col("vec_id") < n_queries), cents, top=max(nprobe, 1)
+    ).collect()
+    probe_df = emb.sparkSession.createDataFrame(
+        [(r["vec_id"], r["centroid_id"]) for r in probe_rows],
+        "qid bigint, centroid_id bigint",
+    )
+    probes = probe_df.join(
+        base.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        ),
+        "qid",
     )
     cands = corpus.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("qid")
