@@ -1,0 +1,77 @@
+"""Connected components over an edge list — the clustering step that
+turns pairwise near-duplicate hits (operators/dedup.py) into dedup
+clusters with one canonical representative each.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round a node takes the minimum label among itself
+and its neighbors; at fixpoint every node in a component carries the
+component's minimum id. The result is a pure function of the edge set
+(no ordering or partitioning sensitivity), which is what lets the
+driver check it against a DuckDB recursive-CTE transitive closure.
+
+Scale shape: each round is one join (edges ⋈ labels, both keyed on
+node id — Catalyst reuses the hash partitioning across rounds) plus a
+min-aggregate; rounds needed = component diameter. Near-dup clusters
+are short-diameter by construction (a dup cluster is a clique-ish blob,
+not a path), so 3-5 rounds close real corpora. For adversarial
+long-chain graphs the upgrade is pointer doubling (large-star /
+small-star, Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — same join primitive, O(log d) rounds; not needed
+for the dedup workload this serves.
+
+The per-round ``localCheckpoint`` truncates lineage (the iterated plan
+would otherwise double per round and swamp the optimizer); the label
+frame it materializes is one (id, label) pair per *node that appears in
+an edge* — at 100 TB that is the near-dup subgraph, orders of magnitude
+smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id reachable from ``id``.
+    Raises if the propagation hasn't converged after ``max_iters``
+    rounds (deterministic output is part of the contract — a truncated
+    run would silently mislabel long chains).
+    """
+    a = F.col(src).alias("a")
+    b = F.col(dst).alias("b")
+    sym = edges.select(a, b).unionAll(edges.select(b.alias("a"), a.alias("b"))).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "label"
+        )
+        new = (
+            labels.unionAll(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iters} rounds "
+        "(component diameter exceeds the iteration cap)"
+    )

@@ -1,0 +1,255 @@
+"""Training-data pipeline operators beyond pairwise dedup: cluster
+canonicalization, deterministic dataset splits, per-language quota
+sampling, and benchmark-contamination screening.
+
+These are the steps a 100 TB pretraining corpus build runs AFTER the
+reference's ingest/KPI stages and the near-dup detectors: collapse dup
+pairs into keep-lists, carve reproducible train/val/test slices, cap
+per-language volume, and screen against eval-set leakage. Each has a
+full DuckDB oracle (the components oracle is a recursive-CTE transitive
+closure — the SQL-expressible ground truth for the iterative Spark
+implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.clustering import connected_components
+from ..operators.dedup import HEX, minhash_near_dup, shingle_table, token_hash32_sql
+from ..queries.dedup_q import _minhash_oracle
+from ..registry import register
+
+# Candidate pairs at/above this exact-Jaccard level are duplicates for
+# clustering purposes (the LSH candidate set is verified with exact
+# Jaccard first, so this thresholds a true similarity, not a sketch).
+DUP_JACCARD = 0.5
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+    SELECT * FROM ({_minhash_oracle()}) q WHERE jaccard >= {DUP_JACCARD}
+), e AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), members AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(m.canonical_id, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(m.canonical_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN members m USING (doc_id)
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> per-document keep
+    decision: every doc maps to the minimum doc_id of its duplicate
+    cluster; ``is_canonical`` is the keep-list. Transitivity matters —
+    A~B and B~C must collapse to ONE canonical even when A,C never
+    paired, which per-pair dedup gets wrong.
+
+    Scale: the component computation runs on the near-dup SUBGRAPH
+    (nodes that appear in a verified pair), not the corpus; the corpus
+    only left-joins the resulting label table once at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(docs).where(F.col("jaccard") >= DUP_JACCARD)
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("canonical_id"),
+        (F.col("doc_id") == F.coalesce("label", "doc_id")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket < 80 train, < 90 val, else test
+
+
+def _hash32_duck(col_sql: str) -> str:
+    """DuckDB twin of operators/dedup.py::token_hash32_sql — first 8 md5
+    hex nibbles as a 32-bit int via strpos (DuckDB strpos(str, ch) ==
+    Spark locate(ch, str))."""
+    h = f"md5({col_sql})"
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    return f"({terms})"
+
+
+@register(
+    "train_split",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_hash32_duck("CAST(doc_id AS VARCHAR)")} % {SPLIT_BUCKETS} AS BIGINT)
+           AS bucket,
+       CASE WHEN {_hash32_duck("CAST(doc_id AS VARCHAR)")} % {SPLIT_BUCKETS}
+                 < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_hash32_duck("CAST(doc_id AS VARCHAR)")} % {SPLIT_BUCKETS}
+                 < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_split(spark, sf_dir):
+    """Reproducible 80/10/10 split keyed on a content-independent stable
+    hash of doc_id: the same document lands in the same slice on every
+    engine, every run, at every scale — no rand(), no sampling state.
+
+    Scale: pure projection (md5 of the key), no shuffle; downstream
+    consumers filter on ``split`` and the predicate reaches the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(token_hash32_sql("CAST(doc_id AS STRING)"))
+    bucket = (h % SPLIT_BUCKETS).cast("bigint")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language quota sampling
+
+QUOTA_PER_LANG = 25
+
+
+def _quality_subquery() -> str:
+    from .text_q import _Q_BASE_SQL, _quality_outputs
+
+    return _quality_outputs("//").replace("__Q_BASE__", _Q_BASE_SQL)
+
+
+@register(
+    "quota_sample",
+    oracle=f"""
+WITH q AS ({_quality_subquery()}),
+ranked AS (
+    SELECT d.doc_id, d.lang, q.quality,
+           ROW_NUMBER() OVER (PARTITION BY d.lang
+                              ORDER BY q.quality DESC, d.doc_id) AS rn
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, lang, quality, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {QUOTA_PER_LANG}
+""",
+)
+def quota_sample(spark, sf_dir):
+    """Per-language quality quota: keep the top-N docs per language by
+    the exact-integer quality score (text_q.py), doc_id tie-break — the
+    "cap each language's volume, keep its best" sampling step of a
+    multilingual corpus build.
+
+    Scale: the rank<=N predicate on a row_number window compiles to
+    WindowGroupLimit (per-partition top-N BEFORE the shuffle, as
+    plan-tested for topn_parts_per_brand), so per-language work is
+    bounded even though language cardinality is tiny relative to
+    executor count.
+    """
+    from pyspark.sql.window import Window
+
+    from .text_q import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= QUOTA_PER_LANG)
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination screening
+
+CONTAM_SHINGLE_N = 5
+N_BENCH_DOCS = 20  # docs with doc_id < this play the held-out benchmark
+
+_CONTAM_SH = f"""
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(t) - {CONTAM_SHINGLE_N - 1}),
+               i -> array_to_string(list_slice(t, i, i + {CONTAM_SHINGLE_N - 1}), ' ')))
+               AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= {CONTAM_SHINGLE_N}
+"""
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH sh AS ({_CONTAM_SH}),
+bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS}
+),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {N_BENCH_DOCS}),
+hits AS (
+    SELECT c.doc_id, COUNT(*) AS n_hit
+    FROM corpus c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY 1
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       COALESCE(MAX(h.n_hit), 0) AS n_contaminated,
+       ROUND(CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*), 4)
+           AS contamination_rate
+FROM corpus s LEFT JOIN hits h ON h.doc_id = s.doc_id
+GROUP BY s.doc_id
+""",
+)
+def contamination_check(spark, sf_dir):
+    """Eval-set leakage screen: for every corpus doc, the fraction of
+    its word 5-grams that also occur in the benchmark set (here: the
+    first {N_BENCH_DOCS} docs stand in for a held-out benchmark).
+    Train-side docs with high overlap get quarantined before training.
+
+    Scale: the benchmark shingle set is small by definition — it
+    BROADCASTS, so the corpus-side shingle table never shuffles; per-doc
+    counts aggregate map-side. The rate is one int/int division (no
+    summation-order float risk).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, CONTAM_SHINGLE_N)
+    bench = (
+        sh.where(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= N_BENCH_DOCS)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        corpus.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("contamination_rate"),
+        )
+    )

@@ -65,6 +65,7 @@ def _load_all() -> None:
         kpis_q,
         lateral_q,
         misc_q,
+        pipeline_q,
         multimodal_q,
         relational_q,
         similarity_q,
