@@ -45,7 +45,16 @@ def connected_components(
     """
     a = F.col(src).alias("a")
     b = F.col(dst).alias("b")
-    sym = edges.select(a, b).unionAll(edges.select(b.alias("a"), a.alias("b"))).distinct()
+    # materialize the edge list once: every round (and every label
+    # checkpoint) re-reads it, and the upstream plan that produced the
+    # edges (e.g. the whole MinHash pipeline) must not be re-derived
+    # per round
+    sym = (
+        edges.select(a, b)
+        .unionAll(edges.select(b.alias("a"), a.alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
