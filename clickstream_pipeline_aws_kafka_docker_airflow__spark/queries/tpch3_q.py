@@ -1,0 +1,191 @@
+"""Third TPC-H wave (ext_relational): aggregate-equality scalar
+subquery (Q15), anti-joined distinct-count rollup (Q16 shape), and the
+double-correlated EXISTS / NOT EXISTS self-join (Q21 shape).
+
+Adaptations to the driver schema (no ``partsupp``, no
+commit/receipt dates, no comment text) are noted per query; each keeps
+the plan challenge of its original. Literals verified non-vacuous on
+the driver testdata at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.scalars import dec_sum_round2
+from ..io import load_table
+from ..registry import register
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no, SUM({_REV_DEC}) AS rd
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT r.supplier_no, s.s_name,
+       CAST(ROUND(rd, 2) AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE rd = (SELECT MAX(rd) FROM rev)
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) whose quarterly revenue equals the
+    maximum. The revenue totals are EXACT decimals (per-addend cast,
+    exact sum), so the equality against MAX is deterministic across
+    engines — the double-rounding happens only on output.
+
+    Scale: one shuffle (supplier rollup); the max is a one-row
+    broadcast; supplier dim broadcasts. Ties return every tied
+    supplier on both engines, identically.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.expr(_REV_DEC)).alias("rd")
+    )
+    mx = rev.agg(F.max("rd").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(broadcast(mx))
+        .where(F.col("rd") == F.col("mx"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "supplier_no",
+            "s_name",
+            F.round("rd", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25)
+
+
+@register(
+    "q16_supplier_variety",
+    oracle=f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN {Q16_SIZES}
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+""",
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: supplier-part pairs come from
+    ``lineitem`` instead of the absent ``partsupp``; the
+    customer-complaint exclusion becomes negative account balance):
+    how many distinct suppliers can serve each (brand, type, size)
+    bucket, excluding flagged suppliers.
+
+    Scale: the filtered part dim and the (tiny) exclusion list both
+    broadcast — the NOT IN is a broadcast anti-join, never a shuffle;
+    the distinct-count shuffles once on the rollup key.
+    """
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle=f"""
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+""",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: "kept the order waiting" = shipped
+    more than {Q21_LATE_DAYS} days after the order date — the driver
+    schema has no commit/receipt dates): per supplier, count finalized
+    multi-supplier orders where it was the ONLY late shipper. The
+    double correlation (EXISTS on the raw lines, NOT EXISTS on the
+    late lines) becomes a left-semi then a left-anti self-join.
+
+    Scale: all three join legs key on ``l_orderkey`` — one hash
+    partitioning serves the semi, the anti, and the late-line derivation;
+    supplier broadcasts; the final rollup key (s_name) is dim-sized.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = l.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_sup")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("a_key"), F.col("l_suppkey").alias("a_sup")
+    )
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("o_key"))
+            & (F.col("l1.l_suppkey") != F.col("o_sup")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("a_key"))
+            & (F.col("l1.l_suppkey") != F.col("a_sup")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

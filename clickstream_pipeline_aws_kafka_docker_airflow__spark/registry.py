@@ -72,6 +72,7 @@ def _load_all() -> None:
         text_q,
         time_q,
         tpch2_q,
+        tpch3_q,
         vectors_q,
         windows_q,
     )

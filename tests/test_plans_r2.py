@@ -1,0 +1,68 @@
+"""Plan-shape tests for round-2 queries: the scale contracts —
+pushdown, broadcast, shuffle counts, window group limits — that make
+these survive 100 TB."""
+
+from __future__ import annotations
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+    plan_facts,
+)
+
+from conftest import SF_SMOKE
+
+_Q = registry.queries()
+
+
+def test_q6_pushdown_no_join(spark):
+    # pure scan-agg: both range predicates reach parquet; the only
+    # exchange is the single-partition partial->final agg merge
+    f = plan_facts(_Q["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.pushed_filters
+    assert any("l_quantity" in p for p in f.pushed_filters), f.pushed_filters
+    assert f.broadcast_joins == 0 and f.sortmerge_joins == 0
+    assert f.exchanges == 1
+    assert f.python_evals == 0
+
+
+def test_q9_dims_broadcast(spark):
+    # part (LIKE-filtered), supplier, nation must broadcast; lineitem
+    # never sort-merge-joins at this size
+    f = plan_facts(_Q["q9_product_profit"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 3, f.text
+    assert f.sortmerge_joins == 0
+    assert f.python_evals == 0
+
+
+def test_train_split_is_projection_only(spark):
+    # stable-hash split: no exchange at all — the predicate-bearing
+    # consumers can push 'split' selection straight to the scan
+    f = plan_facts(_Q["train_split"](spark, SF_SMOKE))
+    assert f.exchanges == 0, f.text
+    assert f.python_evals == 0
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    # the benchmark shingle set must broadcast so the corpus-side
+    # shingle table joins without shuffling for the probe
+    f = plan_facts(_Q["contamination_check"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 1, f.text
+    assert f.python_evals == 0
+
+
+def test_quota_sample_window_group_limit(spark):
+    # rank<=N pushes a per-partition group limit below the shuffle
+    f = plan_facts(_Q["quota_sample"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in f.text
+
+
+def test_ivf_assignment_no_window_no_crossjoin(spark):
+    # literal-centroid ranking is a pure projection: no window node, no
+    # cartesian/cross join anywhere in the search plan
+    f = plan_facts(_Q["ann_topk_ivf"](spark, SF_SMOKE))
+    assert "Cartesian" not in f.text
+    # exactly one Window node remains — the final per-query top-k rank
+    # (each node name shows twice in formatted explain: tree + detail;
+    # WindowGroupLimit is that same rank's pushed-down group limit)
+    windows = f.text.replace("WindowGroupLimit", "WGL").count("Window")
+    assert windows <= 2, f.text
