@@ -1,0 +1,114 @@
+"""End-to-end corpus curation: the composite "materialize the training
+set" query — quality floor AND dedup keep-list AND train slice AND
+contamination ceiling, all in one pass.
+
+This is the query a 100 TB corpus build actually ships: the individual
+operators (quality_score, dedup_clusters, train_split,
+contamination_check) are its stages, and this proves they compose —
+one DataFrame, one oracle, one hash check over the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from .dedup_q import _minhash_oracle
+from .pipeline_q import (
+    DUP_JACCARD,
+    N_BENCH_DOCS,
+    SPLIT_BUCKETS,
+    SPLIT_TRAIN,
+    _CONTAM_SH,
+    _hash32_duck,
+    _quality_subquery,
+    contamination_check,
+    dedup_clusters,
+    train_split,
+)
+from .text_q import quality_score
+
+QUALITY_FLOOR = 0.55
+CONTAM_CEIL = 0.2
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+    SELECT * FROM ({_minhash_oracle()}) mh WHERE jaccard >= {DUP_JACCARD}
+), e AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), members AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
+), quality AS ({_quality_subquery()}),
+sh AS ({_CONTAM_SH}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS}),
+corpus_sh AS (SELECT * FROM sh WHERE doc_id >= {N_BENCH_DOCS}),
+contam AS (
+    SELECT s.doc_id,
+           ROUND(CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*), 4)
+               AS contamination_rate
+    FROM corpus_sh s
+    LEFT JOIN (SELECT c.doc_id, COUNT(*) AS n_hit
+               FROM corpus_sh c JOIN bench b ON b.shingle = c.shingle
+               GROUP BY 1) h ON h.doc_id = s.doc_id
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id, q.quality, COALESCE(c.contamination_rate, 0.0) AS contamination_rate
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN members m ON m.doc_id = d.doc_id
+LEFT JOIN contam c ON c.doc_id = d.doc_id
+WHERE d.doc_id >= {N_BENCH_DOCS}
+  AND q.quality >= {QUALITY_FLOOR}
+  AND COALESCE(m.canonical_id, d.doc_id) = d.doc_id
+  AND COALESCE(c.contamination_rate, 0.0) < {CONTAM_CEIL}
+  AND {_hash32_duck("CAST(d.doc_id AS VARCHAR)")} % {SPLIT_BUCKETS} < {SPLIT_TRAIN}
+""",
+)
+def corpus_curation(spark, sf_dir):
+    """The four curation stages joined on doc_id and filtered in one
+    plan: keep a doc iff it (a) is not a benchmark doc, (b) clears the
+    quality floor, (c) is its dup-cluster's canonical, (d) shows less
+    than {CONTAM_CEIL} benchmark 5-gram overlap (docs too short to
+    shingle count as clean), and (e) lands in the train slice.
+
+    Scale: every stage keys its joins on doc_id — one hash partitioning
+    carries quality⋈clusters⋈contamination⋈split; the heavy stages
+    (MinHash, shingle overlap) keep their own bounded shapes documented
+    in their operators. The quality/split predicates are cheap
+    projections evaluated before any join fans out.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= N_BENCH_DOCS
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    keep = dedup_clusters(spark, sf_dir).where(F.col("is_canonical")).select(
+        "doc_id"
+    )
+    split = train_split(spark, sf_dir).where(F.col("split") == "train").select(
+        "doc_id"
+    )
+    contam = contamination_check(spark, sf_dir).select(
+        "doc_id", "contamination_rate"
+    )
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .where(F.col("quality") >= QUALITY_FLOOR)
+        .join(keep, "doc_id", "left_semi")
+        .join(split, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left")
+        .withColumn(
+            "contamination_rate", F.coalesce("contamination_rate", F.lit(0.0))
+        )
+        .where(F.col("contamination_rate") < CONTAM_CEIL)
+        .select("doc_id", "quality", "contamination_rate")
+    )

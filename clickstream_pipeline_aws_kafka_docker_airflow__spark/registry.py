@@ -57,6 +57,7 @@ def _load_all() -> None:
         return
     from .queries import (  # noqa: F401
         advanced_q,
+        curation_q,
         dedup_q,
         events_q,
         funnel_q,
