@@ -41,6 +41,24 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the input is narrower than the
+    cluster — the guard for compute-bound per-row operators (vector
+    folds, shingling) fed by a small file count.
+
+    A single small parquet file scans as ONE task, so an expensive
+    projection over it runs on one core no matter how wide the cluster
+    is (measured 32x underuse on the IVF assignment pass). At 100 TB
+    the scan has thousands of splits and this is a no-op — the
+    condition keeps the explicit shuffle out of exactly the plans that
+    don't need it.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_agg(
     df: DataFrame,
     group_col: str,

@@ -44,7 +44,12 @@ def hyperplanes(nbits: int = ANN_BITS, dim: int = ANN_DIM, seed: int = ANN_SEED)
 
 
 def _plane_dot(emb: Column | str, plane: tuple[float, ...]) -> Column:
-    arr = F.array(*[F.lit(x) for x in plane])
+    # one parsed literal, not len(plane) py4j F.lit calls (driver-time
+    # hotspot at n_tables x nbits planes); CAST('repr' AS DOUBLE)
+    # round-trips float64 exactly
+    arr = F.expr(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
+    )
     c = F.col(emb) if isinstance(emb, str) else emb
     prods = F.zip_with(c, arr, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -103,29 +108,56 @@ def _assign_to_centroids(
     the (d2, cid) structs — a pure projection. No crossJoin, no
     shuffle, no window: at 100 TB the corpus streams through map tasks
     and the quantizer rides inside the closure, which is the shape a
-    sort-free IVF assignment should have. ||c||^2 is folded at the
-    driver with the same sequential in-order float64 accumulation the
-    engines' fold expressions use, so d2 stays bit-identical to the
-    DuckDB oracle's ``list_dot_product`` spelling.
+    sort-free IVF assignment should have. Every term (v.v, v.c, c.c)
+    is a sequential in-order float64 fold, so d2 stays bit-identical
+    to the DuckDB oracle's ``list_dot_product`` spelling.
     """
+    from .scale import widen
+
+    emb = widen(emb)
     dvv = dot("embedding", "embedding")
-    entries = []
-    for cid, coords in cents:
-        cc = 0.0
-        for x in coords:
-            cc += x * x
-        # one array Literal per centroid (not 64 scalar nodes) keeps the
-        # plan tree small enough that Catalyst analysis stays O(cells)
-        carr = F.lit([float(x) for x in coords])
-        prods = F.zip_with(F.col("embedding"), carr, lambda a, b: a.cast("double") * b)
-        dvc = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        entries.append(
-            F.struct(
-                (dvv - 2 * dvc + F.lit(cc)).alias("d2"),
-                F.lit(cid).cast("bigint").alias("centroid_id"),
-            )
+    # ONE lambda over a literal centroid matrix, not n_centroids copies
+    # of a 64-element fold subtree: Catalyst analysis + codegen cost is
+    # O(1) in the number of cells, which dominated wall time (the tree
+    # with unrolled per-centroid subtrees cost ~2 s PER JOB at 16x64).
+    # The matrix literal is ONE parsed SQL expression, not nested
+    # F.lit() — building 16x64 Literal nodes through py4j costs ~1 s of
+    # driver time PER CALL; parsing the equivalent string is ~5 ms.
+    # CAST('repr' AS DOUBLE) round-trips float64 exactly. Fold order
+    # per centroid is unchanged (sequential zip_with + aggregate, and
+    # ||c||^2 is the same left-fold as the driver loop it replaces),
+    # so d2 stays bit-identical to the DuckDB oracle.
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in coords) + ")"
+            for _, coords in cents
         )
-    ranked = F.array_sort(F.array(*entries))
+        + ")"
+    )
+    cidv = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    )
+    entries = F.zip_with(
+        cmat,
+        cidv,
+        lambda c, cid: F.struct(
+            (
+                dvv
+                - 2
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), c, lambda a, b: a.cast("double") * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                + F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("d2"),
+            cid.cast("bigint").alias("centroid_id"),
+        ),
+    )
+    ranked = F.array_sort(entries)
     return emb.select(
         "vec_id", F.posexplode(F.slice(ranked, 1, top)).alias("rk", "s")
     ).select(
@@ -427,7 +459,9 @@ def ann_topk_bucketed(
     from pyspark.sql.window import Window
 
     from ..functions.vectors import norm
+    from .scale import widen
 
+    emb = widen(emb)
     base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
     tables = F.explode(
         F.array(
