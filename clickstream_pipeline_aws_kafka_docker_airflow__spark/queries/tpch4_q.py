@@ -1,0 +1,353 @@
+"""Fourth TPC-H wave (ext_relational), completing all 22 query shapes:
+correlated min-cost supplier (Q2), value-share threshold with a scalar
+subquery (Q11), derived-category conditional counts (Q12), the
+left-outer count histogram (Q13), and nested volume-share semi-joins
+(Q20).
+
+The driver schema has no ``partsupp``, ``l_shipmode``,
+commit/receipt dates, or comment columns, so (as in the earlier waves)
+each query keeps its original's PLAN challenge while deriving the
+missing inputs from ``lineitem``: observed net price stands in for
+``ps_supplycost`` (Q2), shipped value for stock value (Q11), shipping
+latency tiers for ship modes (Q12), order priority for the comment
+filter (Q13), and quantity share for availqty vs shipped-half (Q20).
+All threshold comparisons run in exact decimal / scaled-integer space —
+never on accumulated doubles — so both engines agree bit-for-bit.
+Literals verified non-vacuous on the driver testdata at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..registry import register
+
+_NET_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))"
+_QTY_DEC = "CAST(l_quantity AS DECIMAL(24,8))"
+
+Q2_TYPE = "STANDARD"
+Q2_MAX_SIZE = 15
+Q2_REGION = "EUROPE"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH esupp AS (
+    SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{Q2_REGION}'
+), cost AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           MIN(l_extendedprice * (1 - l_discount)) AS cost
+    FROM lineitem l
+    JOIN esupp e ON e.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+       c.cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN esupp e ON e.s_suppkey = c.l_suppkey
+WHERE p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_MAX_SIZE}
+  AND c.cost = (SELECT MIN(c2.cost) FROM cost c2
+                WHERE c2.l_partkey = p.p_partkey)
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: "supply cost" = the minimum observed
+    net price a supplier ever shipped the part at, since there is no
+    ``partsupp``): for each small STANDARD part, the {Q2_REGION}
+    supplier(s) offering it cheapest. The correlated scalar subquery
+    (cost = per-part MIN) becomes a groupBy + self-equality join.
+
+    Determinism: cost is a MIN over per-row double products — no
+    accumulation, so both engines pick bit-identical minima and the
+    equality join is exact.
+
+    Scale: region suppliers are dim-sized (broadcast twice); the only
+    big shuffle keys on (partkey, suppkey) for the cost rollup, and the
+    per-part MIN reuses the partkey side of that same partitioning.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    esupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        l.join(
+            broadcast(esupp.select("s_suppkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "cost"
+            )
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("best_cost")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost") == F.col("best_cost")),
+        )
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(esupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+    )
+
+
+Q11_NATIONKEY = 3
+Q11_FRACTION_DENOM = 1000  # keep parts whose value > total / this
+
+
+@register(
+    "q11_important_value",
+    oracle=f"""
+WITH v AS (
+    SELECT l.l_partkey, SUM({_NET_DEC}) AS value_dec
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey = {Q11_NATIONKEY}
+    GROUP BY 1
+)
+SELECT l_partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS part_value
+FROM v
+WHERE value_dec * {Q11_FRACTION_DENOM} > (SELECT SUM(value_dec) FROM v)
+""",
+)
+def q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: per-part shipped net value from one
+    nation's suppliers stands in for partsupp stock value): parts whose
+    value exceeds 1/{Q11_FRACTION_DENOM} of the nation's total. The
+    threshold is the Q11 challenge — a scalar subquery over the SAME
+    aggregate the per-group rows come from.
+
+    Determinism: both the per-part values and the grand total are exact
+    decimal sums, and the fraction compare is scaled-integer
+    (value * denom > total) — no double arithmetic anywhere near the
+    knife edge.
+
+    Scale: the per-part rollup shuffles once; the grand total is a
+    one-row broadcast over it (the rollup result is NOT re-read from
+    the fact table); the supplier filter broadcasts.
+    """
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == Q11_NATIONKEY)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    v = (
+        l.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_NET_DEC)).alias("value_dec"))
+    )
+    total = v.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        v.crossJoin(broadcast(total))
+        .where(F.col("value_dec") * Q11_FRACTION_DENOM > F.col("total_dec"))
+        .select(
+            "l_partkey",
+            F.round("value_dec", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+Q12_YEAR = "1996"
+Q12_FAST_DAYS = 30
+Q12_SLOW_DAYS = 90
+
+
+@register(
+    "q12_latency_priority",
+    oracle=f"""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                 < {Q12_FAST_DAYS} THEN 'EXPRESS'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                 < {Q12_SLOW_DAYS} THEN 'REGULAR'
+            ELSE 'SLOW' END AS ship_tier,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01'
+  AND l.l_shipdate <  TIMESTAMP '{int(Q12_YEAR) + 1}-01-01'
+GROUP BY 1
+""",
+)
+def q12_latency_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the schema has no ``l_shipmode``, so
+    the grouping category is DERIVED — shipping-latency tiers from
+    order-to-ship day counts): per tier, how many high- vs low-priority
+    order lines shipped in {Q12_YEAR}. Keeps Q12's signature
+    conditional-SUM-over-CASE aggregation, and adds a computed group
+    key, which exercises expression-grouping.
+
+    Determinism: day diffs are integer (both engines count date
+    boundaries, and all timestamps in the data are midnight-aligned);
+    the aggregates are pure integer counts.
+
+    Scale: one fact-fact join keyed on orderkey, then a 3-group rollup
+    that combines map-side; the date filter pushes to the parquet scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{Q12_YEAR}-01-01").cast("timestamp"))
+        & (
+            F.col("l_shipdate")
+            < F.lit(f"{int(Q12_YEAR) + 1}-01-01").cast("timestamp")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    tier = (
+        F.when(days < Q12_FAST_DAYS, "EXPRESS")
+        .when(days < Q12_SLOW_DAYS, "REGULAR")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(tier.alias("ship_tier"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+@register(
+    "q13_order_distribution",
+    oracle=f"""
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+    GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY 1
+""",
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (adapted: the comment NOT-LIKE exclusion becomes an
+    order-priority exclusion — same "filter the RIGHT side of an outer
+    join, keep unmatched customers as zero" trap): the distribution of
+    order counts per customer. COUNT(o_orderkey) over the left join
+    counts 0 for order-less customers, which an inner join would drop —
+    that is the query's point.
+
+    Scale: join and first rollup share the custkey partitioning; the
+    second rollup's key space is tiny (max orders per customer) and
+    combines map-side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q20_NAME_PREFIX = "small"
+Q20_YEAR = "1995"
+Q20_SHARE_NUM, Q20_SHARE_DENOM = 3, 10  # supplier shipped > 3/10 of part total
+
+
+@register(
+    "q20_volume_share_suppliers",
+    oracle=f"""
+WITH sel AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+), q AS (
+    SELECT l.l_partkey, l.l_suppkey, SUM({_QTY_DEC}) AS sup_qty
+    FROM lineitem l
+    JOIN sel ON sel.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+      AND l.l_shipdate <  TIMESTAMP '{int(Q20_YEAR) + 1}-01-01'
+    GROUP BY 1, 2
+), tot AS (
+    SELECT l_partkey, SUM(sup_qty) AS part_qty FROM q GROUP BY 1
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM q
+JOIN tot ON tot.l_partkey = q.l_partkey
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE q.sup_qty * {Q20_SHARE_DENOM} > tot.part_qty * {Q20_SHARE_NUM}
+""",
+)
+def q20_volume_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: "availqty > half the shipped quantity"
+    becomes "this supplier shipped more than {Q20_SHARE_NUM}/
+    {Q20_SHARE_DENOM} of the part's {Q20_YEAR} volume", since there is
+    no partsupp): suppliers who dominate the supply of any
+    '{Q20_NAME_PREFIX}%' part. Keeps Q20's nested structure — a name-
+    filtered part list feeding a per-(part,supplier) aggregate compared
+    against a per-part aggregate, projected to distinct suppliers.
+
+    Determinism: both quantity sums are exact decimals and the share
+    compare is cross-multiplied in decimal space — no double division.
+
+    Scale: the part list broadcasts; sup/part rollups share the partkey
+    shuffle; dims broadcast; DISTINCT runs on a supplier-sized set.
+    """
+    sel = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{Q20_YEAR}-01-01").cast("timestamp"))
+        & (
+            F.col("l_shipdate")
+            < F.lit(f"{int(Q20_YEAR) + 1}-01-01").cast("timestamp")
+        )
+    )
+    q = (
+        l.join(broadcast(sel), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr(_QTY_DEC)).alias("sup_qty"))
+    )
+    tot = q.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("sup_qty").alias("part_qty")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        q.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .where(
+            F.col("sup_qty") * Q20_SHARE_DENOM
+            > F.col("part_qty") * Q20_SHARE_NUM
+        )
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
         time_q,
         tpch2_q,
         tpch3_q,
+        tpch4_q,
         vectors_q,
         windows_q,
     )
