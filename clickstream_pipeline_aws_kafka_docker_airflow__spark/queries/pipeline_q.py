@@ -179,6 +179,103 @@ def quota_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Greedy sequence packing
+
+PACK_MAX_TOKENS = 512
+PACK_SHARDS = 8
+
+_PACK_TOKS = f"""
+    SELECT doc_id,
+           CAST({_hash32_duck("CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS}
+                AS BIGINT) AS shard,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+"""
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, shard, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM ({_PACK_TOKS})
+), packed AS (
+    SELECT doc_id, shard, n_tokens, rn,
+           CAST(0 AS BIGINT) AS chunk_id, n_tokens AS chunk_fill
+    FROM toks WHERE rn = 1
+    UNION ALL
+    SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+           CASE WHEN p.chunk_fill + t.n_tokens > {PACK_MAX_TOKENS}
+                THEN p.chunk_id + 1 ELSE p.chunk_id END,
+           CASE WHEN p.chunk_fill + t.n_tokens > {PACK_MAX_TOKENS}
+                THEN t.n_tokens ELSE p.chunk_fill + t.n_tokens END
+    FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, chunk_id, n_tokens, chunk_fill FROM packed
+""",
+)
+def pack_sequences_greedy(spark, sf_dir):
+    """Greedy sequence packing — the "concatenate documents into
+    fixed-budget training chunks" step of a pretraining pipeline: docs
+    are sharded by a stable hash, walked in doc_id order within each
+    shard, and a chunk closes when the next doc would push it past
+    {PACK_MAX_TOKENS} whitespace tokens (docs are never split; an
+    oversized doc gets its own chunk).
+
+    The running-fill reset makes this NOT a window function — it is
+    genuinely sequential state, so the Spark side is
+    ``applyInPandas`` per shard (Arrow batch in, one O(n) pass in
+    pandas, Arrow batch out) and the oracle is a recursive CTE walking
+    ``rn``. All state is integer, so both walks agree exactly.
+
+    Scale: the shard is the unit of parallelism — exactly how
+    production packers run (one sequential pass per worker over its
+    shard); 100 TB means more shards, never a longer pass. The shuffle
+    key is the shard id; token counting happens map-side before the
+    shuffle, so shuffled rows are (ids + 2 ints), not text.
+    """
+    import pandas as pd
+
+    from ..operators.dedup import token_hash32_sql
+    from ..functions.text import ws_token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.expr(token_hash32_sql("CAST(doc_id AS STRING)")) % PACK_SHARDS)
+        .cast("bigint")
+        .alias("shard"),
+        ws_token_count("text").alias("n_tokens"),
+    )
+
+    max_tokens = PACK_MAX_TOKENS
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        chunk_ids, fills = [], []
+        chunk, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > max_tokens:
+                chunk += 1
+                fill = t
+            else:
+                fill += t
+            chunk_ids.append(chunk)
+            fills.append(fill)
+        pdf["chunk_id"] = pd.Series(chunk_ids, dtype="int64")
+        pdf["chunk_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["doc_id", "shard", "chunk_id", "n_tokens", "chunk_fill"]]
+
+    return d.groupBy("shard").applyInPandas(
+        _pack,
+        "doc_id bigint, shard bigint, chunk_id bigint, "
+        "n_tokens bigint, chunk_fill bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Benchmark contamination screening
 
 CONTAM_SHINGLE_N = 5

@@ -130,3 +130,31 @@ def test_contamination_flags_planted_leak(spark):
         }
     assert out[N_BENCH_DOCS + 1] == 1.0
     assert out[N_BENCH_DOCS + 2] == 0.0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.pipeline_q import (
+        PACK_MAX_TOKENS,
+        pack_sequences_greedy,
+    )
+
+    rows = pack_sequences_greedy(spark, sf_dir).collect()
+    assert rows, "packing produced no rows"
+    by_chunk: dict[tuple, list] = {}
+    for r in rows:
+        by_chunk.setdefault((r["shard"], r["chunk_id"]), []).append(r)
+    for (shard, chunk), members in by_chunk.items():
+        total = sum(r["n_tokens"] for r in members)
+        # a chunk only exceeds the budget when a single doc does
+        assert total <= PACK_MAX_TOKENS or len(members) == 1
+        # chunk_fill is the running total, so the max equals the sum
+        assert max(r["chunk_fill"] for r in members) == total
+    # chunks are contiguous doc_id ranges within a shard: sorting docs
+    # by id must visit chunks in nondecreasing order
+    for shard in {s for s, _ in by_chunk}:
+        seq = sorted(
+            (r for r in rows if r["shard"] == shard),
+            key=lambda r: r["doc_id"],
+        )
+        chunk_seq = [r["chunk_id"] for r in seq]
+        assert chunk_seq == sorted(chunk_seq)
