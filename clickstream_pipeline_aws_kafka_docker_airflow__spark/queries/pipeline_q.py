@@ -179,6 +179,90 @@ def quota_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Mixture resampling to target proportions
+
+# Target mixture in permille; languages not listed are dropped.
+MIX_WEIGHTS = {"en": 500, "de": 150, "es": 150, "fr": 100, "zh": 100}
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items()
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@register(
+    "mixture_resample",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           {_hash32_duck("'mix:' || CAST(doc_id AS VARCHAR)")} AS h,
+           {_mix_case_sql()} AS wt
+    FROM documents
+), counts AS (
+    SELECT lang, wt, COUNT(*) AS n FROM base WHERE wt > 0 GROUP BY 1, 2
+), tmax AS (
+    SELECT MIN(n * 1000 // wt) AS t FROM counts
+), caps AS (
+    SELECT lang, wt * t // 1000 AS keep_n FROM counts, tmax
+)
+SELECT b.doc_id, b.lang, CAST(r.rn AS BIGINT) AS mix_rank
+FROM (SELECT doc_id, lang, h FROM base WHERE wt > 0) b
+JOIN (SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM base WHERE wt > 0) r ON r.doc_id = b.doc_id
+JOIN caps c ON c.lang = b.lang
+WHERE r.rn <= c.keep_n
+""",
+)
+def mixture_resample(spark, sf_dir):
+    """Deterministic mixture resampling — the "hit the target data
+    mixture" step of a corpus build: given per-language weights
+    (permille), scale the corpus to the LARGEST total for which every
+    language can fill its share from available docs (the binding
+    language is kept whole, the rest downsample), then select each
+    language's quota by stable hash rank. Everything is integer
+    arithmetic (scaled-permille caps, hash ranks), so selection is
+    reproducible across engines, runs, and scales.
+
+    Scale: counts and caps are language-cardinality rows (broadcast);
+    the hash-rank selection needs a per-language sort of (hash, id)
+    pairs, not documents — at extreme scale the sort can be replaced
+    by a hash-threshold cut (keep h below keep_n/n scaled into hash
+    space), trading a few boundary docs for the sort; the exact-rank
+    version is kept here because the quota, and therefore the oracle,
+    is exact.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import token_hash32_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            token_hash32_sql("CONCAT('mix:', CAST(doc_id AS STRING))")
+        ).alias("h"),
+        F.expr(_mix_case_sql()).alias("wt"),
+    ).where(F.col("wt") > 0)
+    counts = base.groupBy("lang", "wt").agg(F.count(F.lit(1)).alias("n"))
+    tmax = counts.select(F.min(F.expr("n * 1000 div wt")).alias("t"))
+    caps = (
+        counts.crossJoin(F.broadcast(tmax))
+        .select("lang", F.expr("wt * t div 1000").alias("keep_n"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        base.withColumn("mix_rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(caps), "lang")
+        .where(F.col("mix_rank") <= F.col("keep_n"))
+        .select("doc_id", "lang", "mix_rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # Greedy sequence packing
 
 PACK_MAX_TOKENS = 512

@@ -158,3 +158,22 @@ def test_pack_sequences_invariants(spark, sf_dir):
         )
         chunk_seq = [r["chunk_id"] for r in seq]
         assert chunk_seq == sorted(chunk_seq)
+
+
+def test_mixture_resample_hits_target_proportions(spark, sf_dir):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.pipeline_q import (
+        MIX_WEIGHTS,
+        mixture_resample,
+    )
+
+    out = mixture_resample(spark, sf_dir).toPandas()
+    got = out.groupby("lang").size().to_dict()
+    assert set(got) <= set(MIX_WEIGHTS)
+    total = sum(got.values())
+    # each language's achieved share matches its weight to within the
+    # floor-rounding of the permille caps (1 doc per 1000 weight units)
+    for lang, wt in MIX_WEIGHTS.items():
+        assert abs(got.get(lang, 0) - total * wt / 1000) <= 2
+    # determinism: a second run selects the identical doc set
+    again = mixture_resample(spark, sf_dir).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
