@@ -91,6 +91,94 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, MEDIA_META_SCHEMA)
 
 
+THUMB_W = 16
+THUMB_H = 16
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("t_width", LongType()),
+        StructField("t_height", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_thumb_stub(
+    media: DataFrame, tw: int = THUMB_W, th: int = THUMB_H
+) -> DataFrame:
+    """Batched "resize" plumbing: every payload maps to a fixed-budget
+    thumbnail of at most ``tw*th`` bytes (an evenly-strided byte
+    subsample stands in for the pixel kernel). The contract a real
+    resizer shares — bounded output size, binary-in/binary-out through
+    Arrow, per-batch vectorized work, no driver round-trip — is what
+    the test pins; the kernel body is the swappable part.
+    """
+    target = int(tw) * int(th)
+    _tw, _th = int(tw), int(th)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            thumbs = []
+            for b in pdf["media"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size <= target:
+                    thumbs.append(arr.tobytes())
+                else:
+                    idx = np.linspace(0, arr.size - 1, target).astype(np.int64)
+                    thumbs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "t_width": pd.Series([_tw] * len(pdf), dtype="int64"),
+                    "t_height": pd.Series([_th] * len(pdf), dtype="int64"),
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.mapInPandas(_resize, THUMB_SCHEMA)
+
+
+HIST_BUCKETS = 16
+
+HIST_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("n_bytes", LongType())]
+    + [StructField(f"c{j}", LongType()) for j in range(HIST_BUCKETS)]
+)
+
+
+def media_byte_histogram(media: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads: a {HIST_BUCKETS}-bucket
+    histogram of the high nibble of every byte — the deterministic
+    stand-in for an embedding/featurizer kernel. All outputs are
+    integers, so the Arrow binary->feature path is value-checkable
+    against a DuckDB oracle (queries/multimodal_q.py), not just
+    shape-checked.
+    """
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["media"].map(len).astype("int64"),
+            }
+            counts = np.zeros((len(pdf), 16), dtype=np.int64)
+            for i, b in enumerate(pdf["media"]):
+                arr = np.frombuffer(b, dtype=np.uint8) >> 4
+                counts[i] = np.bincount(arr, minlength=16)
+            for j in range(16):
+                rows[f"c{j}"] = counts[:, j]
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_hist, HIST_SCHEMA)
+
+
 def frame_sample_stub(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled offset
     (posexplode over a computed offset array). The decode of each frame

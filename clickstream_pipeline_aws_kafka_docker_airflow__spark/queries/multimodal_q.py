@@ -9,7 +9,13 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
-from ..operators.multimodal import attach_fake_media, extract_media_meta
+from ..operators.multimodal import (
+    HIST_BUCKETS,
+    attach_fake_media,
+    extract_media_meta,
+    frame_sample_stub,
+    media_byte_histogram,
+)
 from ..registry import register
 
 
@@ -43,3 +49,72 @@ def multimodal_meta(spark, sf_dir):
         dec_avg_trunc4("width").alias("avg_width"),
         dec_avg_trunc4("height").alias("avg_height"),
     )
+
+
+FRAME_STEP = 64
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+       CAST(o // {FRAME_STEP} AS BIGINT) AS frame_idx,
+       CAST(o AS BIGINT) AS byte_offset
+FROM (
+    SELECT doc_id,
+           unnest(generate_series(0, greatest(strlen(text) - 1, 0),
+                                  {FRAME_STEP})) AS o
+    FROM documents
+)
+""",
+)
+def media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing, value-checked: one row per
+    sampled byte offset per asset (the decode of each frame is the
+    stubbed kernel; the row-explosion contract is the real thing).
+    The offsets are pure arithmetic over payload length, so even the
+    explosion has an exact cross-engine oracle.
+
+    Scale: posexplode is a map-side projection — rows fan out inside
+    the scan partition, no shuffle; downstream per-frame work
+    (decode, embed) inherits the partitioning.
+    """
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample_stub(media, FRAME_STEP).select(
+        "doc_id",
+        "media_type",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("byte_offset").cast("bigint").alias("byte_offset"),
+    )
+
+
+def _hist_oracle() -> str:
+    cols = ",\n       ".join(
+        f"CAST(len(list_filter(bs, b -> b = {j})) AS BIGINT) AS c{j}"
+        for j in range(HIST_BUCKETS)
+    )
+    return f"""
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {cols}
+FROM (
+    SELECT doc_id, text,
+           list_transform(generate_series(1, strlen(text)),
+                          i -> ascii(substr(text, i, 1)) // 16) AS bs
+    FROM documents
+)
+"""
+
+
+@register("media_histogram", oracle=_hist_oracle())
+def media_histogram(spark, sf_dir):
+    """Feature extraction through the Arrow binary path, value-checked
+    per document: the {HIST_BUCKETS}-bucket high-nibble byte histogram
+    computed by numpy inside ``mapInPandas`` must match DuckDB
+    recomputing it character-wise in SQL — integer counts, so the
+    comparison is exact. (The corpus is ASCII; the byte/char
+    equivalence the oracle relies on is the same one ``multimodal_meta``
+    already pins via strlen == length.)"""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return media_byte_histogram(media.select("doc_id", "media"))
