@@ -55,29 +55,35 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Round-0 seed: label = min(self, direct neighbors) in ONE pass over
+    # the symmetric edge list — clique-shaped dup clusters converge at
+    # the seed, so the loop usually runs exactly one (no-change) round.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        sym.select(F.col("a").alias("id"), F.col("b").alias("label"))
+        .unionAll(sym.select(F.col("a").alias("id"), F.col("a").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), "label"
         )
+        # the change flag rides inside the SAME checkpointed frame the
+        # next round reads, so convergence costs a scan of materialized
+        # rows (limit-1 short circuit), not a second join+shuffle job
         new = (
             labels.unionAll(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .join(labels.select("id", F.col("label").alias("_old")), "id")
+            .select(
+                "id", "label", (F.col("label") != F.col("_old")).alias("_chg")
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.where("_chg").limit(1).count()
+        labels = new.select("id", "label")
         if changed == 0:
             return labels
     raise RuntimeError(

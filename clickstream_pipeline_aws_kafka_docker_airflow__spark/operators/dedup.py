@@ -56,15 +56,13 @@ def minhash_signatures(shingles: DataFrame, k: int = NUM_HASHES) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     sigs: DataFrame, k: int = NUM_HASHES, band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Band the signature, self-join on (band, band_key): docs agreeing
-    on ALL hashes of any band become candidates. The join key is a
-    16-byte md5 — uniform, so no skew."""
+    """(doc_id, band, bkey) — the banded signature. One explode instead
+    of an n_bands-way union: a single pass over the signatures, one
+    scan, one stage. bkey is a 16-byte md5 — uniform, so no skew."""
     n_bands = k // band_size
-    # one explode instead of an n_bands-way union: a single pass over the
-    # signatures, one scan, one stage
     band_arr = F.array(
         *[
             F.struct(
@@ -78,9 +76,17 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_arr).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_arr).alias("bb")).select(
         "doc_id", "bb.band", "bb.bkey"
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = NUM_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature, self-join on (band, band_key): docs agreeing
+    on ALL hashes of any band become candidates."""
+    bands = band_table(sigs, k, band_size)
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band", "bkey"
     )
