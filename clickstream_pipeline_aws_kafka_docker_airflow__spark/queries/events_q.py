@@ -200,3 +200,77 @@ def setops_users(spark, sf_dir):
         .unionAll(_count(p.subtract(v), "purchase_not_view"))
         .unionAll(_count(p.union(v).distinct(), "purchase_or_view"))
     )
+
+
+ANOM_WINDOW_H = 24
+ANOM_Z = 3  # flag when (c - mean)^2 > Z^2 * variance
+
+
+@register(
+    "hourly_anomalies",
+    oracle=f"""
+WITH hourly AS (
+    SELECT CAST(ts AS DATE) AS dt, CAST(hour(ts) AS BIGINT) AS hh,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+), trailed AS (
+    SELECT dt, hh, c,
+           COUNT(c) OVER w AS trail_n,
+           COALESCE(SUM(c) OVER w, 0) AS trail_sum,
+           COALESCE(SUM(c * c) OVER w, 0) AS trail_sumsq
+    FROM hourly
+    WINDOW w AS (ORDER BY dt, hh
+                 ROWS BETWEEN {ANOM_WINDOW_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT dt, hh, c, trail_sum,
+       (c * {ANOM_WINDOW_H} - trail_sum)
+         * (c * {ANOM_WINDOW_H} - trail_sum)
+         > {ANOM_Z * ANOM_Z}
+           * ({ANOM_WINDOW_H} * trail_sumsq - trail_sum * trail_sum)
+         AS is_anomaly
+FROM trailed WHERE trail_n = {ANOM_WINDOW_H}
+""",
+)
+def hourly_anomalies(spark, sf_dir):
+    """Operational anomaly screen over the event-rate series: an hour
+    is anomalous when its count deviates from the trailing-24h mean by
+    more than {ANOM_Z} standard deviations. The test is evaluated
+    ENTIRELY in integers — (c*24 - S1)^2 > 9*(24*S2 - S1^2) is the
+    z-test cross-multiplied through the mean/variance denominators —
+    so there is no float mean, no sqrt, and no cross-engine knife edge.
+    (BIGINT carries this to ~1e8 events/hour; past that the two squared
+    terms cast to DECIMAL, same construction as dec_sum_round2.)
+
+    Scale: the window runs over the AGGREGATED hourly series — one row
+    per hour, i.e. 8 760 rows/year — after the corpus-sized groupBy has
+    reduced the data, so the unpartitioned ordering is series-sized by
+    construction, not a corpus-sized global sort (the trap top_tokens
+    had). The heavy aggregation underneath shuffles once on (dt, hh).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("dt"), F.hour("ts").cast("bigint").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy("dt", "hh")
+        .rowsBetween(-ANOM_WINDOW_H, -1)
+    )
+    trailed = hourly.select(
+        "dt",
+        "hh",
+        "c",
+        F.count("c").over(w).alias("trail_n"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("trail_sum"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0)).alias(
+            "trail_sumsq"
+        ),
+    )
+    d = F.col("c") * ANOM_WINDOW_H - F.col("trail_sum")
+    rhs = (ANOM_Z * ANOM_Z) * (
+        ANOM_WINDOW_H * F.col("trail_sumsq")
+        - F.col("trail_sum") * F.col("trail_sum")
+    )
+    return (
+        trailed.where(F.col("trail_n") == ANOM_WINDOW_H)
+        .select("dt", "hh", "c", "trail_sum", (d * d > rhs).alias("is_anomaly"))
+    )

@@ -66,3 +66,54 @@ def test_ivf_assignment_no_window_no_crossjoin(spark):
     # WindowGroupLimit is that same rank's pushed-down group limit)
     windows = f.text.replace("WindowGroupLimit", "WGL").count("Window")
     assert windows <= 2, f.text
+
+
+def test_q2_dims_broadcast_no_cartesian(spark):
+    # region suppliers + filtered parts are dim-sized broadcasts; the
+    # only shuffle joins key on partkey (cost rollup vs per-part min)
+    f = plan_facts(_Q["q2_min_cost_supplier"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 3, f.text
+    assert "Cartesian" not in f.text
+    assert f.python_evals == 0
+
+
+def test_q11_total_is_broadcast_over_rollup(spark):
+    # the grand total must come from the rollup result (one-row
+    # broadcast), never a second scan of the fact table
+    f = plan_facts(_Q["q11_important_value"](spark, SF_SMOKE))
+    assert f.text.count("FileScan") <= 2, f.text  # lineitem + supplier
+    assert f.broadcast_joins >= 2, f.text
+    assert f.python_evals == 0
+
+
+def test_q13_keeps_left_outer(spark):
+    # the zero-order customers survive only if the outer join survives
+    # optimization (the filter sits in the join condition, not above it)
+    f = plan_facts(_Q["q13_order_distribution"](spark, SF_SMOKE))
+    assert "LeftOuter" in f.text, f.text
+    assert f.python_evals == 0
+
+
+def test_hourly_anomalies_single_series_window(spark):
+    # the unpartitioned window runs over the post-aggregate hourly
+    # series; the corpus-sized work is the groupBy underneath (its
+    # exchange plus the window's singleton merge)
+    f = plan_facts(_Q["hourly_anomalies"](spark, SF_SMOKE))
+    assert f.python_evals == 0
+    assert f.exchanges <= 3, f.text
+
+
+def test_pack_sequences_shuffles_ints_not_text(spark):
+    # the only exchange key is the shard id, and the shuffled row is
+    # (doc_id, shard, n_tokens) — token counting happened map-side, so
+    # no 'text' column crosses the exchange
+    f = plan_facts(_Q["pack_sequences_greedy"](spark, SF_SMOKE))
+    assert "hashpartitioning(shard" in f.text, f.text
+    assert "FlatMapGroupsInPandas" in f.text, f.text
+    # columns flowing into the pandas stage (= what crossed the
+    # exchange): ids and counts only, never the text column
+    args = [
+        ln for ln in f.text.splitlines()
+        if ln.startswith("Arguments:") and "_pack" in ln
+    ]
+    assert args and all("text#" not in ln for ln in args), args
