@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
 from ..registry import register
 from .dedup_q import _minhash_oracle
@@ -111,4 +112,83 @@ def corpus_curation(spark, sf_dir):
         )
         .where(F.col("contamination_rate") < CONTAM_CEIL)
         .select("doc_id", "quality", "contamination_rate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-level (domain-level) curation
+
+# Thresholds chosen to BITE on the driver corpus (sf0.01 splits 10/10
+# keep/drop) — a verdict that never fires verifies nothing.
+SRC_DUP_PERMILLE_CEIL = 80  # drop a source when >=8% of its docs are dups
+SRC_QUALITY_FLOOR = 0.59  # ...or its 4-dp truncated mean quality is below
+
+
+@register(
+    "source_curation_stats",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+    SELECT * FROM ({_minhash_oracle()}) mh WHERE jaccard >= {DUP_JACCARD}
+), e AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), members AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
+), quality AS ({_quality_subquery()})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
+                THEN 1 ELSE 0 END) AS n_dups,
+       {dec_avg_trunc4_sql("q.quality", "//")} AS avg_quality,
+       (SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
+                 THEN 1 ELSE 0 END) * 1000 < {SRC_DUP_PERMILLE_CEIL} * COUNT(*))
+         AND {dec_avg_trunc4_sql("q.quality", "//")} >= {SRC_QUALITY_FLOOR}
+         AS keep_source
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN members m ON m.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def source_curation_stats(spark, sf_dir):
+    """Domain-level curation — the rollup a corpus build uses to keep
+    or drop whole SOURCES (sites, crawls, feeds) rather than documents:
+    per source, the doc count, how many docs are near-dup non-canonicals,
+    and the order-independent truncated mean quality; ``keep_source``
+    applies the dup-share ceiling (scaled-integer compare) and the
+    quality floor (4-dp truncated decimal average — identical on both
+    engines by construction, so the >= compare has no knife edge).
+
+    Scale: the near-dup label table joins once on doc_id (the subgraph
+    is small — see dedup_clusters); everything else is one rollup
+    shuffled on ``source``; dup-share math never leaves integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    dup = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    dup_flag = F.when(F.col("is_canonical"), 0).otherwise(1)
+    agg = (
+        d.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(dup, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup_flag).alias("n_dups"),
+            dec_avg_trunc4("quality").alias("avg_quality"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        "avg_quality",
+        (
+            (F.col("n_dups") * 1000 < SRC_DUP_PERMILLE_CEIL * F.col("n_docs"))
+            & (F.col("avg_quality") >= SRC_QUALITY_FLOOR)
+        ).alias("keep_source"),
     )
