@@ -117,6 +117,38 @@ def run_daily_kpis(
     return "OK"
 
 
+def run_corpus_curation(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, int]:
+    """Materialize the curation pipeline's two products as parquet
+    zones: the curated training slice (``curated_docs``, the
+    corpus_curation composite — quality floor, dup-canonical, train
+    slice, contamination ceiling) and the per-source keep/drop verdicts
+    (``source_stats``). Returns the written row counts, read back from
+    the zones (the written files, not the plan, are the ground truth a
+    scheduler should log).
+
+    Scale: both writes repartition only at the sink; every stage's
+    shuffle shape is documented on its operator. The job is a pure
+    function of the input tables — re-running overwrites the zones
+    with identical content, so retries are idempotent.
+    """
+    from .queries.curation_q import corpus_curation, source_curation_stats
+
+    docs_zone = f"{out_dir}/curated_docs"
+    stats_zone = f"{out_dir}/source_stats"
+    corpus_curation(spark, sf_dir).write.mode("overwrite").parquet(docs_zone)
+    source_curation_stats(spark, sf_dir).write.mode("overwrite").parquet(
+        stats_zone
+    )
+    return {
+        "curated_docs": spark.read.parquet(docs_zone).count(),
+        "kept_sources": spark.read.parquet(stats_zone)
+        .where(F.col("keep_source"))
+        .count(),
+    }
+
+
 def run_healthcheck(spark: SparkSession, raw_path: str, lookback_minutes: int = 20) -> None:
     """Freshness gate: raise if no raw file landed in the lookback
     window (ingest_healthcheck.py:30-33 fail path)."""

@@ -242,3 +242,73 @@ def doc_fingerprint(spark, sf_dir):
     """ext fingerprinting: md5 over whitespace-normalized lowercase text."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+REP_N = 3
+REP_PERMILLE_FLAG = 100  # repetitive when the top 3-gram is >=10% of all
+
+_REP_GRAMS_SQL = f"""
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(t) - {REP_N - 1}),
+               i -> array_to_string(list_slice(t, i, i + {REP_N - 1}), ' ')))
+               AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= {REP_N}
+"""
+
+
+@register(
+    "repetition_score",
+    oracle=f"""
+WITH grams AS ({_REP_GRAMS_SQL}),
+per_gram AS (
+    SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(c) AS n_grams,
+       MAX(c) AS top_gram_count,
+       MAX(c) * 1000 // SUM(c) AS rep_permille,
+       MAX(c) * 1000 >= {REP_PERMILLE_FLAG} * SUM(c) AS is_repetitive
+FROM per_gram GROUP BY doc_id
+""",
+)
+def repetition_score(spark, sf_dir):
+    """Degenerate-text detector — the "same phrase looping" filter of a
+    corpus build: per document, the share of all word {REP_N}-grams
+    (counted WITH multiplicity, unlike the dedup shingles) taken by the
+    single most-repeated one. A high share means the doc is a loop, a
+    template, or boilerplate padding. Score and flag are pure integer
+    arithmetic (permille with integer division, cross-multiplied flag).
+
+    Scale: both aggregations key on doc_id (the second reuses the
+    first's partitioning); gram strings never leave their partition
+    except inside the (doc_id, gram) rollup, whose key cardinality is
+    the document's own vocabulary — no global hot keys, unlike a
+    corpus-wide gram count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= REP_N)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {REP_N - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {REP_N})))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.expr("MAX(c) * 1000 div SUM(c)").alias("rep_permille"),
+        F.expr(f"MAX(c) * 1000 >= {REP_PERMILLE_FLAG} * SUM(c)").alias(
+            "is_repetitive"
+        ),
+    )

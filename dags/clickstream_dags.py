@@ -77,6 +77,18 @@ def _task_healthcheck(**_):
     run_healthcheck(_spark(), RAW_PATH)
 
 
+CORPUS_SRC = os.environ.get("CORPUS_SRC_DIR", "/data/corpus/tables")
+CORPUS_OUT = os.environ.get("CORPUS_OUT_DIR", "/data/corpus/curated")
+
+
+def _task_corpus_curation(**_):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_corpus_curation,
+    )
+
+    return run_corpus_curation(_spark(), CORPUS_SRC, CORPUS_OUT)
+
+
 if HAVE_AIRFLOW:
     with DAG(
         dag_id="clickstream_ingest_spark",
@@ -105,3 +117,17 @@ if HAVE_AIRFLOW:
         max_active_runs=1,
     ) as health_dag:
         PythonOperator(task_id="check_recent_ingest", python_callable=_task_healthcheck)
+
+    # Beyond the reference's three DAGs: the corpus-curation batch
+    # (weekly full rebuild; idempotent overwrite, so no catchup)
+    with DAG(
+        dag_id="corpus_curation_spark",
+        schedule_interval="@weekly",
+        start_date=datetime(2025, 9, 1),
+        catchup=False,
+        max_active_runs=1,
+    ) as curation_dag:
+        PythonOperator(
+            task_id="materialize_curated_corpus",
+            python_callable=_task_corpus_curation,
+        )

@@ -156,3 +156,21 @@ def test_object_store_conf_surface():
     opts = b._options
     for k, v in OBJECT_STORE_CONFS.items():
         assert opts.get(k) == v
+
+
+def test_run_corpus_curation_writes_consistent_zones(spark, sf_dir, tmp_path):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_corpus_curation,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.curation_q import (
+        corpus_curation,
+    )
+
+    out = str(tmp_path / "curated")
+    counts = run_corpus_curation(spark, sf_dir, out)
+    assert counts["curated_docs"] == corpus_curation(spark, sf_dir).count()
+    stats = spark.read.parquet(f"{out}/source_stats")
+    assert 0 < counts["kept_sources"] <= stats.count()
+    # idempotent rerun: same zones, same counts
+    again = run_corpus_curation(spark, sf_dir, out)
+    assert again == counts
