@@ -34,7 +34,9 @@ def shingle_table(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams of the lowercased text.
     Docs shorter than n tokens produce no shingles (and thus never pair).
     """
-    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    from .scale import widen
+
+    base = widen(docs).select("doc_id", tokens(F.col("text")).alias("t"))
     # sequence(a,b) DESCENDS when b<a — guard short docs to an empty list
     grams = F.when(
         F.size(F.col("t")) >= n,
@@ -236,8 +238,10 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
     """doc_id -> SimHash over distinct lowercased tokens: per bit j, sum
     +1/-1 by bit value of the 32-bit token hash; fingerprint sets bit j
     iff the sum is positive. One explode + one aggregate."""
+    from .scale import widen
+
     tok = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        widen(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .where(F.col("token") != "")
         .distinct()
         .withColumn("h32", F.expr(token_hash32_sql("token")))

@@ -231,6 +231,29 @@ def kmeans_centroids(
     )
 
 
+def save_quantizer(
+    cents: list[tuple[int, list[float]]], spark, path: str
+) -> None:
+    """Persist a trained coarse quantizer — the 100 TB usage pattern is
+    train-once-on-a-sample, then reuse across every search/assignment
+    job (retraining per query in the benched queries is a harness
+    artifact; this is the production path)."""
+    spark.createDataFrame(
+        [(cid, coords) for cid, coords in cents],
+        "centroid_id bigint, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_quantizer(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Inverse of :func:`save_quantizer`; float64 round-trips through
+    parquet exactly, so a loaded quantizer reproduces assignments
+    bit-for-bit."""
+    return sorted(
+        (r["centroid_id"], [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
 def ivf_assignments(
     emb: DataFrame,
     n_centroids: int = IVF_NCENTROIDS,
@@ -259,6 +282,7 @@ def ivf_topk(
     n_centroids: int = IVF_NCENTROIDS,
     nprobe: int = IVF_NPROBE,
     n_iters: int = IVF_KMEANS_ITERS,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their home cell (crank=1);
     each query probes its ``nprobe`` nearest cells and ranks exact
@@ -278,15 +302,16 @@ def ivf_topk(
 
     from ..functions.vectors import norm
 
-    if n_iters > 0:
-        cents = kmeans_centroid_list(emb, n_centroids, n_iters)
-    else:
-        cents = sorted(
-            (r["vec_id"], [float(x) for x in r["embedding"]])
-            for r in emb.where(F.col("vec_id") < n_centroids)
-            .select("vec_id", "embedding")
-            .collect()
-        )
+    if cents is None:
+        if n_iters > 0:
+            cents = kmeans_centroid_list(emb, n_centroids, n_iters)
+        else:
+            cents = sorted(
+                (r["vec_id"], [float(x) for x in r["embedding"]])
+                for r in emb.where(F.col("vec_id") < n_centroids)
+                .select("vec_id", "embedding")
+                .collect()
+            )
     base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
     corpus = base.join(
         _assign_to_centroids(emb, cents, top=1).select("vec_id", "centroid_id"),

@@ -74,3 +74,32 @@ def test_ann_recall_vs_bruteforce(spark):
     # real win — centroids converging onto true clusters — is asserted
     # on constructed clusters in test_dedup.py.
     assert r_ref >= r_raw - REFINE_TOLERANCE
+
+
+def test_quantizer_persists_and_reproduces(spark, tmp_path):
+    """Train-once-reuse-everywhere: a saved+loaded quantizer must give
+    bit-identical search results to the freshly trained one (float64
+    round-trips parquet exactly), skipping the training jobs."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import load_table
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroid_list,
+        load_quantizer,
+        save_quantizer,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_centroid_list(emb)
+    path = str(tmp_path / "quantizer")
+    save_quantizer(cents, spark, path)
+    loaded = load_quantizer(spark, path)
+    assert loaded == cents
+    fresh = {
+        (r["qid"], r["nid"], r["sim"])
+        for r in ivf_topk(emb, 10, 5).collect()
+    }
+    reused = {
+        (r["qid"], r["nid"], r["sim"])
+        for r in ivf_topk(emb, 10, 5, cents=loaded).collect()
+    }
+    assert fresh == reused
