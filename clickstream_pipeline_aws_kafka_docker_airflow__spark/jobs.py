@@ -134,13 +134,25 @@ def run_corpus_curation(
     with identical content, so retries are idempotent.
     """
     from .queries.curation_q import corpus_curation, source_curation_stats
+    from .queries.pipeline_q import dedup_clusters
+    from .queries.text_q import quality_score
+
+    # both products consume the same heavy stages — compute the dup
+    # labels (full MinHash + iterative CC) and quality scores ONCE,
+    # materialized, instead of once per product. The label/quality
+    # frames are one narrow row per doc — cheap to checkpoint at any
+    # scale relative to re-deriving them.
+    clusters = dedup_clusters(spark, sf_dir).localCheckpoint()
+    quality = quality_score(spark, sf_dir).localCheckpoint()
 
     docs_zone = f"{out_dir}/curated_docs"
     stats_zone = f"{out_dir}/source_stats"
-    corpus_curation(spark, sf_dir).write.mode("overwrite").parquet(docs_zone)
-    source_curation_stats(spark, sf_dir).write.mode("overwrite").parquet(
-        stats_zone
-    )
+    corpus_curation(
+        spark, sf_dir, quality=quality, clusters=clusters
+    ).write.mode("overwrite").parquet(docs_zone)
+    source_curation_stats(
+        spark, sf_dir, quality=quality, clusters=clusters
+    ).write.mode("overwrite").parquet(stats_zone)
     return {
         "curated_docs": spark.read.parquet(docs_zone).count(),
         "kept_sources": spark.read.parquet(stats_zone)

@@ -112,9 +112,9 @@ def _assign_to_centroids(
     is a sequential in-order float64 fold, so d2 stays bit-identical
     to the DuckDB oracle's ``list_dot_product`` spelling.
     """
-    from .scale import widen
-
-    emb = widen(emb)
+    # NOTE: callers widen() the corpus input ONCE before the loop /
+    # search — widening here would re-trigger query planning (via
+    # .rdd.getNumPartitions) on every per-iteration call
     dvv = dot("embedding", "embedding")
     # ONE lambda over a literal centroid matrix, not n_centroids copies
     # of a 64-element fold subtree: Catalyst analysis + codegen cost is
@@ -190,7 +190,9 @@ def kmeans_centroid_list(
     trains on a SAMPLE once and is persisted/reused across queries —
     retraining per query here is a harness artifact.
     """
-    base = emb.select(
+    from .scale import widen
+
+    base = widen(emb).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds = base.where(F.col("vec_id") < n_centroids).collect()
@@ -263,6 +265,8 @@ def ivf_assignments(
     """Coarse quantizer: nearest-centroid ranking per vector against
     the (optionally k-means-refined) centroid set, limited to the
     ``top`` nearest cells (default: full ranking)."""
+    from .scale import widen
+
     if n_iters > 0:
         cents = kmeans_centroid_list(emb, n_centroids, n_iters)
     else:
@@ -272,7 +276,7 @@ def ivf_assignments(
             .select("vec_id", "embedding")
             .collect()
         )
-    return _assign_to_centroids(emb, cents, top=top or len(cents))
+    return _assign_to_centroids(widen(emb), cents, top=top or len(cents))
 
 
 def ivf_topk(
@@ -301,7 +305,9 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     from ..functions.vectors import norm
+    from .scale import widen
 
+    emb = widen(emb)
     if cents is None:
         if n_iters > 0:
             cents = kmeans_centroid_list(emb, n_centroids, n_iters)

@@ -1,11 +1,17 @@
 """End-to-end corpus curation: the composite "materialize the training
 set" query — quality floor AND dedup keep-list AND train slice AND
-contamination ceiling, all in one pass.
+contamination ceiling, all in one pass — plus the source-level
+(domain-level) keep/drop rollup.
 
 This is the query a 100 TB corpus build actually ships: the individual
 operators (quality_score, dedup_clusters, train_split,
 contamination_check) are its stages, and this proves they compose —
 one DataFrame, one oracle, one hash check over the whole pipeline.
+The oracle SQL composes the SAME shared fragments the stage oracles
+use (pipeline_q.MEMBERS_CTES / CONTAM_CTES), so a change to a stage's
+semantics cannot silently de-sync the composite. The stage frames can
+be INJECTED (``quality=``, ``clusters=``, ``contam=``) so a job that
+materializes several curation products computes each heavy stage once.
 """
 
 from __future__ import annotations
@@ -15,13 +21,12 @@ from pyspark.sql import functions as F
 from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
 from ..registry import register
-from .dedup_q import _minhash_oracle
 from .pipeline_q import (
-    DUP_JACCARD,
+    CONTAM_CTES,
+    MEMBERS_CTES,
     N_BENCH_DOCS,
     SPLIT_BUCKETS,
     SPLIT_TRAIN,
-    _CONTAM_SH,
     _hash32_duck,
     _quality_subquery,
     contamination_check,
@@ -37,29 +42,15 @@ CONTAM_CEIL = 0.2
 @register(
     "corpus_curation",
     oracle=f"""
-WITH RECURSIVE pairs AS (
-    SELECT * FROM ({_minhash_oracle()}) mh WHERE jaccard >= {DUP_JACCARD}
-), e AS (
-    SELECT id_a AS a, id_b AS b FROM pairs
-    UNION SELECT id_b, id_a FROM pairs
-), reach AS (
-    SELECT a, b FROM e
-    UNION
-    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-), members AS (
-    SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
-), quality AS ({_quality_subquery()}),
-sh AS ({_CONTAM_SH}),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS}),
-corpus_sh AS (SELECT * FROM sh WHERE doc_id >= {N_BENCH_DOCS}),
+WITH RECURSIVE {MEMBERS_CTES},
+quality AS ({_quality_subquery()}),
+{CONTAM_CTES},
 contam AS (
     SELECT s.doc_id,
            ROUND(CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*), 4)
                AS contamination_rate
     FROM corpus_sh s
-    LEFT JOIN (SELECT c.doc_id, COUNT(*) AS n_hit
-               FROM corpus_sh c JOIN bench b ON b.shingle = c.shingle
-               GROUP BY 1) h ON h.doc_id = s.doc_id
+    LEFT JOIN hits h ON h.doc_id = s.doc_id
     GROUP BY s.doc_id
 )
 SELECT d.doc_id, q.quality, COALESCE(c.contamination_rate, 0.0) AS contamination_rate
@@ -74,7 +65,7 @@ WHERE d.doc_id >= {N_BENCH_DOCS}
   AND {_hash32_duck("CAST(d.doc_id AS VARCHAR)")} % {SPLIT_BUCKETS} < {SPLIT_TRAIN}
 """,
 )
-def corpus_curation(spark, sf_dir):
+def corpus_curation(spark, sf_dir, quality=None, clusters=None, contam=None):
     """The four curation stages joined on doc_id and filtered in one
     plan: keep a doc iff it (a) is not a benchmark doc, (b) clears the
     quality floor, (c) is its dup-cluster's canonical, (d) shows less
@@ -90,23 +81,25 @@ def corpus_curation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") >= N_BENCH_DOCS
     )
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    keep = dedup_clusters(spark, sf_dir).where(F.col("is_canonical")).select(
-        "doc_id"
-    )
+    if quality is None:
+        quality = quality_score(spark, sf_dir)
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    if contam is None:
+        contam = contamination_check(spark, sf_dir)
+    q = quality.select("doc_id", "quality")
+    keep = clusters.where(F.col("is_canonical")).select("doc_id")
     split = train_split(spark, sf_dir).where(F.col("split") == "train").select(
         "doc_id"
     )
-    contam = contamination_check(spark, sf_dir).select(
-        "doc_id", "contamination_rate"
-    )
+    rate = contam.select("doc_id", "contamination_rate")
     return (
         docs.select("doc_id")
         .join(q, "doc_id")
         .where(F.col("quality") >= QUALITY_FLOOR)
         .join(keep, "doc_id", "left_semi")
         .join(split, "doc_id", "left_semi")
-        .join(contam, "doc_id", "left")
+        .join(rate, "doc_id", "left")
         .withColumn(
             "contamination_rate", F.coalesce("contamination_rate", F.lit(0.0))
         )
@@ -127,18 +120,8 @@ SRC_QUALITY_FLOOR = 0.59  # ...or its 4-dp truncated mean quality is below
 @register(
     "source_curation_stats",
     oracle=f"""
-WITH RECURSIVE pairs AS (
-    SELECT * FROM ({_minhash_oracle()}) mh WHERE jaccard >= {DUP_JACCARD}
-), e AS (
-    SELECT id_a AS a, id_b AS b FROM pairs
-    UNION SELECT id_b, id_a FROM pairs
-), reach AS (
-    SELECT a, b FROM e
-    UNION
-    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-), members AS (
-    SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
-), quality AS ({_quality_subquery()})
+WITH RECURSIVE {MEMBERS_CTES},
+quality AS ({_quality_subquery()})
 SELECT d.source,
        COUNT(*) AS n_docs,
        SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
@@ -154,7 +137,7 @@ LEFT JOIN members m ON m.doc_id = d.doc_id
 GROUP BY d.source
 """,
 )
-def source_curation_stats(spark, sf_dir):
+def source_curation_stats(spark, sf_dir, quality=None, clusters=None):
     """Domain-level curation — the rollup a corpus build uses to keep
     or drop whole SOURCES (sites, crawls, feeds) rather than documents:
     per source, the doc count, how many docs are near-dup non-canonicals,
@@ -168,8 +151,12 @@ def source_curation_stats(spark, sf_dir):
     shuffled on ``source``; dup-share math never leaves integers.
     """
     d = load_table(spark, sf_dir, "documents")
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    dup = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    if quality is None:
+        quality = quality_score(spark, sf_dir)
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    q = quality.select("doc_id", "quality")
+    dup = clusters.select("doc_id", "is_canonical")
     dup_flag = F.when(F.col("is_canonical"), 0).otherwise(1)
     agg = (
         d.select("doc_id", "source")

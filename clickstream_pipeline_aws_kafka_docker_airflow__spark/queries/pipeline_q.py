@@ -27,10 +27,13 @@ from ..registry import register
 DUP_JACCARD = 0.5
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-WITH RECURSIVE pairs AS (
+# Shared oracle fragment: verified near-dup pairs -> symmetric edges ->
+# recursive transitive closure -> per-doc min-reachable-id (`members`).
+# ONE spelling, composed by dedup_clusters, corpus_curation, and
+# source_curation_stats — editing the closure logic or threshold in one
+# consumer but not the others would silently de-sync the composite
+# oracles from their stage oracle.
+MEMBERS_CTES = f"""pairs AS (
     SELECT * FROM ({_minhash_oracle()}) q WHERE jaccard >= {DUP_JACCARD}
 ), e AS (
     SELECT id_a AS a, id_b AS b FROM pairs
@@ -41,7 +44,13 @@ WITH RECURSIVE pairs AS (
     SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
 ), members AS (
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
-)
+)"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {MEMBERS_CTES}
 SELECT d.doc_id,
        COALESCE(m.canonical_id, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(m.canonical_id, d.doc_id) AS is_canonical
@@ -377,25 +386,30 @@ _CONTAM_SH = f"""
 """
 
 
-@register(
-    "contamination_check",
-    oracle=f"""
-WITH sh AS ({_CONTAM_SH}),
+# Shared oracle fragment: corpus/benchmark shingle split + per-doc hit
+# counts — composed by contamination_check and corpus_curation.
+CONTAM_CTES = f"""sh AS ({_CONTAM_SH}),
 bench AS (
     SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS}
 ),
-corpus AS (SELECT * FROM sh WHERE doc_id >= {N_BENCH_DOCS}),
+corpus_sh AS (SELECT * FROM sh WHERE doc_id >= {N_BENCH_DOCS}),
 hits AS (
     SELECT c.doc_id, COUNT(*) AS n_hit
-    FROM corpus c JOIN bench b ON b.shingle = c.shingle
+    FROM corpus_sh c JOIN bench b ON b.shingle = c.shingle
     GROUP BY 1
-)
+)"""
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH {CONTAM_CTES}
 SELECT s.doc_id,
        COUNT(*) AS n_shingles,
        COALESCE(MAX(h.n_hit), 0) AS n_contaminated,
        ROUND(CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*), 4)
            AS contamination_rate
-FROM corpus s LEFT JOIN hits h ON h.doc_id = s.doc_id
+FROM corpus_sh s LEFT JOIN hits h ON h.doc_id = s.doc_id
 GROUP BY s.doc_id
 """,
 )

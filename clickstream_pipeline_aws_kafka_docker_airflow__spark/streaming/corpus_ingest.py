@@ -31,6 +31,7 @@ k short strings per accepted doc, orders of magnitude under the text.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -77,11 +78,24 @@ def _dedup_one_batch(
     keep = docs.join(F.broadcast(losers), "doc_id", "left_anti")
 
     # 2) cross-batch: band-join the survivors' signatures against the
-    # signature zone; reject on minhash agreement
+    # signature zone; reject on minhash agreement. Only EARLIER batches
+    # count as history — a replayed batch must not screen its docs
+    # against its own previously-persisted signatures (every doc
+    # matches itself on all hashes, so the replay would reject the
+    # whole batch; excluding batch_id >= current makes replay exactly
+    # idempotent, not accidentally so). Only the first-batch missing
+    # zone is "no history"; real read failures must propagate, not
+    # silently disable the dedup screen.
     sigs = minhash_signatures(shingle_table(keep))
     try:
-        old = spark.read.parquet(_sigs_zone(corpus_dir)).drop("batch_id")
-    except Exception:
+        old = (
+            spark.read.parquet(_sigs_zone(corpus_dir))
+            .where(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+    except AnalysisException as e:
+        if (e.getCondition() or "") != "PATH_NOT_FOUND":
+            raise
         old = None
     if old is not None:
         nb = band_table(sigs).withColumnRenamed("doc_id", "new_id")

@@ -45,7 +45,7 @@ def _run_stream(spark, src_dir, corpus_dir, ckpt_dir):
         str(src_dir)
     )
     q = start_dedup_corpus_ingest(stream, str(corpus_dir), str(ckpt_dir))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within timeout"
 
 
 def test_online_dedup_within_and_across_batches(spark, tmp_path):

@@ -97,7 +97,7 @@ def test_pack_invariants_on_generated_lengths(spark, tmp_path_factory, n_tokens)
     by_chunk: dict[tuple, list] = {}
     for r in rows:
         by_chunk.setdefault((r["shard"], r["chunk_id"]), []).append(r)
-    for members, in zip(by_chunk.values()):
+    for members in by_chunk.values():
         total = sum(r["n_tokens"] for r in members)
         assert total <= PACK_MAX_TOKENS or len(members) == 1
         assert max(r["chunk_fill"] for r in members) == total
