@@ -1,0 +1,211 @@
+"""Product quantization (PQ) — the third ANN tier next to sign-LSH and
+IVF: split the embedding into ``N_SUB`` subvectors, k-means each
+subspace independently, and store every vector as ``N_SUB`` small codes
+(here 8 codes of 4 bits of information each — a 64-float vector
+compresses to 8 ints). Search scans CODES, not vectors: per query a
+``N_SUB x K_SUB`` lookup table of subspace distances is built once, and
+a vector's approximate distance is ``sum_s LUT[s][code_s]`` — integer
+indexing and adds, no per-pair dot products.
+
+At 100 TB this is the memory-bound regime's answer: the code table is
+~10^2 smaller than the raw vectors, streams through executors at scan
+speed, and the LUT rides in the closure. Approximation is handled the
+same way as the Arrow-matmul path (operators/similarity.py): PQ
+distance only PRUNES to ``k + margin`` candidates per query, and the
+survivors are re-scored with the exact sequential-fold cosine — final
+results are bit-identical to the exact ordering on the candidate set.
+
+Training reuses the deterministic machinery of the IVF quantizer
+(exact-decimal means, fixed iterations, id tie-breaks) per subspace, so
+codes are reproducible across engines and runs; with ``n_iters=0`` the
+codebooks are the first ``k_sub`` subvectors and the whole encoding has
+a DuckDB oracle (queries/pq_q.py::pq_codes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import dot
+from .similarity import _assign_to_centroids, kmeans_centroid_list
+
+N_SUB = 8  # subspaces
+SUB_DIM = 8  # dims per subspace (N_SUB * SUB_DIM = embedding dim)
+K_SUB = 16  # centroids per subspace codebook
+PQ_ITERS = 0  # 0 = sampled-seed codebooks (fully oracle-able)
+
+
+def _sub_slice(s: int, col: str = "embedding") -> F.Column:
+    return F.slice(F.col(col), s * SUB_DIM + 1, SUB_DIM)
+
+
+def train_pq(
+    emb: DataFrame,
+    n_sub: int = N_SUB,
+    k_sub: int = K_SUB,
+    n_iters: int = PQ_ITERS,
+) -> list[list[tuple[int, list[float]]]]:
+    """One codebook per subspace: k-means (or, for ``n_iters=0``, the
+    first ``k_sub`` subvectors by vec_id) over that subspace's slice of
+    every vector. Returns ``codebooks[s] = [(code_id, coords), ...]``.
+    """
+    books = []
+    for s in range(n_sub):
+        sliced = emb.select(
+            "vec_id", _sub_slice(s).cast("array<double>").alias("embedding")
+        )
+        if n_iters > 0:
+            books.append(kmeans_centroid_list(sliced, k_sub, n_iters))
+        else:
+            books.append(
+                sorted(
+                    (r["vec_id"], [float(x) for x in r["embedding"]])
+                    for r in sliced.where(F.col("vec_id") < k_sub).collect()
+                )
+            )
+    return books
+
+
+def encode_pq(
+    emb: DataFrame, books: list[list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """(vec_id, codes array<bigint>) — nearest-codebook-entry id per
+    subspace, ONE projection for all subspaces (each an array_min over
+    the literal codebook, the same shape as the IVF assignment)."""
+    code_cols = []
+    for s, book in enumerate(books):
+        sliced = _sub_slice(s)
+        cmat = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in coords) + ")"
+                for _, coords in book
+            )
+            + ")"
+        )
+        cidv = F.expr(
+            "array(" + ",".join(str(int(cid)) for cid, _ in book) + ")"
+        )
+        svv = F.aggregate(
+            F.zip_with(sliced, sliced, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries = F.zip_with(
+            cmat,
+            cidv,
+            lambda c, cid: F.struct(
+                (
+                    svv
+                    - 2
+                    * F.aggregate(
+                        F.zip_with(sliced, c, lambda a, b: a.cast("double") * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    + F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+                ).alias("d2"),
+                cid.cast("bigint").alias("code"),
+            ),
+        )
+        code_cols.append(F.array_min(entries)["code"])
+    return emb.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    n_sub: int = N_SUB,
+    k_sub: int = K_SUB,
+    n_iters: int = PQ_ITERS,
+    rescore_margin: int = 50,
+) -> DataFrame:
+    """PQ search: encode the corpus once, build per-query LUTs at the
+    driver (``n_queries x n_sub x k_sub`` doubles — tiny), prune to the
+    ``k + rescore_margin`` best approximate distances per query, then
+    exact-rescore the survivors with the sequential-fold cosine. Same
+    prune-then-exact contract as ``topk_matmul_arrow``.
+
+    ``rescore_margin`` is the recall dial: measured on the driver's
+    UNCLUSTERED embeddings (near-random neighbors — the hardest case
+    for any quantizer) recall@5 is 0.53/0.71/0.82 at margins 25/50/75
+    (tests/test_pq.py pins a floor). On real clustered embeddings the
+    codes separate neighbors far better and a much smaller margin
+    reaches the same recall; at scale the rescore cost is
+    margin-rows-per-query regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import norm
+    from .scale import widen
+
+    emb = widen(emb)
+    books = train_pq(emb, n_sub, k_sub, n_iters)
+    codes = encode_pq(emb, books)
+
+    q_rows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    # LUT[q][s][c] = ||q_s - c||^2, flattened to SQL literals per query
+    lut_rows = []
+    for r in q_rows:
+        v = list(r["v"])
+        luts = []
+        for s, book in enumerate(books):
+            sub = v[s * SUB_DIM : (s + 1) * SUB_DIM]
+            row = []
+            for _, coords in book:
+                d2 = 0.0
+                for a, b in zip(sub, coords):
+                    d2 += (a - b) * (a - b)
+                row.append(d2)
+            luts.append(row)
+        lut_rows.append((r["vec_id"], luts))
+    qdf = emb.sparkSession.createDataFrame(
+        lut_rows, "qid bigint, lut array<array<double>>"
+    )
+    # approx distance: integer-indexed LUT lookups, one per subspace
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("lut", (s + 1).cast("int")),
+            (F.element_at("codes", (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    pairs = (
+        codes.join(F.broadcast(qdf), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), adist.alias("adist"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    cand = (
+        pairs.withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= k + rescore_margin)
+        .select("qid", "nid")
+    )
+    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    qv = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    rescored = (
+        base.join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )

@@ -1,0 +1,74 @@
+"""Product-quantization queries: the encoding path is value-checked
+against a full DuckDB oracle (with sampled-seed codebooks the nearest-
+entry search is pure arithmetic over the same float64 values on both
+engines), and the search path is pinned by recall/determinism tests
+(tests/test_pq.py) — the PQ prune is engine-internal, so a SQL twin
+would have to re-spell the whole LUT machinery for no extra signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.pq import K_SUB, N_SUB, SUB_DIM, encode_pq, pq_topk, train_pq
+from ..registry import register
+from .similarity_q import ANN_K, ANN_NQUERIES
+
+
+def _pq_codes_oracle() -> str:
+    subs, bests, cols = [], [], []
+    for s in range(N_SUB):
+        lo, hi = s * SUB_DIM + 1, (s + 1) * SUB_DIM
+        d2 = (
+            f"list_dot_product(a.v[{lo}:{hi}], a.v[{lo}:{hi}])"
+            f" - 2 * list_dot_product(a.v[{lo}:{hi}], s2.v[{lo}:{hi}])"
+            f" + list_dot_product(s2.v[{lo}:{hi}], s2.v[{lo}:{hi}])"
+        )
+        subs.append(
+            f"sub{s} AS (SELECT a.vec_id, s2.code, {d2} AS d2 FROM e a, seeds s2)"
+        )
+        bests.append(
+            f"best{s} AS (SELECT vec_id, code FROM ("
+            f"SELECT vec_id, code, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, code) AS rn FROM sub{s}"
+            f") WHERE rn = 1)"
+        )
+        cols.append(f"best{s}.code AS c{s}")
+    joins = " ".join(
+        f"JOIN best{s} ON best{s}.vec_id = e.vec_id" for s in range(N_SUB)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+    SELECT vec_id AS code, v FROM e WHERE vec_id < {K_SUB}
+), {", ".join(subs)}, {", ".join(bests)}
+SELECT e.vec_id, {", ".join(cols)}
+FROM e {joins}
+"""
+
+
+@register("pq_codes", oracle=_pq_codes_oracle())
+def pq_codes(spark, sf_dir):
+    """PQ encoding, value-checked per vector: every (vector, subspace)
+    nearest-codebook-entry decision the Arrow-free engine-side
+    projection makes must match DuckDB re-deriving it from the same
+    floats — d2 expanded identically (v.v - 2 v.c + c.c, sequential
+    folds), ties on code id. Codes project to scalar columns (the
+    driver canonicalizer cannot hash array cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb)
+    codes = encode_pq(emb, books)
+    return codes.select(
+        "vec_id", *[F.col("codes")[s].alias(f"c{s}") for s in range(N_SUB)]
+    )
+
+
+@register("ann_topk_pq")
+def ann_topk_pq(spark, sf_dir):
+    """ext_sim_topk PQ path (rows-only: the prune is engine-internal;
+    recall and determinism are pinned by tests/test_pq.py): codes scan
+    + LUT prune + exact rescore, bit-identical final sims to the exact
+    ordering on the candidate set."""
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), ANN_NQUERIES, ANN_K)

@@ -67,6 +67,7 @@ def _load_all() -> None:
         lateral_q,
         misc_q,
         pipeline_q,
+        pq_q,
         multimodal_q,
         relational_q,
         similarity_q,
