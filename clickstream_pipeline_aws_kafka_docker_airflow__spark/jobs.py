@@ -117,6 +117,66 @@ def run_daily_kpis(
     return "OK"
 
 
+def run_kpi_backfill(
+    spark: SparkSession,
+    raw_path: str,
+    kpi_path: str,
+    start_date: str,
+    end_date: str,
+) -> dict[str, int]:
+    """Rebuild the KPI zone for a date RANGE in ONE job — the Spark
+    answer to the reference's 16-concurrent-day-DAG-runs backfill
+    (daily_kpis.py:186-188): read every ``date=`` partition in
+    [start, end], aggregate all days in a single groupBy(dt), and
+    dynamically overwrite exactly the day partitions present. One scan
+    and one shuffle replace N scheduler-coordinated day jobs; day-level
+    parallelism comes from the shuffle, not the orchestrator.
+
+    Returns {"days_written": n}. Missing day partitions in the range
+    simply contribute no rows (same NO_INPUT semantics per day as
+    :func:`run_daily_kpis`); a fully-empty range writes nothing.
+    """
+    days = _date_seq(start_date, end_date)
+    frames = []
+    for day in days:
+        try:
+            frames.append(read_jsonl_drop_malformed(spark, f"{raw_path}/date={day}"))
+        except AnalysisException as e:
+            if (e.getCondition() or "") == "PATH_NOT_FOUND":
+                continue
+            raise
+    if not frames:
+        return {"days_written": 0}
+    events = frames[0]
+    for f_ in frames[1:]:
+        events = events.unionByName(f_, allowMissingColumns=True)
+    parsed = events.withColumn("ts", F.to_timestamp("event_ts"))
+    kpis = (
+        daily_kpis(
+            parsed, ts="ts", user="user_id", session="session_id",
+            etype="event_type", price="price",
+        )
+        .withColumn("dt", F.col("dt").cast("string"))
+        .where(F.col("dt").isin(days))
+    )
+    if kpis.isEmpty():
+        return {"days_written": 0}
+    write_kpis_parquet(kpis, kpi_path)
+    return {
+        "days_written": kpis.select("dt").distinct().count(),
+    }
+
+
+def _date_seq(start_date: str, end_date: str) -> list[str]:
+    d0, d1 = dt.date.fromisoformat(start_date), dt.date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError(f"backfill range reversed: {start_date}..{end_date}")
+    return [
+        (d0 + dt.timedelta(days=i)).isoformat()
+        for i in range((d1 - d0).days + 1)
+    ]
+
+
 def run_corpus_curation(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict[str, int]:

@@ -16,7 +16,9 @@ operational deltas vs the reference are deliberate and documented in
 streaming/ingest.py — the per-minute ingest tick becomes one
 Trigger.AvailableNow drain per run (exactly-once instead of
 at-least-once), and the 16-way day-level backfill parallelism is
-subsumed by a single groupBy(dt) over whatever range needs rebuilding.
+subsumed by a single groupBy(dt) over whatever range needs rebuilding
+(``jobs.run_kpi_backfill`` — one scan + one shuffle instead of N
+scheduler-coordinated day runs).
 """
 
 from __future__ import annotations

@@ -174,3 +174,66 @@ def test_run_corpus_curation_writes_consistent_zones(spark, sf_dir, tmp_path):
     # idempotent rerun: same zones, same counts
     again = run_corpus_curation(spark, sf_dir, out)
     assert again == counts
+
+
+def test_run_kpi_backfill_range_one_job(spark, tmp_path):
+    """A 2-day backfill rebuilds exactly its range in one job: days
+    outside the range survive untouched, missing days inside the range
+    contribute nothing, and the written days match a per-day rerun."""
+    import json as _json
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_kpi_backfill,
+    )
+
+    raw = tmp_path / "raw"
+
+    def _day(day, users):
+        d = raw / f"date={day}" / "hour=10"
+        d.mkdir(parents=True)
+        rows = [
+            {
+                "event_ts": f"{day}T10:00:00Z",
+                "user_id": u,
+                "session_id": f"s_{u}",
+                "event_type": "purchase",
+                "page": "/",
+                "product_id": "sku",
+                "price": 5.0,
+                "currency": "USD",
+                "referrer": "r",
+                "user_agent": "UA",
+            }
+            for u in users
+        ]
+        (d / "b.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    _day("2025-09-01", ["u1"])
+    _day("2025-09-02", ["u1", "u2"])
+    _day("2025-09-04", ["u3"])  # outside the backfill range
+
+    kpis = tmp_path / "kpis"
+    # seed the zone with all days, then corrupt the 09-02 row's source
+    # and backfill 09-01..09-03 (09-03 missing -> contributes nothing)
+    assert run_kpi_backfill(
+        spark, str(raw), str(kpis), "2025-09-01", "2025-09-04"
+    ) == {"days_written": 3}
+    _day("2025-09-03", ["u9"])  # lands late
+    out = run_kpi_backfill(spark, str(raw), str(kpis), "2025-09-01", "2025-09-03")
+    assert out == {"days_written": 3}
+    got = {
+        str(r["dt"]): r["total_events"]
+        for r in spark.read.parquet(str(kpis)).collect()
+    }
+    assert got == {
+        "2025-09-01": 1,
+        "2025-09-02": 2,
+        "2025-09-03": 1,
+        "2025-09-04": 1,  # untouched by the second (narrower) backfill
+    }
+    # empty range -> writes nothing
+    assert run_kpi_backfill(
+        spark, str(raw), str(kpis), "2099-01-01", "2099-01-02"
+    ) == {"days_written": 0}
