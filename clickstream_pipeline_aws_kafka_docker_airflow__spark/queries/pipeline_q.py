@@ -448,3 +448,70 @@ def contamination_check(spark, sf_dir):
             ).alias("contamination_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal dedup validation
+
+
+@register(
+    "neardup_embedding_check",
+    oracle=f"""
+WITH pairs AS (
+    SELECT * FROM ({_minhash_oracle()}) q WHERE jaccard >= {DUP_JACCARD}
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS emb_sim
+FROM pairs p
+JOIN e a ON a.vec_id = p.id_a
+JOIN e b ON b.vec_id = p.id_b
+""",
+)
+def neardup_embedding_check(spark, sf_dir):
+    """Cross-modal consistency probe — the check a curation pipeline
+    runs before trusting EITHER detector: for every verified TEXT
+    near-dup pair, the EMBEDDING cosine of the same two documents
+    (doc_id joins vec_id; pairs without embeddings drop out). Text-dup
+    pairs with low embedding similarity mean the embedding model (or
+    the text normalizer) disagrees with the shingle view — exactly the
+    pairs a human should sample.
+
+    Scale: the pair list is the (small) verified near-dup set; both
+    embedding fetches are joins keyed on the pair ids against the
+    embedding table — no pairwise work beyond the pairs themselves.
+    """
+    from ..functions.vectors import dot, norm
+    from ..operators.dedup import minhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(docs).where(F.col("jaccard") >= DUP_JACCARD)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4).alias(
+                "emb_sim"
+            ),
+        )
+    )
