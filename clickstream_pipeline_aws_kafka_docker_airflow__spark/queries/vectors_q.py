@@ -157,3 +157,94 @@ def embed_neardup_cosine(spark, sf_dir):
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= NEARDUP_THRESHOLD)
     )
+# appended to vectors_q.py
+
+
+MEAN_TRUNC6_DUCK = (
+    "CAST(SUM(CAST(x AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
+    " // (COUNT(x) * 100) / CAST(1000000 AS DOUBLE)"
+)
+
+
+@register(
+    "label_centroid_inertia",
+    oracle=f"""
+WITH e AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+    SELECT label, pos, v[pos] AS x FROM (
+        SELECT label, v, unnest(generate_series(1, len(v))) AS pos FROM e
+    )
+), cent AS (
+    SELECT label, pos, {MEAN_TRUNC6_DUCK} AS coord
+    FROM dims GROUP BY label, pos
+), carr AS (
+    SELECT label, list(coord ORDER BY pos) AS c FROM cent GROUP BY label
+), d2 AS (
+    SELECT e.label,
+           list_dot_product(e.v, e.v)
+           - 2 * list_dot_product(e.v, carr.c)
+           + list_dot_product(carr.c, carr.c) AS d2
+    FROM e JOIN carr ON carr.label = e.label
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(ROUND(SUM(CAST(d2 AS DECIMAL(24,8))), 2) AS DOUBLE) AS inertia
+FROM d2 GROUP BY label
+""",
+)
+def label_centroid_inertia(spark, sf_dir):
+    """Clustering diagnostics over the labeled embeddings: per label,
+    the within-cluster sum of squared distances (inertia) to the
+    label's centroid — the number a k-means quality report prints.
+
+    Determinism end to end: centroid coordinates are the 6-dp
+    TRUNCATED exact-decimal means (operators/similarity.py::
+    MEAN_TRUNC6_SQL — identical on both engines, so both measure
+    distance to the SAME point); per-vector d2 is sequential-fold
+    float64 over identical inputs; and the final inertia sum is an
+    exact-decimal sum rounded on output, so partial-aggregation order
+    cannot flip it.
+
+    Scale: two aggregations (per-dim means, per-label sums) both keyed
+    on label — centroid state is labels x dims rows; the rebuild of the
+    ordered centroid array is a labels-sized sort, and the d2 pass is
+    one broadcast join + map-side fold over the corpus.
+    """
+    from ..operators.similarity import MEAN_TRUNC6_SQL
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = e.select("label", F.posexplode("v").alias("pos0", "x"))
+    cent = dims.groupBy("label", "pos0").agg(
+        F.expr(MEAN_TRUNC6_SQL).alias("coord")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos0"), F.col("coord")))
+            ),
+            lambda s: s["coord"],
+        ).alias("c")
+    )
+    vv = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, t: s + t
+    )
+    vc = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: a * b), F.lit(0.0), lambda s, t: s + t
+    )
+    cc = F.aggregate(
+        F.zip_with("c", "c", lambda a, b: a * b), F.lit(0.0), lambda s, t: s + t
+    )
+    d2 = (vv - 2 * vc + cc).alias("d2")
+    return (
+        e.join(F.broadcast(carr), "label")
+        .select("label", d2)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(d2 AS DECIMAL(24,8))), 2) AS DOUBLE)"
+            ).alias("inertia"),
+        )
+    )
