@@ -81,10 +81,22 @@ def dec_avg_trunc4_sql(x: str, idiv: str) -> str:
     (fine through sf1 here; at larger scale keep the scaled value in
     DECIMAL(38,0) — the helper exists for cross-engine verification).
     """
+    return dec_avg_trunc_sql(x, idiv, 4)
+
+
+def dec_avg_trunc_sql(x: str, idiv: str, dp: int = 4) -> str:
+    """Generalized ``dp``-decimal-place truncated average (the single
+    source of the decimal scaling/precision constants — the 4-dp query
+    averages and the 6-dp k-means/centroid means all compose this, so
+    a change to the DECIMAL(24,8) addend cast or the BIGINT bound
+    propagates everywhere at once). ``dp`` must be <= 8 (the addend
+    scale)."""
+    if not 0 <= dp <= 8:
+        raise ValueError(f"dp out of range for DECIMAL(24,8) addends: {dp}")
     scaled = f"CAST(SUM(CAST({x} AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
     return (
-        f"({scaled} {idiv} (NULLIF(COUNT({x}), 0) * 10000))"
-        " / CAST(10000 AS DOUBLE)"
+        f"({scaled} {idiv} (NULLIF(COUNT({x}), 0) * {10 ** (8 - dp)}))"
+        f" / CAST({10 ** dp} AS DOUBLE)"
     )
 
 

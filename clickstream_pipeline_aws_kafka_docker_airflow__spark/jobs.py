@@ -135,21 +135,29 @@ def run_kpi_backfill(
     Returns {"days_written": n}. Missing day partitions in the range
     simply contribute no rows (same NO_INPUT semantics per day as
     :func:`run_daily_kpis`); a fully-empty range writes nothing.
+
+    Plan hygiene: day-partition existence is probed with one cheap
+    FileSystem.exists per day (driver-side listing, not a datasource
+    resolution), the surviving paths go into ONE multi-path read (an
+    O(1) plan, not an O(days) union chain), and the aggregated frame
+    is locally checkpointed so the empty-check, the write, and the
+    day count all read the materialized rows — the scan and shuffle
+    run exactly once.
     """
     days = _date_seq(start_date, end_date)
-    frames = []
-    for day in days:
-        try:
-            frames.append(read_jsonl_drop_malformed(spark, f"{raw_path}/date={day}"))
-        except AnalysisException as e:
-            if (e.getCondition() or "") == "PATH_NOT_FOUND":
-                continue
-            raise
-    if not frames:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _exists(p: str) -> bool:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(hconf).exists(hp)
+
+    present = [
+        p for d in days if _exists(p := f"{raw_path}/date={d}")
+    ]
+    if not present:
         return {"days_written": 0}
-    events = frames[0]
-    for f_ in frames[1:]:
-        events = events.unionByName(f_, allowMissingColumns=True)
+    events = read_jsonl_drop_malformed(spark, present, base_path=raw_path)
     parsed = events.withColumn("ts", F.to_timestamp("event_ts"))
     kpis = (
         daily_kpis(
@@ -158,13 +166,13 @@ def run_kpi_backfill(
         )
         .withColumn("dt", F.col("dt").cast("string"))
         .where(F.col("dt").isin(days))
+        .localCheckpoint()
     )
-    if kpis.isEmpty():
+    n_days = kpis.select("dt").distinct().count()
+    if n_days == 0:
         return {"days_written": 0}
     write_kpis_parquet(kpis, kpi_path)
-    return {
-        "days_written": kpis.select("dt").distinct().count(),
-    }
+    return {"days_written": n_days}
 
 
 def _date_seq(start_date: str, end_date: str) -> list[str]:

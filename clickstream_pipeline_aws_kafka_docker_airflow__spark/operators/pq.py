@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vectors import dot
-from .similarity import _assign_to_centroids, kmeans_centroid_list
+from .similarity import kmeans_centroid_list
 
 N_SUB = 8  # subspaces
 SUB_DIM = 8  # dims per subspace (N_SUB * SUB_DIM = embedding dim)
@@ -35,8 +35,10 @@ K_SUB = 16  # centroids per subspace codebook
 PQ_ITERS = 0  # 0 = sampled-seed codebooks (fully oracle-able)
 
 
-def _sub_slice(s: int, col: str = "embedding") -> F.Column:
-    return F.slice(F.col(col), s * SUB_DIM + 1, SUB_DIM)
+def _sub_slice(
+    s: int, col: str = "embedding", sub_dim: int = SUB_DIM
+) -> F.Column:
+    return F.slice(F.col(col), s * sub_dim + 1, sub_dim)
 
 
 def train_pq(
@@ -44,37 +46,56 @@ def train_pq(
     n_sub: int = N_SUB,
     k_sub: int = K_SUB,
     n_iters: int = PQ_ITERS,
+    sub_dim: int = SUB_DIM,
 ) -> list[list[tuple[int, list[float]]]]:
     """One codebook per subspace: k-means (or, for ``n_iters=0``, the
     first ``k_sub`` subvectors by vec_id) over that subspace's slice of
     every vector. Returns ``codebooks[s] = [(code_id, coords), ...]``.
+    ``n_sub * sub_dim`` must equal the embedding dimension — the
+    geometry flows through every consumer via the explicit ``sub_dim``.
     """
-    books = []
-    for s in range(n_sub):
-        sliced = emb.select(
-            "vec_id", _sub_slice(s).cast("array<double>").alias("embedding")
-        )
-        if n_iters > 0:
-            books.append(kmeans_centroid_list(sliced, k_sub, n_iters))
-        else:
-            books.append(
-                sorted(
-                    (r["vec_id"], [float(x) for x in r["embedding"]])
-                    for r in sliced.where(F.col("vec_id") < k_sub).collect()
-                )
+    if n_iters > 0:
+        return [
+            kmeans_centroid_list(
+                emb.select(
+                    "vec_id",
+                    _sub_slice(s, sub_dim=sub_dim)
+                    .cast("array<double>")
+                    .alias("embedding"),
+                ),
+                k_sub,
+                n_iters,
             )
-    return books
+            for s in range(n_sub)
+        ]
+    # seed codebooks: ONE collect of the k_sub seed vectors, sliced
+    # driver-side — not one scan job per subspace
+    seeds = sorted(
+        (r["vec_id"], [float(x) for x in r["v"]])
+        for r in emb.where(F.col("vec_id") < k_sub)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [
+        [
+            (cid, v[s * sub_dim : (s + 1) * sub_dim])
+            for cid, v in seeds
+        ]
+        for s in range(n_sub)
+    ]
 
 
 def encode_pq(
-    emb: DataFrame, books: list[list[tuple[int, list[float]]]]
+    emb: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int = SUB_DIM,
 ) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest-codebook-entry id per
     subspace, ONE projection for all subspaces (each an array_min over
     the literal codebook, the same shape as the IVF assignment)."""
     code_cols = []
     for s, book in enumerate(books):
-        sliced = _sub_slice(s)
+        sliced = _sub_slice(s, sub_dim=sub_dim)
         cmat = F.expr(
             "array("
             + ",".join(
@@ -120,6 +141,7 @@ def pq_topk(
     k_sub: int = K_SUB,
     n_iters: int = PQ_ITERS,
     rescore_margin: int = 50,
+    sub_dim: int = SUB_DIM,
 ) -> DataFrame:
     """PQ search: encode the corpus once, build per-query LUTs at the
     driver (``n_queries x n_sub x k_sub`` doubles — tiny), prune to the
@@ -141,27 +163,32 @@ def pq_topk(
     from .scale import widen
 
     emb = widen(emb)
-    books = train_pq(emb, n_sub, k_sub, n_iters)
-    codes = encode_pq(emb, books)
+    books = train_pq(emb, n_sub, k_sub, n_iters, sub_dim=sub_dim)
+    codes = encode_pq(emb, books, sub_dim=sub_dim)
 
     q_rows = (
         emb.where(F.col("vec_id") < n_queries)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     )
-    # LUT[q][s][c] = ||q_s - c||^2, flattened to SQL literals per query
+    # LUT[q][s][cid] = ||q_s - c||^2, indexed by CODEBOOK-ENTRY ID, not
+    # list position: with n_iters>0 a k-means cluster can empty and drop
+    # out of the book, leaving id gaps — a positional LUT would then
+    # read the wrong entry (or index past the end under ANSI mode).
+    # Gap ids get +inf so a stale code can never win the prune.
+    lut_len = max(cid for book in books for cid, _ in book) + 1
     lut_rows = []
     for r in q_rows:
         v = list(r["v"])
         luts = []
         for s, book in enumerate(books):
-            sub = v[s * SUB_DIM : (s + 1) * SUB_DIM]
-            row = []
-            for _, coords in book:
+            sub = v[s * sub_dim : (s + 1) * sub_dim]
+            row = [float("inf")] * lut_len
+            for cid, coords in book:
                 d2 = 0.0
                 for a, b in zip(sub, coords):
                     d2 += (a - b) * (a - b)
-                row.append(d2)
+                row[cid] = d2
             luts.append(row)
         lut_rows.append((r["vec_id"], luts))
     qdf = emb.sparkSession.createDataFrame(

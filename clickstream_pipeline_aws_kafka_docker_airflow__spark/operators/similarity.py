@@ -89,10 +89,9 @@ IVF_KMEANS_ITERS = 2
 # a plain AVG(double) mean would drift by an ulp between engines and
 # flip cell assignments. (Same construction as scalars.dec_avg_trunc4,
 # at 6 dp.)
-MEAN_TRUNC6_SQL = (
-    "(CAST(SUM(CAST(x AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
-    " div (COUNT(x) * 100)) / CAST(1000000 AS DOUBLE)"
-)
+from ..functions.scalars import dec_avg_trunc_sql
+
+MEAN_TRUNC6_SQL = dec_avg_trunc_sql("x", "div", 6)
 
 
 def _assign_to_centroids(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from ..functions.scalars import dec_avg_trunc_sql
 from ..io import load_table
 from ..operators.similarity import (
     ANN_BITS,
@@ -122,8 +123,7 @@ cent{i} AS (
     SELECT centroid_id, list(coord ORDER BY dim) AS cvec
     FROM (
         SELECT a.centroid_id, r.dim,
-               (CAST(SUM(CAST(v[dim] AS DECIMAL(24,8))) * 100000000 AS BIGINT)
-                // (COUNT(*) * 100)) / CAST(1000000 AS DOUBLE) AS coord
+               {dec_avg_trunc_sql("v[dim]", "//", 6)} AS coord
         FROM e
         JOIN a{i} a ON a.vec_id = e.vec_id AND a.crank = 1
         CROSS JOIN range(1, {ANN_DIM + 1}) r(dim)

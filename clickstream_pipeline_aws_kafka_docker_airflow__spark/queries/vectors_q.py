@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
+from ..functions.scalars import (
+    dec_avg_trunc4,
+    dec_avg_trunc4_sql,
+    dec_avg_trunc_sql,
+)
 from ..functions.vectors import dot, norm
 from ..io import load_table
 from ..registry import register
@@ -160,10 +164,7 @@ def embed_neardup_cosine(spark, sf_dir):
 # appended to vectors_q.py
 
 
-MEAN_TRUNC6_DUCK = (
-    "CAST(SUM(CAST(x AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
-    " // (COUNT(x) * 100) / CAST(1000000 AS DOUBLE)"
-)
+MEAN_TRUNC6_DUCK = dec_avg_trunc_sql("x", "//", 6)
 
 
 @register(

@@ -35,14 +35,22 @@ def read_jsonl_keep_malformed(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_jsonl_drop_malformed(spark: SparkSession, path: str) -> DataFrame:
-    """KPI-path read: malformed lines silently skipped."""
+def read_jsonl_drop_malformed(
+    spark: SparkSession, path: str | list[str], base_path: str | None = None
+) -> DataFrame:
+    """KPI-path read: malformed lines silently skipped. Accepts one
+    path or a list (one multi-path scan — the backfill shape); pass
+    ``base_path`` when the paths are partition directories under a
+    common root so Spark anchors partition discovery there instead of
+    raising CONFLICTING_DIRECTORY_STRUCTURES."""
     apply_engine_confs(spark)
-    return (
+    reader = (
         spark.read.schema(CLICKSTREAM_EVENT_RAW)
         .option("mode", "DROPMALFORMED")
-        .json(path)
     )
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    return reader.json(path)
 
 
 def with_partition_cols(events: DataFrame, ts_col: str = "event_ts") -> DataFrame:
