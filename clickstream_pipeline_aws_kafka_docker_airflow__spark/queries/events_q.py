@@ -202,8 +202,7 @@ def setops_users(spark, sf_dir):
     )
 
 
-ANOM_WINDOW_H = 24
-ANOM_Z = 3  # flag when (c - mean)^2 > Z^2 * variance
+from ..operators.anomaly import ANOM_WINDOW_H, ANOM_Z, trailing_z_flags  # noqa: E402
 
 
 @register(
@@ -251,26 +250,4 @@ def hourly_anomalies(spark, sf_dir):
     hourly = e.groupBy(
         F.to_date("ts").alias("dt"), F.hour("ts").cast("bigint").alias("hh")
     ).agg(F.count(F.lit(1)).alias("c"))
-    w = (
-        Window.orderBy("dt", "hh")
-        .rowsBetween(-ANOM_WINDOW_H, -1)
-    )
-    trailed = hourly.select(
-        "dt",
-        "hh",
-        "c",
-        F.count("c").over(w).alias("trail_n"),
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("trail_sum"),
-        F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0)).alias(
-            "trail_sumsq"
-        ),
-    )
-    d = F.col("c") * ANOM_WINDOW_H - F.col("trail_sum")
-    rhs = (ANOM_Z * ANOM_Z) * (
-        ANOM_WINDOW_H * F.col("trail_sumsq")
-        - F.col("trail_sum") * F.col("trail_sum")
-    )
-    return (
-        trailed.where(F.col("trail_n") == ANOM_WINDOW_H)
-        .select("dt", "hh", "c", "trail_sum", (d * d > rhs).alias("is_anomaly"))
-    )
+    return trailing_z_flags(hourly)
