@@ -89,3 +89,41 @@ def overwrite_day_partition(
             .mode("overwrite")
             .parquet(kpi_path)
         )
+
+
+def vacuum_date_partitions(
+    spark: SparkSession,
+    path: str,
+    cutoff_date: str,
+    partition_col: str = "date",
+    dry_run: bool = True,
+) -> list[str]:
+    """Retention sweep: list — and with ``dry_run=False`` delete — the
+    ``{partition_col}=<day>`` directories strictly OLDER than
+    ``cutoff_date`` (ISO dates compare lexicographically, so this is a
+    plain string compare on the partition value). The raw zone's
+    companion to Kafka's 24h retention (docker-compose.yml:32): without
+    it the ingest zone grows forever.
+
+    Defaults to dry-run — the caller sees exactly which partitions a
+    real run would remove. Uses the Hadoop FileSystem API, so the same
+    code serves file:// in tests and s3a:// in production. Returns the
+    affected partition paths, sorted.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+    doomed = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue
+        if name.split("=", 1)[1] < cutoff_date:
+            doomed.append(str(st.getPath()))
+    if not dry_run:
+        for p in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+    return sorted(doomed)

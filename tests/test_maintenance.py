@@ -74,3 +74,32 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert set(glob.glob(str(kpi / "dt=2025-09-01" / "*"))) == day1_files  # untouched
     out = {str(r["dt"]): r["n"] for r in spark.read.parquet(str(kpi)).collect()}
     assert out == {"2025-09-01": 1, "2025-09-02": 99}
+
+
+def test_vacuum_date_partitions_retention(spark, tmp_path):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.maintenance import (
+        vacuum_date_partitions,
+    )
+
+    raw = tmp_path / "raw"
+    for day in ("2025-08-30", "2025-08-31", "2025-09-01", "2025-09-02"):
+        d = raw / f"date={day}"
+        d.mkdir(parents=True)
+        (d / "part.jsonl").write_text('{"x": 1}\n')
+    (raw / "_not_a_partition").mkdir()
+
+    # dry run: reports but deletes nothing
+    listed = vacuum_date_partitions(spark, str(raw), "2025-09-01")
+    assert [p.rsplit("/", 1)[1] for p in listed] == [
+        "date=2025-08-30",
+        "date=2025-08-31",
+    ]
+    assert (raw / "date=2025-08-30").exists()
+
+    # real run: removes exactly the old partitions, keeps the rest
+    vacuum_date_partitions(spark, str(raw), "2025-09-01", dry_run=False)
+    left = sorted(p.name for p in raw.iterdir())
+    assert left == ["_not_a_partition", "date=2025-09-01", "date=2025-09-02"]
+
+    # missing root is a no-op
+    assert vacuum_date_partitions(spark, str(tmp_path / "nope"), "2025-01-01") == []
