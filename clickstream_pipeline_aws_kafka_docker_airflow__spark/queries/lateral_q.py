@@ -101,3 +101,56 @@ def join_outer_daily(spark, sf_dir):
             F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
         )
     )
+
+
+TOP_PER_LANG_K = 10
+
+
+@register(
+    "top_tokens_per_lang",
+    oracle=f"""
+SELECT lang, token, n, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT lang, token, n,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n DESC, token) AS rn
+    FROM (
+        SELECT lang, token, COUNT(*) AS n
+        FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+            FROM documents
+        )
+        WHERE token <> ''
+        GROUP BY lang, token
+    )
+)
+WHERE rn <= {TOP_PER_LANG_K}
+""",
+)
+def top_tokens_per_lang(spark, sf_dir):
+    """Per-language top-k tokens — the GROUPED complement of
+    ``top_tokens``: here the rank IS a window, but partitioned by
+    ``lang``, so the rank<={TOP_PER_LANG_K} predicate compiles to
+    WindowGroupLimit (per-partition top-k heaps BEFORE the shuffle —
+    the same plan shape pinned for topn_parts_per_brand) and no single
+    reducer ever sees more than one language's survivors. The global
+    variant deliberately avoids Window entirely; this one shows the
+    partitioned form scales where the unpartitioned form would not.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= TOP_PER_LANG_K)
+    )

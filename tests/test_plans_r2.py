@@ -117,3 +117,11 @@ def test_pack_sequences_shuffles_ints_not_text(spark):
         if ln.startswith("Arguments:") and "_pack" in ln
     ]
     assert args and all("text#" not in ln for ln in args), args
+
+
+def test_top_tokens_per_lang_group_limit(spark):
+    # the per-language rank must push a WindowGroupLimit below the
+    # shuffle (the partitioned complement of window-free top_tokens)
+    f = plan_facts(_Q["top_tokens_per_lang"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in f.text
+    assert f.python_evals == 0
