@@ -92,7 +92,32 @@ def encode_pq(
 ) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest-codebook-entry id per
     subspace, ONE projection for all subspaces (each an array_min over
-    the literal codebook, the same shape as the IVF assignment)."""
+    the literal codebook, the same shape as the IVF assignment).
+
+    Per-row constants stay out of the per-entry lambda (interpreted
+    HOFs get no CSE): ||v_s||^2 is projected once per subspace per row
+    rather than once per codebook entry, and ||c||^2 — constant per
+    entry — is folded at the driver with the same sequential left fold
+    (``_fold_sq``) the removed per-row ``F.aggregate`` performed, so d2
+    is bit-identical to the DuckDB oracle's spelling."""
+    from .similarity import _fold_sq
+
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.aggregate(
+                F.zip_with(
+                    _sub_slice(s, sub_dim=sub_dim),
+                    _sub_slice(s, sub_dim=sub_dim),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"_svv{s}")
+            for s in range(len(books))
+        ],
+    )
     code_cols = []
     for s, book in enumerate(books):
         sliced = _sub_slice(s, sub_dim=sub_dim)
@@ -104,18 +129,20 @@ def encode_pq(
             )
             + ")"
         )
-        cidv = F.expr(
-            "array(" + ",".join(str(int(cid)) for cid, _ in book) + ")"
+        cmeta = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('cn2', CAST('{_fold_sq(coords)!r}' AS DOUBLE), "
+                f"'code', CAST({int(cid)} AS BIGINT))"
+                for cid, coords in book
+            )
+            + ")"
         )
-        svv = F.aggregate(
-            F.zip_with(sliced, sliced, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        svv = F.col(f"_svv{s}")
         entries = F.zip_with(
             cmat,
-            cidv,
-            lambda c, cid: F.struct(
+            cmeta,
+            lambda c, m: F.struct(
                 (
                     svv
                     - 2
@@ -124,13 +151,13 @@ def encode_pq(
                         F.lit(0.0),
                         lambda acc, x: acc + x,
                     )
-                    + F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+                    + m["cn2"]
                 ).alias("d2"),
-                cid.cast("bigint").alias("code"),
+                m["code"].alias("code"),
             ),
         )
         code_cols.append(F.array_min(entries)["code"])
-    return emb.select("vec_id", F.array(*code_cols).alias("codes"))
+    return proj.select("vec_id", F.array(*code_cols).alias("codes"))
 
 
 def pq_topk(

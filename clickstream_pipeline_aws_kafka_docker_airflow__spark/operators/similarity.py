@@ -25,6 +25,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.vectors import dot
 
+
+def _fold_sq(coords: list[float]) -> float:
+    """Driver-side twin of ``F.aggregate(c, 0.0, acc + x*x)`` — the same
+    sequential left fold over float64, so the result is bit-identical to
+    the expression it replaces as a literal."""
+    acc = 0.0
+    for x in coords:
+        acc = acc + x * x
+    return acc
+
 # Recall/cost dial (sign-LSH): P(neighbor at angle theta shares one
 # table's bucket) = (1 - theta/pi)^ANN_BITS; OR over ANN_TABLES tables
 # amplifies recall, bucket size ~ corpus/2^ANN_BITS bounds cost. On the
@@ -114,7 +124,7 @@ def _assign_to_centroids(
     # NOTE: callers widen() the corpus input ONCE before the loop /
     # search — widening here would re-trigger query planning (via
     # .rdd.getNumPartitions) on every per-iteration call
-    dvv = dot("embedding", "embedding")
+    #
     # ONE lambda over a literal centroid matrix, not n_centroids copies
     # of a 64-element fold subtree: Catalyst analysis + codegen cost is
     # O(1) in the number of cells, which dominated wall time (the tree
@@ -122,10 +132,15 @@ def _assign_to_centroids(
     # The matrix literal is ONE parsed SQL expression, not nested
     # F.lit() — building 16x64 Literal nodes through py4j costs ~1 s of
     # driver time PER CALL; parsing the equivalent string is ~5 ms.
-    # CAST('repr' AS DOUBLE) round-trips float64 exactly. Fold order
-    # per centroid is unchanged (sequential zip_with + aggregate, and
-    # ||c||^2 is the same left-fold as the driver loop it replaces),
-    # so d2 stays bit-identical to the DuckDB oracle.
+    # CAST('repr' AS DOUBLE) round-trips float64 exactly.
+    #
+    # Two per-row constants are hoisted OUT of the per-centroid lambda
+    # (HOF lambdas are interpreted, not codegen'd, and get no CSE):
+    # ||v||^2 is projected once per row instead of once per centroid,
+    # and ||c||^2 — a per-centroid constant — is folded at the DRIVER
+    # with the same sequential left fold (acc + x*x over float64) the
+    # removed F.aggregate performed, so the literal is bit-identical
+    # and d2 keeps matching the DuckDB oracle's spelling exactly.
     cmat = F.expr(
         "array("
         + ",".join(
@@ -134,15 +149,21 @@ def _assign_to_centroids(
         )
         + ")"
     )
-    cidv = F.expr(
-        "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    cmeta = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cn2', CAST('{_fold_sq(coords)!r}' AS DOUBLE), "
+            f"'cid', CAST({int(cid)} AS BIGINT))"
+            for cid, coords in cents
+        )
+        + ")"
     )
     entries = F.zip_with(
         cmat,
-        cidv,
-        lambda c, cid: F.struct(
+        cmeta,
+        lambda c, m: F.struct(
             (
-                dvv
+                F.col("_dvv")
                 - 2
                 * F.aggregate(
                     F.zip_with(
@@ -151,13 +172,15 @@ def _assign_to_centroids(
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                + F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+                + m["cn2"]
             ).alias("d2"),
-            cid.cast("bigint").alias("centroid_id"),
+            m["cid"].alias("centroid_id"),
         ),
     )
     ranked = F.array_sort(entries)
     return emb.select(
+        "vec_id", "embedding", dot("embedding", "embedding").alias("_dvv")
+    ).select(
         "vec_id", F.posexplode(F.slice(ranked, 1, top)).alias("rk", "s")
     ).select(
         "vec_id",
