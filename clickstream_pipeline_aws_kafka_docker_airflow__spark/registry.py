@@ -76,6 +76,7 @@ def _load_all() -> None:
         tpch2_q,
         tpch3_q,
         tpch4_q,
+        training_q,
         vectors_q,
         windows_q,
     )

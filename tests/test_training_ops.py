@@ -1,0 +1,161 @@
+"""Invariant tests for the training-prep operators (queries/training_q.py)
+— properties the DuckDB oracle parity can't express: coverage,
+reconstruction, probability bounds, and dedup soundness recomputed
+independently with numpy/pandas."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+    plan_facts,
+)
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.training_q import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    SEMDEDUP_TAU,
+    TFIDF_TOP_K,
+)
+
+from conftest import SF_SMOKE
+
+_Q = registry.queries()
+
+
+def _docs_tokens(spark):
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    return {r["doc_id"]: r["text"].strip().lower().split() for r in rows}
+
+
+def test_chunk_documents_covers_every_token(spark):
+    toks = _docs_tokens(spark)
+    chunks = _Q["chunk_documents"](spark, SF_SMOKE).collect()
+    seen: dict[int, set[int]] = {d: set() for d in toks}
+    for r in chunks:
+        n = len(toks[r["doc_id"]])
+        assert 0 <= r["start_tok"] < n
+        assert r["n_tok"] == min(CHUNK_TOKENS, n - r["start_tok"])
+        assert r["start_tok"] == r["chunk_id"] * CHUNK_STRIDE
+        # the chunk text is exactly the token slice it claims to be
+        want = toks[r["doc_id"]][
+            r["start_tok"] : r["start_tok"] + CHUNK_TOKENS
+        ]
+        assert r["chunk_text"] == " ".join(want)
+        seen[r["doc_id"]].update(
+            range(r["start_tok"], r["start_tok"] + r["n_tok"])
+        )
+    # stride < chunk size -> every token of every doc lands in a chunk
+    for d, covered in seen.items():
+        assert covered == set(range(len(toks[d]))), d
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    f = plan_facts(_Q["chunk_documents"](spark, SF_SMOKE))
+    assert f.exchanges == 0, f.text
+    assert f.python_evals == 0
+
+
+def test_tfidf_top_terms_score_and_k(spark):
+    toks = _docs_tokens(spark)
+    n_docs = len(toks)
+    df: dict[str, set[int]] = {}
+    for d, ts in toks.items():
+        for t in ts:
+            df.setdefault(t, set()).add(d)
+    rows = _Q["tfidf_top_terms"](spark, SF_SMOKE).collect()
+    per_source: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r["rn"] <= TFIDF_TOP_K
+        assert r["df"] == len(df[r["token"]])
+        assert r["score"] == r["tf"] * n_docs // r["df"]
+        per_source.setdefault(r["source"], []).append(r)
+    for src, rs in per_source.items():
+        ranks = sorted(r["rn"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+        # scores non-increasing in rank order
+        by_rn = sorted(rs, key=lambda r: r["rn"])
+        assert all(
+            a["score"] >= b["score"] for a, b in zip(by_rn, by_rn[1:])
+        ), src
+
+
+def test_tfidf_uses_window_group_limit(spark):
+    f = plan_facts(_Q["tfidf_top_terms"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in f.text
+    assert f.python_evals == 0
+
+
+def test_session_transitions_counts_and_permille(spark):
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    n_events = len(ev)
+    n_users = len({r["user_id"] for r in ev})
+    rows = _Q["session_transitions"](spark, SF_SMOKE).collect()
+    # every event except each user's last contributes one transition
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_from: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["permille"] <= 1000
+        by_from.setdefault(r["from_et"], []).append(r)
+    for et, rs in by_from.items():
+        tot = sum(r["n"] for r in rs)
+        for r in rs:
+            assert r["permille"] == r["n"] * 1000 // tot
+        # integer floor keeps the rows' permilles within one unit of
+        # 1000 per origin state
+        assert 1000 - len(rs) < sum(r["permille"] for r in rs) <= 1000, et
+
+
+def test_token_freq_spectrum_mass_conservation(spark):
+    toks = _docs_tokens(spark)
+    total = sum(len(ts) for ts in toks.values())
+    vocab = len({t for ts in toks.values() for t in ts})
+    rows = _Q["token_freq_spectrum"](spark, SF_SMOKE).collect()
+    assert sum(r["freq"] * r["n_tokens"] for r in rows) == total
+    assert sum(r["n_tokens"] for r in rows) == vocab
+
+
+def test_semantic_dedup_soundness(spark):
+    emb_rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    E = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    assert (ids == np.arange(len(ids))).all()
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        IVF_NCENTROIDS,
+    )
+
+    C = E[:IVF_NCENTROIDS]
+    d2 = (
+        (E * E).sum(1)[:, None] - 2 * E @ C.T + (C * C).sum(1)[None, :]
+    )
+    cell = d2.argmin(1)  # argmin takes the first minimum = lowest cid
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = np.round(En @ En.T, 4)
+
+    rows = _Q["semantic_dedup"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(E)  # every vector classified exactly once
+    assert len({r["vec_id"] for r in rows}) == len(E)
+    dropped_any = False
+    for r in rows:
+        i = r["vec_id"]
+        mates = np.where((cell == cell[i]) & (ids < i))[0]
+        has_dup = bool((S[i, mates] >= SEMDEDUP_TAU).any()) if len(mates) else False
+        assert r["is_kept"] == (not has_dup), i
+        dropped_any = dropped_any or has_dup
+    # threshold must bite on the driver data or the query verifies nothing
+    assert dropped_any
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    # pair generation must key on the cell id — never a cross join
+    f = plan_facts(_Q["semantic_dedup"](spark, SF_SMOKE))
+    assert "Cartesian" not in f.text
+    assert f.python_evals == 0
