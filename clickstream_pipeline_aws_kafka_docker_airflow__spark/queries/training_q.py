@@ -121,11 +121,20 @@ def tfidf_top_terms(spark, sf_dir):
     terms the same way and stays bit-stable). Top {TFIDF_TOP_K} per
     source, ties on token.
 
-    Scale: two token-keyed aggregates (term frequency per source,
-    document frequency) joined on the token — short uniform keys; the
-    per-source ranking compiles to WindowGroupLimit (per-partition
-    top-K before the shuffle), so the full vocabulary never sorts
-    globally. The N_docs scalar joins in as a broadcast literal row.
+    Scale: the corpus is tokenized and exploded ONCE — the compact
+    (token, source, doc_id, tf) rollup is materialized with
+    localCheckpoint (the connected_components pattern) and BOTH
+    downstream aggregates read it, because Catalyst cannot deduplicate
+    the two branches itself: column pruning rewrites the
+    document-frequency branch to a distinct (no count), so the two
+    first-level subtrees never canonicalize equal and ReuseExchange
+    never fires — without the checkpoint the heaviest map stage in the
+    whole query (tokenize + explode the corpus) runs twice. Keys stay
+    short and uniform; the per-source ranking compiles to
+    WindowGroupLimit (per-partition top-K before the shuffle), so the
+    full vocabulary never sorts globally. The N_docs scalar joins in as
+    a broadcast literal row. (A doc has exactly one source, so the
+    rollup's (token, doc_id) pairs are unique and df is a plain count.)
     """
     d = load_table(spark, sf_dir, "documents")
     tok = (
@@ -136,10 +145,13 @@ def tfidf_top_terms(spark, sf_dir):
         )
         .where(F.col("token") != "")
     )
-    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    g1 = (
+        tok.groupBy("token", "source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
+    tf = g1.groupBy("source", "token").agg(F.sum("c").alias("tf"))
+    dfreq = g1.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
         tf.join(dfreq, "token")

@@ -84,6 +84,10 @@ def test_tfidf_uses_window_group_limit(spark):
     f = plan_facts(_Q["tfidf_top_terms"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in f.text
     assert f.python_evals == 0
+    # the tokenize+explode must NOT appear in the final plan at all:
+    # both tf and df read the checkpointed rollup, so the corpus is
+    # exploded exactly once (in the checkpoint job), not per branch
+    assert "Generate explode" not in f.text, f.text
 
 
 def test_session_transitions_counts_and_permille(spark):
