@@ -259,6 +259,178 @@ def token_freq_spectrum(spark, sf_dir):
     )
 
 
+VOCAB_V = 16  # small enough that the driver corpus has real OOV tokens
+
+
+@register(
+    "vocab_encode",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), counts AS (
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(toks) AS token FROM t)
+    WHERE token <> '' GROUP BY token
+), vocab AS (
+    SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS id
+    FROM counts
+    QUALIFY id <= {VOCAB_V}
+), pos AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, CAST(len(toks) AS BIGINT), 1)) AS i
+    FROM t
+), enc AS (
+    SELECT pos.doc_id, pos.i, COALESCE(v.id, 0) AS id
+    FROM pos LEFT JOIN vocab v ON v.token = pos.toks[i]
+)
+SELECT doc_id,
+       COUNT(*) AS n_tok,
+       SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov,
+       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS ids
+FROM enc GROUP BY doc_id
+""",
+)
+def vocab_encode(spark, sf_dir):
+    """Tokenizer-style vocabulary encoding: rank the top {VOCAB_V}
+    tokens into an id table (1-based by frequency, ties on token;
+    everything else is OOV id 0) and encode every document as its
+    token-id sequence — the last text-side step before sequences
+    become model input.
+
+    Scale: the vocabulary is aggregated once, collected (V rows — by
+    construction tiny), and inlined as a LITERAL MAP; encoding is then
+    a pure per-row ``transform`` projection — no explode, no join, no
+    shuffle on the corpus side, the same broadcast-as-literal pattern
+    as the IVF centroids. A real 50k-token vocab ships as a broadcast
+    join or closure dict via mapInPandas; the plan shape is identical.
+    The id sequence is emitted as a space-joined string (the driver
+    canonicalizer hashes scalars, and parity on the string pins every
+    position).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # TakeOrderedAndProject: the driver receives exactly V rows — the
+    # full vocabulary (huge at scale) is never collected
+    top = sorted(
+        (
+            (r["token"], r["n"])
+            for r in counts.orderBy(F.col("n").desc(), "token")
+            .limit(VOCAB_V)
+            .collect()
+        ),
+        key=lambda tn: (-tn[1], tn[0]),
+    )
+    vmap = F.create_map(
+        *[
+            lit
+            for i, (tokn, _) in enumerate(top)
+            for lit in (F.lit(tokn), F.lit(i + 1))
+        ]
+    )
+    # try_element_at: plain map[key] / element_at raise under ANSI mode
+    # when the token is out-of-vocabulary — OOV must map to null -> 0
+    ids = F.transform(
+        toks, lambda t: F.coalesce(F.try_element_at(vmap, t), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.filter(ids, lambda i: i == 0)).cast("bigint").alias("n_oov"),
+        F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), " "
+        ).alias("ids"),
+    )
+
+
+CMS_D = 4  # sketch depth (hash rows)
+CMS_W = 64  # sketch width (buckets per row)
+HH_K = 10  # heavy hitters to probe
+
+
+def _cms_oracle() -> str:
+    from .pipeline_q import _hash32_duck
+
+    return f"""
+WITH counts AS (
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    WHERE token <> '' GROUP BY token
+), rows_ AS (
+    SELECT s, token, n,
+           {_hash32_duck("CAST(s AS VARCHAR) || '|' || token")} % {CMS_W}
+               AS b
+    FROM counts CROSS JOIN range({CMS_D}) r(s)
+), sketch AS (
+    SELECT s, b, SUM(n) AS cnt FROM rows_ GROUP BY s, b
+), topk AS (
+    SELECT token, n FROM counts
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, token) <= {HH_K}
+)
+SELECT t.token, t.n, CAST(MIN(sk.cnt) AS BIGINT) AS est
+FROM topk t
+JOIN rows_ r ON r.token = t.token
+JOIN sketch sk ON sk.s = r.s AND sk.b = r.b
+GROUP BY t.token, t.n
+"""
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) probed at the
+    exact heavy hitters: build a {CMS_D}x{CMS_W} sketch from seeded
+    portable 32-bit hashes and compare each top-{HH_K} token's exact
+    count with its sketch estimate (min over rows). est >= n always —
+    the one-sided error the sketch guarantees — and the gap is the
+    collision noise (tests pin both).
+
+    Scale: the sketch is the fixed-size mergeable summary for streaming
+    heavy hitters — D*W cells no matter the vocabulary, built here with
+    one groupBy(s, bucket) whose partial aggregation does the merging
+    map-side. Building from pre-aggregated counts is equivalent to
+    updating per occurrence (the sketch is linear in its input); a
+    streaming job updates the same cells from the raw token stream.
+    The hash family is the repo-wide md5-nibble construction
+    (operators/dedup.py::token_hash32_sql) so DuckDB re-derives
+    identical buckets.
+    """
+    from ..operators.dedup import token_hash32_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = counts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("s"),
+        "token",
+        "n",
+    ).withColumn(
+        "b",
+        F.expr(token_hash32_sql("CONCAT(CAST(s AS STRING), '|', token)"))
+        % CMS_W,
+    )
+    sketch = rows.groupBy("s", "b").agg(F.sum("n").alias("cnt"))
+    topk = counts.orderBy(F.col("n").desc(), "token").limit(HH_K)
+    probe = rows.join(F.broadcast(topk.select("token")), "token")
+    return (
+        probe.join(F.broadcast(sketch), ["s", "b"])
+        .groupBy("token")
+        .agg(F.max("n").alias("n"), F.min("cnt").alias("est"))
+        .select("token", "n", F.col("est").cast("bigint").alias("est"))
+    )
+
+
 SEMDEDUP_TAU = 0.35  # driver-data dial; production embeddings use ~0.9
 _E = "CAST(embedding AS DOUBLE[])"
 

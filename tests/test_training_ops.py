@@ -123,6 +123,62 @@ def test_token_freq_spectrum_mass_conservation(spark):
     assert sum(r["n_tokens"] for r in rows) == vocab
 
 
+def test_vocab_encode_roundtrip(spark):
+    from collections import Counter
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.training_q import (
+        VOCAB_V,
+    )
+
+    toks = _docs_tokens(spark)
+    counts = Counter(t for ts in toks.values() for t in ts)
+    vocab = {
+        t: i + 1
+        for i, (t, _) in enumerate(
+            sorted(counts.items(), key=lambda tn: (-tn[1], tn[0]))[:VOCAB_V]
+        )
+    }
+    rows = _Q["vocab_encode"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(toks)
+    oov_seen = False
+    for r in rows:
+        want = [vocab.get(t, 0) for t in toks[r["doc_id"]]]
+        assert r["n_tok"] == len(want)
+        assert r["n_oov"] == sum(1 for i in want if i == 0)
+        assert r["ids"] == " ".join(str(i) for i in want)
+        oov_seen = oov_seen or r["n_oov"] > 0
+    assert oov_seen  # V is chosen so OOV actually occurs on driver data
+
+
+def test_vocab_encode_is_projection_only(spark):
+    # encoding plan: literal map + transform — no join, no shuffle, no
+    # explode of the corpus (the vocab agg ran separately via
+    # TakeOrderedAndProject at build time)
+    f = plan_facts(_Q["vocab_encode"](spark, SF_SMOKE))
+    assert f.exchanges == 0, f.text
+    assert "Generate explode" not in f.text
+    assert f.python_evals == 0
+
+
+def test_cms_estimate_dominates_truth(spark):
+    from collections import Counter
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.training_q import (
+        HH_K,
+    )
+
+    toks = _docs_tokens(spark)
+    counts = Counter(t for ts in toks.values() for t in ts)
+    rows = _Q["cms_heavy_hitters"](spark, SF_SMOKE).collect()
+    assert len(rows) == HH_K
+    top = sorted(counts.items(), key=lambda tn: (-tn[1], tn[0]))[:HH_K]
+    assert {r["token"] for r in rows} == {t for t, _ in top}
+    for r in rows:
+        assert r["n"] == counts[r["token"]]
+        # the count-min guarantee: one-sided error, never an undercount
+        assert r["est"] >= r["n"], r
+
+
 def test_semantic_dedup_soundness(spark):
     emb_rows = (
         spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
