@@ -36,16 +36,26 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` we read the raw int64
-    nanoseconds and convert to a microsecond timestamp (``ts div 1000``
-    floors exactly like DuckDB's ns->us truncation, so oracle parity
-    holds).
+    ``events.ts`` has shipped in two parquet physical types across
+    driver testdata generations; normalize both to a session-TZ
+    ``TIMESTAMP`` so every downstream query sees one type:
+
+    * ``timestamp[ns]`` (read as raw int64 via
+      ``spark.sql.legacy.parquet.nanosAsLong``) -> ``ts div 1000``
+      floors to microseconds exactly like DuckDB's ns->us truncation;
+    * ``timestamp[us]`` (read as TIMESTAMP_NTZ) -> cast to TIMESTAMP.
+      The session timezone is pinned to UTC (session.py), so the cast
+      is a pure type relabel — wall-clock fields are unchanged and
+      oracle parity with DuckDB (which treats it as naive-UTC) holds.
     """
     apply_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -25,14 +25,16 @@ from ..session import apply_engine_confs
 
 def read_jsonl_keep_malformed(spark: SparkSession, path: str) -> DataFrame:
     """Ingest-path read: malformed lines kept with the raw text in
-    ``_corrupt_record`` and all event fields null."""
+    ``_corrupt_record`` and all event fields null.
+
+    Reads via the ``text`` datasource + permissive ``from_json`` rather
+    than the JSON datasource: the JSON reader silently skips
+    whitespace-only lines, while the reference's line loop keeps them
+    (``json.loads(" ")`` raises -> fallback bucket,
+    ingest_clickstream_to_s3.py:44-51). ``text`` + ``from_json`` keeps
+    the one-row-per-physical-line contract and stays fully JVM-side."""
     apply_engine_confs(spark)
-    return (
-        spark.read.schema(CLICKSTREAM_EVENT_RAW_PERMISSIVE)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
+    return parse_kafka_value(spark.read.text(path), value_col="value")
 
 
 def read_jsonl_drop_malformed(
