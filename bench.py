@@ -39,27 +39,33 @@ def main() -> None:
     # Warmup: JVM, codegen, file listing (not counted).
     _force(qs["kpi_daily"](spark, sf_dir))
 
+    # Per-query error isolation: one broken query records an "err" entry
+    # and the artifact still emits — a crash must never void the run.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qs):
         best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as ex:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            continue
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
