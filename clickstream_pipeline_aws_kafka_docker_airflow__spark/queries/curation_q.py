@@ -124,8 +124,8 @@ WITH RECURSIVE {MEMBERS_CTES},
 quality AS ({_quality_subquery()})
 SELECT d.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
-                THEN 1 ELSE 0 END) AS n_dups,
+       CAST(SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
        {dec_avg_trunc4_sql("q.quality", "//")} AS avg_quality,
        (SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
                  THEN 1 ELSE 0 END) * 1000 < {SRC_DUP_PERMILLE_CEIL} * COUNT(*))

@@ -221,7 +221,7 @@ WITH hourly AS (
     WINDOW w AS (ORDER BY dt, hh
                  ROWS BETWEEN {ANOM_WINDOW_H} PRECEDING AND 1 PRECEDING)
 )
-SELECT dt, hh, c, trail_sum,
+SELECT dt, hh, c, CAST(trail_sum AS BIGINT) AS trail_sum,
        (c * {ANOM_WINDOW_H} - trail_sum)
          * (c * {ANOM_WINDOW_H} - trail_sum)
          > {ANOM_Z * ANOM_Z}

@@ -24,7 +24,7 @@ from ..registry import register
     oracle=f"""
 SELECT media_type,
        COUNT(*) AS n_assets,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        {dec_avg_trunc4_sql("width", "//")} AS avg_width,
        {dec_avg_trunc4_sql("height", "//")} AS avg_height
 FROM (

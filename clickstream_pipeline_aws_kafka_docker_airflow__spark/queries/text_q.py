@@ -61,7 +61,7 @@ def dedup_exact_docs(spark, sf_dir):
 SELECT lang,
        COUNT(*) AS n_docs,
        {dec_avg_trunc4_sql("n_chars", "//")} AS avg_chars,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {dec_avg_trunc4_sql("n_tokens", "//")} AS avg_tokens
 FROM (SELECT lang, n_chars, {_WS_TOKENS_SQL} AS n_tokens FROM documents)
 GROUP BY lang
@@ -267,9 +267,9 @@ per_gram AS (
     SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(c) AS n_grams,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
        MAX(c) AS top_gram_count,
-       MAX(c) * 1000 // SUM(c) AS rep_permille,
+       CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS rep_permille,
        MAX(c) * 1000 >= {REP_PERMILLE_FLAG} * SUM(c) AS is_repetitive
 FROM per_gram GROUP BY doc_id
 """,

@@ -182,10 +182,10 @@ SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
             WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
                  < {Q12_SLOW_DAYS} THEN 'REGULAR'
             ELSE 'SLOW' END AS ship_tier,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01'

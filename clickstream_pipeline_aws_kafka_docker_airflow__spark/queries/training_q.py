@@ -286,7 +286,7 @@ WITH t AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tok,
-       SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS ids
 FROM enc GROUP BY doc_id
 """,

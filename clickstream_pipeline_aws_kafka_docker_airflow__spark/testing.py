@@ -7,6 +7,7 @@ driver sees them.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 
 import duckdb
@@ -65,12 +66,58 @@ def _canon_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def _col_class(series: pd.Series) -> str | None:
+    """Coarse value-class of a result column, for cross-engine dtype
+    drift detection. int-vs-float is the signal that matters: DuckDB
+    returns SUM(BIGINT) as HUGEINT (pandas float64) while Spark returns
+    BIGINT (int64) — Python's ``6.0 == 6`` hides that from the value
+    check, but the driver's hash distinguishes it. Decimal and float
+    are one class (both engines surface DECIMAL aggregates
+    interchangeably); date/datetime are one class (canonicalized by
+    ``_canon_value``). Returns None when unclassifiable (empty/all-null
+    object column)."""
+    kind = series.dtype.kind
+    if kind == "b":
+        return "bool"
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "M":
+        return "datetime"
+    if kind == "m":
+        return "timedelta"
+    for v in series:
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating, _decimal.Decimal)):
+            return "float"
+        if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+            return "datetime"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "seq"
+        return type(v).__name__
+    return None
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
         return [f"column mismatch: spark={sc} duckdb={dc}"]
+    for c in sc:
+        a, b = _col_class(spark_pdf[c]), _col_class(duck_pdf[c])
+        if a is not None and b is not None and a != b:
+            problems.append(f"dtype drift: col={c!r} spark={a} duckdb={b}")
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
     s_rows, d_rows = _canon_rows(spark_pdf), _canon_rows(duck_pdf)
