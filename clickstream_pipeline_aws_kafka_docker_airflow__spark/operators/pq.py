@@ -89,18 +89,30 @@ def encode_pq(
     emb: DataFrame,
     books: list[list[tuple[int, list[float]]]],
     sub_dim: int = SUB_DIM,
+    mode: str | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest-codebook-entry id per
     subspace, ONE projection for all subspaces (each an array_min over
-    the literal codebook, the same shape as the IVF assignment).
+    the codebook, the same shape as the IVF assignment).
+
+    Codebook state routes like the IVF quantizer
+    (similarity.LITERAL_STATE_MAX_DOUBLES): small books inline as plan
+    literals; large books ship as ONE broadcast row holding all
+    subspace books, so the plan size is O(1) in n_sub x k_sub x
+    sub_dim. Both paths share the sequential-fold arithmetic, so codes
+    are bit-identical.
 
     Per-row constants stay out of the per-entry lambda (interpreted
     HOFs get no CSE): ||v_s||^2 is projected once per subspace per row
     rather than once per codebook entry, and ||c||^2 — constant per
     entry — is folded at the driver with the same sequential left fold
-    (``_fold_sq``) the removed per-row ``F.aggregate`` performed, so d2
-    is bit-identical to the DuckDB oracle's spelling."""
-    from .similarity import _fold_sq
+    (``_fold_sq``), so d2 is bit-identical to the DuckDB oracle's
+    spelling."""
+    from .similarity import LITERAL_STATE_MAX_DOUBLES, _fold_sq
+
+    if mode is None:
+        state = sum(len(b) * (sub_dim + 1) for b in books)
+        mode = "literal" if state <= LITERAL_STATE_MAX_DOUBLES else "broadcast"
 
     proj = emb.select(
         "vec_id",
@@ -118,6 +130,54 @@ def encode_pq(
             for s in range(len(books))
         ],
     )
+    if mode == "broadcast":
+        packed = emb.sparkSession.createDataFrame(
+            [
+                (
+                    [
+                        [
+                            (float(_fold_sq(coords)), int(cid),
+                             [float(x) for x in coords])
+                            for cid, coords in book
+                        ]
+                        for book in books
+                    ],
+                )
+            ],
+            "_books array<array<struct<cn2:double,code:bigint,"
+            "cvec:array<double>>>>",
+        )
+        def _entries_for(sliced, svv):
+            # factory, not default-arg lambda: PySpark counts lambda
+            # parameters (defaults included) to pick the HOF arity
+            return lambda cm: F.struct(
+                (
+                    svv
+                    - 2
+                    * F.aggregate(
+                        F.zip_with(
+                            sliced, cm["cvec"],
+                            lambda a, b: a.cast("double") * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    + cm["cn2"]
+                ).alias("d2"),
+                cm["code"].alias("code"),
+            )
+
+        code_cols = []
+        for s in range(len(books)):
+            entries = F.transform(
+                F.element_at("_books", s + 1),
+                _entries_for(_sub_slice(s, sub_dim=sub_dim), F.col(f"_svv{s}")),
+            )
+            code_cols.append(F.array_min(entries)["code"])
+        return proj.join(F.broadcast(packed)).select(
+            "vec_id", F.array(*code_cols).alias("codes")
+        )
+
     code_cols = []
     for s, book in enumerate(books):
         sliced = _sub_slice(s, sub_dim=sub_dim)

@@ -92,6 +92,16 @@ IVF_NCENTROIDS = 16
 IVF_NPROBE = 2
 IVF_KMEANS_ITERS = 2
 
+# Quantizer-state routing: below this many doubles (k x (dim+1)) the
+# centroid set inlines into the plan as literals (zero join, fastest to
+# analyze); above it the state ships as a BROADCAST relation instead —
+# at production scale (4096 centroids x 768 dims ~ 3M doubles) a
+# literal plan is megabytes re-parsed per query, while a broadcast is
+# shipped once per executor and the plan stays O(1). Both paths use the
+# identical sequential-fold float64 arithmetic, so assignments are
+# bit-for-bit equal (tests/test_plans_r3.py pins both properties).
+LITERAL_STATE_MAX_DOUBLES = 4096
+
 # Truncated 6-dp per-dimension centroid mean in exact arithmetic:
 # addends -> DECIMAL(24,8) (deterministic per-value rounding), exact
 # decimal SUM -> scaled BIGINT, integer division. Cross-engine
@@ -105,22 +115,85 @@ MEAN_TRUNC6_SQL = dec_avg_trunc_sql("x", "div", 6)
 
 
 def _assign_to_centroids(
-    emb: DataFrame, cents: list[tuple[int, list[float]]], top: int
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    top: int,
+    mode: str | None = None,
 ) -> DataFrame:
-    """Nearest-centroid ranking per vector against LITERAL centroids:
-    squared L2 expanded as ||v||^2 - 2 v.c + ||c||^2, ties on centroid
-    id. Returns (vec_id, centroid_id, crank) for crank <= top; crank=1
-    is the home cell.
+    """Nearest-centroid ranking per vector: squared L2 expanded as
+    ||v||^2 - 2 v.c + ||c||^2, ties on centroid id. Returns (vec_id,
+    centroid_id, crank) for crank <= top; crank=1 is the home cell.
 
-    Centroid state is tiny (n_centroids x dim doubles) so it inlines
-    into the plan as literals; ranking is a per-row ``array_sort`` over
-    the (d2, cid) structs — a pure projection. No crossJoin, no
-    shuffle, no window: at 100 TB the corpus streams through map tasks
-    and the quantizer rides inside the closure, which is the shape a
-    sort-free IVF assignment should have. Every term (v.v, v.c, c.c)
-    is a sequential in-order float64 fold, so d2 stays bit-identical
-    to the DuckDB oracle's ``list_dot_product`` spelling.
+    Ranking is a per-row ``array_sort`` over (d2, cid) structs — a pure
+    projection, no shuffle, no per-vector window: at 100 TB the corpus
+    streams through map tasks. The centroid state reaches the rows one
+    of two ways, chosen by size (``mode`` forces it):
+
+    * ``literal`` (state <= LITERAL_STATE_MAX_DOUBLES): inlined into
+      the plan — zero join, O(1) analysis at small k x dim;
+    * ``broadcast`` (the at-scale default): the centroid set is packed
+      into a ONE-ROW DataFrame (collect_list of structs) and
+      broadcast-crossJoined to the corpus — the plan stays O(1) bytes
+      regardless of k x dim, and the state ships once per executor
+      like any dimension table.
+
+    Both paths compute every term (v.v, v.c, c.c) as a sequential
+    in-order float64 fold, so d2 is bit-identical between them and to
+    the DuckDB oracle's ``list_dot_product`` spelling; the final sort
+    key is (d2, cid) so the packing order of the broadcast array is
+    irrelevant.
     """
+    if mode is None:
+        state = len(cents) * (len(cents[0][1]) + 1)
+        mode = "literal" if state <= LITERAL_STATE_MAX_DOUBLES else "broadcast"
+    base = emb.select(
+        "vec_id", "embedding", dot("embedding", "embedding").alias("_dvv")
+    )
+    if mode == "broadcast":
+        packed = (
+            emb.sparkSession.createDataFrame(
+                [
+                    (float(_fold_sq(coords)), int(cid), [float(x) for x in coords])
+                    for cid, coords in cents
+                ],
+                "cn2 double, centroid_id bigint, cvec array<double>",
+            )
+            .agg(
+                F.collect_list(F.struct("cn2", "centroid_id", "cvec")).alias(
+                    "_cents"
+                )
+            )
+        )
+        entries = F.transform(
+            F.col("_cents"),
+            lambda cm: F.struct(
+                (
+                    F.col("_dvv")
+                    - 2
+                    * F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            cm["cvec"],
+                            lambda a, b: a.cast("double") * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    + cm["cn2"]
+                ).alias("d2"),
+                cm["centroid_id"].alias("centroid_id"),
+            ),
+        )
+        ranked = F.array_sort(entries)
+        return (
+            base.join(F.broadcast(packed))
+            .select("vec_id", F.posexplode(F.slice(ranked, 1, top)).alias("rk", "s"))
+            .select(
+                "vec_id",
+                F.col("s.centroid_id").alias("centroid_id"),
+                (F.col("rk") + 1).cast("bigint").alias("crank"),
+            )
+        )
     # NOTE: callers widen() the corpus input ONCE before the loop /
     # search — widening here would re-trigger query planning (via
     # .rdd.getNumPartitions) on every per-iteration call
@@ -178,9 +251,7 @@ def _assign_to_centroids(
         ),
     )
     ranked = F.array_sort(entries)
-    return emb.select(
-        "vec_id", "embedding", dot("embedding", "embedding").alias("_dvv")
-    ).select(
+    return base.select(
         "vec_id", F.posexplode(F.slice(ranked, 1, top)).alias("rk", "s")
     ).select(
         "vec_id",
@@ -453,10 +524,27 @@ def topk_matmul_arrow(
         .mapInPandas(_sims, out_schema)
         .where(F.col("nid") != F.col("qid"))
     )
+    # Boundary guard on the prune cut: BLAS sims can sit within an ulp
+    # of the sequential-fold value, so a candidate exactly AT the
+    # k+margin cut could be kept or dropped depending on summation
+    # order — flaky by construction. Keep everything within EPS of the
+    # cut value as well; |blas - fold| is ~1e-14 at dim 64, so 1e-9
+    # covers it with orders of magnitude to spare while admitting at
+    # most a handful of extra rescore rows per query.
+    _CUT_EPS = 1e-9
     wp = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    wq = Window.partitionBy("qid")
+    cut = F.max(
+        F.when(F.col("prn") == k + rescore_margin, F.col("sim"))
+    ).over(wq)
     cand = (
         approx.withColumn("prn", F.row_number().over(wp))
-        .where(F.col("prn") <= k + rescore_margin)
+        .withColumn("_cut", cut)
+        .where(
+            (F.col("prn") <= k + rescore_margin)
+            | F.col("_cut").isNull()
+            | (F.col("sim") >= F.col("_cut") - F.lit(_CUT_EPS))
+        )
         .select("qid", "nid")
     )
     # exact re-score of the tiny candidate set: corpus streams, the
