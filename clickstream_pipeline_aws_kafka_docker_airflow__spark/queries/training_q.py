@@ -299,11 +299,11 @@ def vocab_encode(spark, sf_dir):
     become model input.
 
     Scale: the vocabulary is aggregated once, collected (V rows — by
-    construction tiny), and inlined as a LITERAL MAP; encoding is then
-    a pure per-row ``transform`` projection — no explode, no join, no
-    shuffle on the corpus side, the same broadcast-as-literal pattern
-    as the IVF centroids. A real 50k-token vocab ships as a broadcast
-    join or closure dict via mapInPandas; the plan shape is identical.
+    construction tiny), and shipped to the corpus rows as either a
+    literal map (small V) or a one-row broadcast map (real 50k-token
+    vocab) — encode_with_vocab routes by size, same dispatch as the
+    IVF centroids. Encoding is then a pure per-row ``transform``
+    projection: no explode, no shuffle on the corpus side either way.
     The id sequence is emitted as a space-joined string (the driver
     canonicalizer hashes scalars, and parity on the string pins every
     position).
@@ -327,13 +327,45 @@ def vocab_encode(spark, sf_dir):
         ),
         key=lambda tn: (-tn[1], tn[0]),
     )
-    vmap = F.create_map(
-        *[
-            lit
-            for i, (tokn, _) in enumerate(top)
-            for lit in (F.lit(tokn), F.lit(i + 1))
-        ]
-    )
+    return encode_with_vocab(d, top)
+
+
+# Above this many vocab entries the token->id map ships as a one-row
+# broadcast relation instead of plan literals (a 50k-token map inlined
+# as literals is megabytes of plan re-parsed per query).
+VOCAB_LITERAL_MAX = 1024
+
+
+def encode_with_vocab(d, top, mode: str | None = None):
+    """Encode documents against a ranked vocabulary ``top`` (list of
+    (token, freq), already sorted). Literal-map below
+    VOCAB_LITERAL_MAX entries, broadcast-map above; identical results
+    (the map content is the same — only its transport differs)."""
+    if mode is None:
+        mode = "literal" if len(top) <= VOCAB_LITERAL_MAX else "broadcast"
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    if mode == "broadcast":
+        packed = (
+            d.sparkSession.createDataFrame(
+                [(tokn, i + 1) for i, (tokn, _) in enumerate(top)],
+                "token string, id int",
+            )
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("token", "id"))
+                ).alias("_vmap")
+            )
+        )
+        d = d.join(F.broadcast(packed))
+        vmap = F.col("_vmap")
+    else:
+        vmap = F.create_map(
+            *[
+                lit
+                for i, (tokn, _) in enumerate(top)
+                for lit in (F.lit(tokn), F.lit(i + 1))
+            ]
+        )
     # try_element_at: plain map[key] / element_at raise under ANSI mode
     # when the token is out-of-vocabulary — OOV must map to null -> 0
     ids = F.transform(

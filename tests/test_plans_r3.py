@@ -83,6 +83,21 @@ def test_encode_pq_broadcast_equals_literal(spark):
     )
 
 
+def test_vocab_broadcast_equals_literal(spark):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.training_q import (
+        encode_with_vocab,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    top = [("the", 100), ("a", 50), ("of", 25)]
+    lit = encode_with_vocab(d, top, mode="literal")
+    bc = encode_with_vocab(d, top, mode="broadcast")
+    assert _rows(lit) == _rows(bc)
+    plan = formatted_plan(bc)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "keys: [the," not in plan  # no literal map inlined
+
+
 def test_ivf_query_uses_persisted_quantizer(spark, tmp_path, monkeypatch):
     # the registered query must load a persisted quantizer on the
     # second call instead of re-running k-means
