@@ -29,8 +29,8 @@ from .pipeline_q import (
     SPLIT_TRAIN,
     _hash32_duck,
     _quality_subquery,
+    cluster_labels_table,
     contamination_check,
-    dedup_clusters,
     train_split,
 )
 from .text_q import quality_score
@@ -84,7 +84,7 @@ def corpus_curation(spark, sf_dir, quality=None, clusters=None, contam=None):
     if quality is None:
         quality = quality_score(spark, sf_dir)
     if clusters is None:
-        clusters = dedup_clusters(spark, sf_dir)
+        clusters = cluster_labels_table(spark, sf_dir)
     if contam is None:
         contam = contamination_check(spark, sf_dir)
     q = quality.select("doc_id", "quality")
@@ -154,7 +154,7 @@ def source_curation_stats(spark, sf_dir, quality=None, clusters=None):
     if quality is None:
         quality = quality_score(spark, sf_dir)
     if clusters is None:
-        clusters = dedup_clusters(spark, sf_dir)
+        clusters = cluster_labels_table(spark, sf_dir)
     q = quality.select("doc_id", "quality")
     dup = clusters.select("doc_id", "is_canonical")
     dup_flag = F.when(F.col("is_canonical"), 0).otherwise(1)

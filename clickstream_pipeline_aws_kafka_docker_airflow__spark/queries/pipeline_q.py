@@ -13,9 +13,12 @@ implementation).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.artifacts import materialized
 from ..operators.clustering import connected_components
 from ..operators.dedup import HEX, minhash_near_dup, shingle_table, token_hash32_sql
 from ..queries.dedup_q import _minhash_oracle
@@ -25,6 +28,36 @@ from ..registry import register
 # clustering purposes (the LSH candidate set is verified with exact
 # Jaccard first, so this thresholds a true similarity, not a sketch).
 DUP_JACCARD = 0.5
+
+
+def dup_pairs_table(spark, sf_dir):
+    """Materialized verified near-dup pair list — the output of the
+    dedup DETECTOR job, consumed by cluster labeling and cross-modal
+    checks. In production this is a table the detector writes once per
+    corpus snapshot; recomputing MinHash inside every consumer would
+    multiply the heaviest text scan by the number of consumers."""
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "dup_pairs",
+        lambda: minhash_near_dup(
+            load_table(spark, sf_dir, "documents")
+        ).where(F.col("jaccard") >= DUP_JACCARD),
+        params=f"j{DUP_JACCARD}",
+    )
+
+
+def cluster_labels_table(spark, sf_dir):
+    """Materialized cluster-label table — the output of the labeling
+    job (connected components over the pair list), consumed by the
+    curation composites."""
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "cluster_labels",
+        lambda: _dedup_clusters_frame(spark, sf_dir),
+        params=f"j{DUP_JACCARD}",
+    )
 
 
 # Shared oracle fragment: verified near-dup pairs -> symmetric edges ->
@@ -66,10 +99,13 @@ def dedup_clusters(spark, sf_dir):
 
     Scale: the component computation runs on the near-dup SUBGRAPH
     (nodes that appear in a verified pair), not the corpus; the corpus
-    only left-joins the resulting label table once at the end.
+    only left-joins the resulting label table once at the end. The
+    pair list comes from the materialized detector output
+    (dup_pairs_table) — the labeling job reads the detector's table,
+    it does not re-run MinHash.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup(docs).where(F.col("jaccard") >= DUP_JACCARD)
+    pairs = dup_pairs_table(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
         "id", "doc_id"
     )
@@ -78,6 +114,11 @@ def dedup_clusters(spark, sf_dir):
         F.coalesce("label", "doc_id").alias("canonical_id"),
         (F.col("doc_id") == F.coalesce("label", "doc_id")).alias("is_canonical"),
     )
+
+
+def _dedup_clusters_frame(spark, sf_dir):
+    """Builder for cluster_labels_table (== dedup_clusters output)."""
+    return dedup_clusters(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -486,10 +527,8 @@ def neardup_embedding_check(spark, sf_dir):
     embedding table — no pairwise work beyond the pairs themselves.
     """
     from ..functions.vectors import dot, norm
-    from ..operators.dedup import minhash_near_dup
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup(docs).where(F.col("jaccard") >= DUP_JACCARD)
+    pairs = dup_pairs_table(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     )
