@@ -229,6 +229,7 @@ def pq_topk(
     n_iters: int = PQ_ITERS,
     rescore_margin: int = 50,
     sub_dim: int = SUB_DIM,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ search: encode the corpus once, build per-query LUTs at the
     driver (``n_queries x n_sub x k_sub`` doubles — tiny), prune to the
@@ -251,7 +252,8 @@ def pq_topk(
 
     emb = widen(emb)
     books = train_pq(emb, n_sub, k_sub, n_iters, sub_dim=sub_dim)
-    codes = encode_pq(emb, books, sub_dim=sub_dim)
+    if codes is None:
+        codes = encode_pq(emb, books, sub_dim=sub_dim)
 
     q_rows = (
         emb.where(F.col("vec_id") < n_queries)

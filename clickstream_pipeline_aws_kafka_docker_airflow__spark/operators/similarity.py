@@ -575,12 +575,35 @@ def topk_matmul_arrow(
     )
 
 
+def lsh_bands(
+    emb: DataFrame, nbits: int = ANN_BITS, n_tables: int = ANN_TABLES
+) -> DataFrame:
+    """(vec_id, tbl, bucket) over all hash tables — the sign-LSH INDEX.
+    In production this is built once per corpus snapshot and persisted;
+    searches join it, they don't re-hash the corpus."""
+    tables = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket_expr("embedding", nbits, seed=ANN_SEED + t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    return emb.select("vec_id", tables).select("vec_id", "tb.tbl", "tb.bucket")
+
+
 def ann_topk_bucketed(
     emb: DataFrame,
     n_queries: int,
     k: int,
     nbits: int = ANN_BITS,
     n_tables: int = ANN_TABLES,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Within-bucket top-k cosine for query vectors (vec_id < n_queries).
 
@@ -604,20 +627,8 @@ def ann_topk_bucketed(
 
     emb = widen(emb)
     base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    tables = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    bucket_expr("embedding", nbits, seed=ANN_SEED + t).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
-        )
-    ).alias("tb")
-    bands = emb.select("vec_id", tables).select("vec_id", "tb.tbl", "tb.bucket")
+    if bands is None:
+        bands = lsh_bands(emb, nbits, n_tables)
     qb = bands.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), "tbl", "bucket"
     )

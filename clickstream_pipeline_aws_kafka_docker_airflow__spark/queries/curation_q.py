@@ -30,7 +30,7 @@ from .pipeline_q import (
     _hash32_duck,
     _quality_subquery,
     cluster_labels_table,
-    contamination_check,
+    contamination_table,
     train_split,
 )
 from .text_q import quality_score
@@ -86,7 +86,7 @@ def corpus_curation(spark, sf_dir, quality=None, clusters=None, contam=None):
     if clusters is None:
         clusters = cluster_labels_table(spark, sf_dir)
     if contam is None:
-        contam = contamination_check(spark, sf_dir)
+        contam = contamination_table(spark, sf_dir)
     q = quality.select("doc_id", "quality")
     keep = clusters.where(F.col("is_canonical")).select("doc_id")
     split = train_split(spark, sf_dir).where(F.col("split") == "train").select(

@@ -491,6 +491,19 @@ def contamination_check(spark, sf_dir):
     )
 
 
+def contamination_table(spark, sf_dir):
+    """Materialized contamination screen — the screening job's output,
+    consumed by the curation composite (same build-once contract as
+    dup_pairs_table / cluster_labels_table)."""
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "contamination",
+        lambda: contamination_check(spark, sf_dir),
+        params=f"n{CONTAM_SHINGLE_N}b{N_BENCH_DOCS}",
+    )
+
+
 # --------------------------------------------------------------------------
 # Cross-modal dedup validation
 

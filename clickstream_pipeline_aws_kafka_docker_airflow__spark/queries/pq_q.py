@@ -65,10 +65,37 @@ def pq_codes(spark, sf_dir):
     )
 
 
+def pq_codes_table(spark, sf_dir):
+    """Materialized PQ code table — the encoder job's output (the
+    ~10^2-compressed representation the search tier scans). Built once
+    per corpus snapshot, read by every search."""
+    import os
+
+    from ..operators.artifacts import materialized
+
+    def _build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return encode_pq(emb, train_pq(emb))
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "pq_codes",
+        _build,
+        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}",
+    )
+
+
 @register("ann_topk_pq")
 def ann_topk_pq(spark, sf_dir):
     """ext_sim_topk PQ path (rows-only: the prune is engine-internal;
     recall and determinism are pinned by tests/test_pq.py): codes scan
     + LUT prune + exact rescore, bit-identical final sims to the exact
-    ordering on the candidate set."""
-    return pq_topk(load_table(spark, sf_dir, "embeddings"), ANN_NQUERIES, ANN_K)
+    ordering on the candidate set. Scans the MATERIALIZED code table
+    (pq_codes_table) — search never re-encodes the corpus."""
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_NQUERIES,
+        ANN_K,
+        codes=pq_codes_table(spark, sf_dir),
+    )

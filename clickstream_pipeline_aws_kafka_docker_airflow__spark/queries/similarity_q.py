@@ -57,13 +57,35 @@ WHERE rn <= {ANN_K}
 """
 
 
+def lsh_bands_table(spark, sf_dir):
+    """Materialized sign-LSH index (vec_id, tbl, bucket) — built once
+    per corpus snapshot; searches join it instead of re-hashing the
+    corpus through n_tables x nbits hyperplane dots."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.similarity import ANN_TABLES, lsh_bands
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "lsh_bands",
+        lambda: lsh_bands(load_table(spark, sf_dir, "embeddings")),
+        params=f"{ANN_BITS}x{ANN_TABLES}",
+    )
+
+
 @register("ann_topk_lsh", oracle=_ann_oracle())
 def ann_topk_lsh(spark, sf_dir):
     """ext_sim_topk scale path: random-hyperplane sign-LSH with
     OR-amplified multi-table buckets (candidate = same bucket in any of
-    the tables), exact cosine only on the de-duplicated candidates."""
+    the tables), exact cosine only on the de-duplicated candidates.
+    Joins the MATERIALIZED band index (lsh_bands_table)."""
     return ann_topk_bucketed(
-        load_table(spark, sf_dir, "embeddings"), ANN_NQUERIES, ANN_K
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_NQUERIES,
+        ANN_K,
+        bands=lsh_bands_table(spark, sf_dir),
     )
 
 
