@@ -380,6 +380,7 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     n_iters: int = IVF_KMEANS_ITERS,
     cents: list[tuple[int, list[float]]] | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their home cell (crank=1);
     each query probes its ``nprobe`` nearest cells and ranks exact
@@ -412,10 +413,13 @@ def ivf_topk(
                 .collect()
             )
     base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    corpus = base.join(
-        _assign_to_centroids(emb, cents, top=1).select("vec_id", "centroid_id"),
-        "vec_id",
-    )
+    if corpus_cells is None:
+        # the inverted file: each vector's home cell. In production
+        # this is materialized once per snapshot (pass corpus_cells).
+        corpus_cells = _assign_to_centroids(emb, cents, top=1).select(
+            "vec_id", "centroid_id"
+        )
+    corpus = base.join(corpus_cells, "vec_id")
     probe_rows = _assign_to_centroids(
         emb.where(F.col("vec_id") < n_queries), cents, top=max(nprobe, 1)
     ).collect()

@@ -225,14 +225,30 @@ def ann_topk_ivf(spark, sf_dir):
     (balanced cells = bounded per-cell work at scale) at zero search
     cost; recall vs brute force is reported with stated floors in
     tests/test_ann_recall.py. The quantizer is trained once and
-    persisted (_quantizer_cached) — search never pays training."""
-    from ..operators.similarity import ivf_topk
+    persisted (_quantizer_cached), and the inverted file (per-vector
+    home cell) is materialized once — search pays neither training nor
+    corpus re-assignment."""
+    import os
 
+    from ..operators.artifacts import materialized
+    from ..operators.similarity import _assign_to_centroids, ivf_topk
+
+    cents = _quantizer_cached(spark, sf_dir)
+    cells = materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_cells",
+        lambda: _assign_to_centroids(
+            load_table(spark, sf_dir, "embeddings"), cents, top=1
+        ).select("vec_id", "centroid_id"),
+        params=f"{IVF_NCENTROIDS}i{IVF_KMEANS_ITERS}",
+    )
     return ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         ANN_NQUERIES,
         ANN_K,
-        cents=_quantizer_cached(spark, sf_dir),
+        cents=cents,
+        corpus_cells=cells,
     )
 
 
