@@ -265,6 +265,12 @@ def pq_topk(
     # out of the book, leaving id gaps — a positional LUT would then
     # read the wrong entry (or index past the end under ANSI mode).
     # Gap ids get +inf so a stale code can never win the prune.
+    # LUT entries use the EXPANDED d2 spelling (q.q - 2 q.c + c.c) with
+    # sequential folds — bit-identical to the SQL oracle's
+    # list_dot_product arithmetic, so the prune ordering (adist, nid)
+    # matches across engines exactly and the candidate set is the same.
+    from .similarity import _fold_dot
+
     lut_len = max(cid for book in books for cid, _ in book) + 1
     lut_rows = []
     for r in q_rows:
@@ -272,12 +278,12 @@ def pq_topk(
         luts = []
         for s, book in enumerate(books):
             sub = v[s * sub_dim : (s + 1) * sub_dim]
+            qq = _fold_dot(sub, sub)
             row = [float("inf")] * lut_len
             for cid, coords in book:
-                d2 = 0.0
-                for a, b in zip(sub, coords):
-                    d2 += (a - b) * (a - b)
-                row[cid] = d2
+                row[cid] = (
+                    qq - 2 * _fold_dot(sub, coords) + _fold_dot(coords, coords)
+                )
             luts.append(row)
         lut_rows.append((r["vec_id"], luts))
     qdf = emb.sparkSession.createDataFrame(

@@ -35,6 +35,17 @@ def _fold_sq(coords: list[float]) -> float:
         acc = acc + x * x
     return acc
 
+
+def _fold_dot(xs: list[float], ys: list[float]) -> float:
+    """Driver-side sequential-fold dot product — bit-identical to the
+    ``F.aggregate(zip_with(...), 0.0, acc + x*y)`` expression and to
+    DuckDB's ``list_dot_product`` (the equivalence every similarity
+    oracle here rests on)."""
+    acc = 0.0
+    for a, b in zip(xs, ys):
+        acc = acc + a * b
+    return acc
+
 # Recall/cost dial (sign-LSH): P(neighbor at angle theta shares one
 # table's bucket) = (1 - theta/pi)^ANN_BITS; OR over ANN_TABLES tables
 # amplifies recall, bucket size ~ corpus/2^ANN_BITS bounds cost. On the

@@ -16,7 +16,11 @@ from ..registry import register
 from .similarity_q import ANN_K, ANN_NQUERIES
 
 
-def _pq_codes_oracle() -> str:
+def _codes_ctes() -> str:
+    """Shared CTE chain ending in ``codes(vec_id, c0..c{N_SUB-1})`` —
+    per-vector nearest-codebook-entry ids against the sampled-seed
+    codebooks, d2 in the expanded list_dot_product spelling (the exact
+    arithmetic the Spark side folds)."""
     subs, bests, cols = [], [], []
     for s in range(N_SUB):
         lo, hi = s * SUB_DIM + 1, (s + 1) * SUB_DIM
@@ -38,15 +42,23 @@ def _pq_codes_oracle() -> str:
     joins = " ".join(
         f"JOIN best{s} ON best{s}.vec_id = e.vec_id" for s in range(N_SUB)
     )
-    return f"""
-WITH e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    return f"""e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
 ), seeds AS (
     SELECT vec_id AS code, v FROM e WHERE vec_id < {K_SUB}
-), {", ".join(subs)}, {", ".join(bests)}
-SELECT e.vec_id, {", ".join(cols)}
-FROM e {joins}
-"""
+), {", ".join(subs)}, {", ".join(bests)},
+codes AS (
+    SELECT e.vec_id, {", ".join(cols)}
+    FROM e {joins}
+)"""
+
+
+def _pq_codes_oracle() -> str:
+    cols = ", ".join(f"c{s}" for s in range(N_SUB))
+    return f"WITH {_codes_ctes()} SELECT vec_id, {cols} FROM codes"
 
 
 @register("pq_codes", oracle=_pq_codes_oracle())
@@ -86,16 +98,69 @@ def pq_codes_table(spark, sf_dir):
     )
 
 
-@register("ann_topk_pq")
+PQ_RESCORE_MARGIN = 50
+
+
+def _pq_topk_oracle() -> str:
+    """Full SQL twin of the PQ search: re-derive codes, compute each
+    query's approximate distance as the sum of per-subspace LUT terms
+    (identical expanded-form float arithmetic -> identical (adist, nid)
+    prune ordering -> identical candidate set), then exact-rescore and
+    rank — matching the Spark path stage for stage."""
+    seed_joins = " ".join(
+        f"JOIN seeds s{s} ON s{s}.code = c.c{s}" for s in range(N_SUB)
+    )
+    terms = []
+    for s in range(N_SUB):
+        lo, hi = s * SUB_DIM + 1, (s + 1) * SUB_DIM
+        terms.append(
+            f"(list_dot_product(q.v[{lo}:{hi}], q.v[{lo}:{hi}])"
+            f" - 2 * list_dot_product(q.v[{lo}:{hi}], s{s}.v[{lo}:{hi}])"
+            f" + list_dot_product(s{s}.v[{lo}:{hi}], s{s}.v[{lo}:{hi}]))"
+        )
+    adist = " + ".join(terms)
+    return f"""
+WITH {_codes_ctes()},
+q AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < {ANN_NQUERIES}),
+approx AS (
+    SELECT q.vec_id AS qid, c.vec_id AS nid, {adist} AS adist
+    FROM q JOIN codes c ON c.vec_id <> q.vec_id {seed_joins}
+),
+cand AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS prn
+        FROM approx
+    ) WHERE prn <= {ANN_K + PQ_RESCORE_MARGIN}
+),
+rescored AS (
+    SELECT cand.qid, cand.nid,
+           ROUND(list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm), 4) AS sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.qid
+    JOIN e en ON en.vec_id = cand.nid
+)
+SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
+FROM (SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM rescored)
+WHERE rn <= {ANN_K}
+"""
+
+
+@register("ann_topk_pq", oracle=_pq_topk_oracle())
 def ann_topk_pq(spark, sf_dir):
-    """ext_sim_topk PQ path (rows-only: the prune is engine-internal;
-    recall and determinism are pinned by tests/test_pq.py): codes scan
-    + LUT prune + exact rescore, bit-identical final sims to the exact
-    ordering on the candidate set. Scans the MATERIALIZED code table
-    (pq_codes_table) — search never re-encodes the corpus."""
+    """ext_sim_topk PQ path, now FULLY oracled (upgraded from
+    rows-only): codes scan + LUT prune + exact rescore. The LUT terms
+    use the expanded d2 spelling with sequential folds, so the
+    approximate-distance prune ordering — and therefore the candidate
+    set, the rescore, and the final top-k — is bit-identical to the
+    DuckDB twin. Scans the MATERIALIZED code table (pq_codes_table) —
+    search never re-encodes the corpus."""
     return pq_topk(
         load_table(spark, sf_dir, "embeddings"),
         ANN_NQUERIES,
         ANN_K,
+        rescore_margin=PQ_RESCORE_MARGIN,
         codes=pq_codes_table(spark, sf_dir),
     )
