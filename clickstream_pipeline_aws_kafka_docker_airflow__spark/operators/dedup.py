@@ -234,6 +234,77 @@ def token_hash32_sql(col: str = "token") -> str:
     return f"({terms})"
 
 
+SIMHASH_BANDS = 4  # 32 bits -> 4 bands of 8: catches hamming <= 3 fully
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BAND_DF_CAP = 1000  # skew guard on degenerate band values
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    band_df_cap: int = SIMHASH_BAND_DF_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairing: (id_a, id_b, hamming) for every pair
+    within ``max_hamming`` bit flips, found via band blocking.
+
+    Pigeonhole guarantee: with ``n_bands`` > ``max_hamming``, any pair
+    within the distance agrees EXACTLY on at least one band — so the
+    candidate set (pairs colliding on any band value) has full recall,
+    and the exact popcount verify (``bit_count(a ^ b)``) filters it
+    down with zero false positives. The classic simhash-at-scale
+    shape: each band join shuffles (band, 8-bit value) keys, never
+    text; per-key join work is collision-group^2.
+
+    Skew guard: a degenerate band value shared by more than
+    ``band_df_cap`` documents (e.g. the all-zeros band of
+    near-empty docs) is excluded from CANDIDATE GENERATION on that
+    band — such pairs are still found through their other bands unless
+    every band is degenerate (at that point the docs are near-empty
+    boilerplate, exactly what upstream quality filters remove). The
+    oracle mirrors the cap, so both engines see the same pairs.
+    """
+    fps = simhash_fingerprints(docs, bits)
+    w = bits // n_bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash div {1 << (b * w)}) % {1 << w}").alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = fps.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bval"
+    )
+    hot = (
+        bands.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > band_df_cap)
+        .select("band", "bval")
+    )
+    bk = bands.join(F.broadcast(hot), ["band", "bval"], "left_anti")
+    a = bk.select(F.col("doc_id").alias("id_a"), "band", "bval")
+    b_ = bk.select(F.col("doc_id").alias("id_b"), "band", "bval")
+    cand = (
+        a.join(b_, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    fb = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """doc_id -> SimHash over distinct lowercased tokens: per bit j, sum
     +1/-1 by bit value of the 32-bit token hash; fingerprint sets bit j

@@ -81,10 +81,11 @@ def dedup_near_minhash(spark, sf_dir):
     return minhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
     # identical per-bit +1/-1 construction; DuckDB strpos(str, ch) ==
     # Spark locate(ch, str), handled inside token_hash32_sql via locate
-    # on Spark — here we inline the DuckDB spelling.
+    # on Spark — here we inline the DuckDB spelling. Ends in
+    # ``fps(doc_id, simhash)`` for composition.
     h = "md5(token)"
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
@@ -97,8 +98,7 @@ def _simhash_oracle() -> str:
     fp = " + ".join(
         f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
     SELECT DISTINCT doc_id, token
     FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
 ), th AS (
@@ -106,15 +106,67 @@ WITH tok AS (
 ), agg AS (
     SELECT doc_id, {bit_sums}
     FROM th GROUP BY doc_id
-)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
-"""
+), fps AS (
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM fps"
 
 
 @register("simhash_fingerprints", oracle=_simhash_oracle())
 def simhash_q(spark, sf_dir):
     """ext SimHash: 32-bit sign-sum fingerprint over distinct tokens."""
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_near_dup_oracle() -> str:
+    from ..operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_BAND_DF_CAP,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    w = SIMHASH_BITS // SIMHASH_BANDS
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash // {1 << (b * w)}) % {1 << w}"
+        f" AS bval FROM fps"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_simhash_ctes()},
+bands AS (
+    {band_rows}
+), keep AS (
+    SELECT band, bval FROM bands GROUP BY band, bval
+    HAVING COUNT(*) <= {SIMHASH_BAND_DF_CAP}
+), bk AS (
+    SELECT bands.* FROM bands JOIN keep USING (band, bval)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bval = b.bval
+                       AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.id_a
+JOIN fps fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("simhash_near_dup", oracle=_simhash_near_dup_oracle())
+def simhash_near_dup_q(spark, sf_dir):
+    """ext_dedup_near (SimHash variant): banded fingerprint blocking —
+    with n_bands > max_hamming any within-distance pair collides on at
+    least one band (pigeonhole), so candidates have full recall and the
+    exact popcount verify has zero false positives. Completes the
+    SimHash path from fingerprint-only to end-to-end pairing."""
+    from ..operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
 def _ngram_jaccard_oracle() -> str:

@@ -178,3 +178,34 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     # no false positives above threshold: found pairs are exact-verified
     extra = found - truth
     assert not extra, f"verified pairs missing from exhaustive truth: {extra}"
+
+
+def test_simhash_near_dup_full_recall_vs_bruteforce(spark):
+    # pigeonhole contract: banded blocking + exact popcount verify must
+    # find EXACTLY the brute-force hamming<=3 pairs (full recall, zero
+    # false positives) as long as no band value exceeds the df cap
+    from itertools import combinations
+
+    from conftest import SF_SMOKE
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import load_table
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_near_dup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    found = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_dup(docs).collect()
+    }
+    assert truth, "no within-distance pairs; eval is vacuous"
+    assert found == truth
