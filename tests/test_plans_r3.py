@@ -115,3 +115,62 @@ def test_ivf_query_uses_persisted_quantizer(spark, tmp_path, monkeypatch):
     )
     out = _Q["ann_topk_ivf"](spark, SF_SMOKE)
     assert out.count() > 0
+
+
+def test_ann_lsh_reads_band_index_and_broadcasts_queries(spark):
+    # the search must scan the materialized band index (a parquet scan
+    # of vec_id/tbl/bucket), broadcast the tiny query-side tables, and
+    # never re-derive hyperplane dots over the corpus
+    f_ = _Q["ann_topk_lsh"](spark, SF_SMOKE)
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+        plan_facts,
+    )
+
+    f = plan_facts(f_)
+    assert any("bucket" in s for s in f.read_schemas), f.read_schemas
+    assert f.broadcast_joins >= 2, f.text
+    assert f.python_evals == 0
+
+
+def test_corpus_curation_bounded_exchanges(spark):
+    # composite over materialized stages: quality projection + three
+    # doc_id joins + the split predicate; exchanges stay bounded (no
+    # stage recomputation blow-up) and nothing python-evals
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+        plan_facts,
+    )
+
+    f = plan_facts(_Q["corpus_curation"](spark, SF_SMOKE))
+    assert f.python_evals == 0
+    assert "Cartesian" not in f.text
+    # all joins key on doc_id; with AQE the small sides broadcast
+    assert f.exchanges <= 8, f.text
+
+
+def test_artifact_materialize_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators import (
+        artifacts,
+    )
+
+    src = tmp_path / "src.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(src)
+    calls = {"n": 0}
+
+    def _build():
+        calls["n"] += 1
+        return spark.range(3).withColumnRenamed("id", "x")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(artifacts, "ARTIFACT_ROOT", str(tmp_path / "root")):
+        a = artifacts.materialized(spark, str(src), "t", _build)
+        b = artifacts.materialized(spark, str(src), "t", _build)
+        assert calls["n"] == 1  # second call reads, never rebuilds
+        assert sorted(r["x"] for r in a.collect()) == [0, 1, 2]
+        assert sorted(r["x"] for r in b.collect()) == [0, 1, 2]
+        # a source change invalidates the key
+        pd.DataFrame({"x": [9]}).to_parquet(src)
+        artifacts.materialized(spark, str(src), "t", _build)
+        assert calls["n"] == 2
