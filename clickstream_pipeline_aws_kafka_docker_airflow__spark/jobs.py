@@ -229,6 +229,42 @@ def run_corpus_curation(
     }
 
 
+def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """The index-build job: eagerly materialize every build-once table
+    the query tier consumes — near-dup pair list, cluster labels,
+    contamination screen, sign-LSH band index, PQ code table, and the
+    IVF quantizer + inverted file. A scheduler runs this once per
+    corpus snapshot (upstream of curation/search); queries then only
+    read. Returns row counts per artifact for run logging.
+
+    Idempotent: artifacts are keyed on snapshot identity, so re-running
+    on an unchanged snapshot reads instead of rebuilding.
+    """
+    from .queries.pipeline_q import (
+        cluster_labels_table,
+        contamination_table,
+        dup_pairs_table,
+    )
+    from .queries.pq_q import pq_codes_table
+    from .queries.similarity_q import (
+        _quantizer_cached,
+        ivf_cells_table,
+        lsh_bands_table,
+    )
+
+    counts = {
+        "dup_pairs": dup_pairs_table(spark, sf_dir).count(),
+        "cluster_labels": cluster_labels_table(spark, sf_dir).count(),
+        "contamination": contamination_table(spark, sf_dir).count(),
+        "lsh_bands": lsh_bands_table(spark, sf_dir).count(),
+        "pq_codes": pq_codes_table(spark, sf_dir).count(),
+    }
+    cents = _quantizer_cached(spark, sf_dir)
+    counts["ivf_centroids"] = len(cents)
+    counts["ivf_cells"] = ivf_cells_table(spark, sf_dir, cents).count()
+    return counts
+
+
 def run_healthcheck(spark: SparkSession, raw_path: str, lookback_minutes: int = 20) -> None:
     """Freshness gate: raise if no raw file landed in the lookback
     window (ingest_healthcheck.py:30-33 fail path)."""

@@ -213,6 +213,28 @@ def _quantizer_cached(spark, sf_dir):
     return cents
 
 
+def ivf_cells_table(spark, sf_dir, cents=None):
+    """Materialized IVF inverted file: every vector's home cell under
+    the persisted quantizer — built once per snapshot, joined by every
+    search."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.similarity import _assign_to_centroids
+
+    if cents is None:
+        cents = _quantizer_cached(spark, sf_dir)
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_cells",
+        lambda: _assign_to_centroids(
+            load_table(spark, sf_dir, "embeddings"), cents, top=1
+        ).select("vec_id", "centroid_id"),
+        params=f"{IVF_NCENTROIDS}i{IVF_KMEANS_ITERS}",
+    )
+
+
 @register(
     "ann_topk_ivf",
     oracle=_ivf_refined_oracle(IVF_NCENTROIDS, IVF_KMEANS_ITERS, IVF_NPROBE),
@@ -228,27 +250,15 @@ def ann_topk_ivf(spark, sf_dir):
     persisted (_quantizer_cached), and the inverted file (per-vector
     home cell) is materialized once — search pays neither training nor
     corpus re-assignment."""
-    import os
-
-    from ..operators.artifacts import materialized
-    from ..operators.similarity import _assign_to_centroids, ivf_topk
+    from ..operators.similarity import ivf_topk
 
     cents = _quantizer_cached(spark, sf_dir)
-    cells = materialized(
-        spark,
-        os.path.join(sf_dir, "embeddings.parquet"),
-        "ivf_cells",
-        lambda: _assign_to_centroids(
-            load_table(spark, sf_dir, "embeddings"), cents, top=1
-        ).select("vec_id", "centroid_id"),
-        params=f"{IVF_NCENTROIDS}i{IVF_KMEANS_ITERS}",
-    )
     return ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         ANN_NQUERIES,
         ANN_K,
         cents=cents,
-        corpus_cells=cells,
+        corpus_cells=ivf_cells_table(spark, sf_dir, cents),
     )
 
 

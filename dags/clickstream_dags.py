@@ -91,6 +91,14 @@ def _task_corpus_curation(**_):
     return run_corpus_curation(_spark(), CORPUS_SRC, CORPUS_OUT)
 
 
+def _task_build_artifacts(**_):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_build_corpus_artifacts,
+    )
+
+    return run_build_corpus_artifacts(_spark(), CORPUS_SRC)
+
+
 if HAVE_AIRFLOW:
     with DAG(
         dag_id="clickstream_ingest_spark",
@@ -129,7 +137,15 @@ if HAVE_AIRFLOW:
         catchup=False,
         max_active_runs=1,
     ) as curation_dag:
-        PythonOperator(
+        # index build upstream: pair list, cluster labels, contamination
+        # screen, LSH/PQ/IVF indexes — queries and the curation
+        # composite then only read
+        build = PythonOperator(
+            task_id="build_corpus_artifacts",
+            python_callable=_task_build_artifacts,
+        )
+        curate = PythonOperator(
             task_id="materialize_curated_corpus",
             python_callable=_task_corpus_curation,
         )
+        build >> curate

@@ -237,3 +237,26 @@ def test_run_kpi_backfill_range_one_job(spark, tmp_path):
     assert run_kpi_backfill(
         spark, str(raw), str(kpis), "2099-01-01", "2099-01-02"
     ) == {"days_written": 0}
+
+
+def test_build_corpus_artifacts_counts(spark):
+    from conftest import SF_SMOKE as SF
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_build_corpus_artifacts,
+    )
+
+    counts = run_build_corpus_artifacts(spark, SF)
+    assert set(counts) == {
+        "dup_pairs", "cluster_labels", "contamination", "lsh_bands",
+        "pq_codes", "ivf_centroids", "ivf_cells",
+    }
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert counts["cluster_labels"] == n_docs
+    assert counts["lsh_bands"] == n_vecs * 8
+    assert counts["pq_codes"] == n_vecs
+    assert counts["ivf_cells"] == n_vecs
+    assert counts["ivf_centroids"] > 0
+    # idempotent: second run reads, counts identical
+    assert run_build_corpus_artifacts(spark, SF) == counts
