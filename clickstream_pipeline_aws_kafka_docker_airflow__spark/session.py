@@ -12,9 +12,12 @@ settings we would ship on a real cluster:
   timestamps (``produce_events.py:35``); pinning UTC makes Spark's
   instant-based ``TimestampType`` arithmetic agree with naive-timestamp
   engines (DuckDB oracle) on ``to_date``/``date_trunc``.
-* ``parquet.nanosAsLong`` — the driver testdata writes ``events.ts`` as
-  parquet TIMESTAMP(NANOS) which Spark cannot read natively; we read the
-  raw int64 and convert ns -> us in :func:`io.load_table`.
+* ``parquet.nanosAsLong`` — older driver testdata generations wrote
+  ``events.ts`` as parquet TIMESTAMP(NANOS), which Spark cannot read
+  natively; with this conf the raw int64 is read and converted ns -> us
+  in :func:`io.load_table` (current generations write timestamp[us],
+  normalized from TIMESTAMP_NTZ in the same place — the conf is then
+  inert but kept for backward compat).
 """
 
 from __future__ import annotations
