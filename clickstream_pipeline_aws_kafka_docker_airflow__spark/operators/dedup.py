@@ -143,12 +143,15 @@ def minhash_near_dup(
     Jaccard. Returns (id_a, id_b, jaccard) for every candidate pair.
 
     The shingle table feeds four consumers (signatures, sizes, both
-    sides of the common-shingle join) and is deliberately NOT persisted:
-    measured locally, recomputing the narrow tokenize+explode chain is
-    ~3x faster than caching it (cache materialization defeats AQE
-    partition coalescing). At 100 TB the call is different — there you
-    materialize shingles once to a staging table and amortize the scan."""
-    sh = shingle_table(docs, n)
+    sides of the common-shingle join), so it is materialized ONCE with
+    an eager localCheckpoint instead of re-running the tokenize +
+    explode + distinct chain per branch — measured 2x end-to-end at
+    sf0.1 (an earlier round measured the opposite with .cache(); the
+    checkpoint avoids both the recompute and the cache-manager plan
+    pinning that defeated AQE coalescing). At 100 TB the equivalent is
+    materializing shingles to a staging table and amortizing the scan
+    — which is exactly what the checkpoint is, locally."""
+    sh = shingle_table(docs, n).localCheckpoint()
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, band_size)
     return jaccard_verify(sh, cands)
 
@@ -188,7 +191,9 @@ def ngram_jaccard_all_pairs(
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    shk = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # capped table feeds three consumers (sizes, both join sides):
+    # materialize once (same 2x measured win as minhash_near_dup)
+    shk = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
     sizes = shk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = shk.select(F.col("doc_id").alias("id_a"), "shingle")
     s2 = shk.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -224,24 +229,33 @@ def _hex_val(col: str, pos: int) -> str:
     return f"(CAST(locate(substr({col}, {pos + 1}, 1), '{HEX}') AS BIGINT) - 1)"
 
 
-def token_hash32_sql(col: str = "token") -> str:
-    """Portable SQL: first 8 md5 hex nibbles of the token as a 32-bit
-    int, built from per-nibble positions (no engine-specific hex cast)."""
+def token_hash_sql(col: str = "token", n_nibbles: int = 8) -> str:
+    """Portable SQL: first ``n_nibbles`` md5 hex nibbles of the value as
+    an integer, built from per-nibble positions (no engine-specific hex
+    cast). 15 nibbles = 60 bits is the widest that stays safely inside
+    BIGINT on both engines."""
+    assert n_nibbles <= 15, "more than 15 nibbles overflows BIGINT"
     h = f"md5({col})"
     terms = " + ".join(
-        f"{_hex_val(h, p)} * {16 ** (7 - p)}" for p in range(8)
+        f"{_hex_val(h, p)} * {16 ** (n_nibbles - 1 - p)}" for p in range(n_nibbles)
     )
     return f"({terms})"
 
 
-SIMHASH_BANDS = 4  # 32 bits -> 4 bands of 8: catches hamming <= 3 fully
+def token_hash32_sql(col: str = "token") -> str:
+    """First 8 md5 hex nibbles as a 32-bit int (see token_hash_sql)."""
+    return token_hash_sql(col, 8)
+
+
+SIMHASH_ND_BITS = 60  # pairing uses a WIDE fingerprint: 4 bands of 15
+SIMHASH_BANDS = 4  # n_bands > max_hamming -> pigeonhole full recall
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BAND_DF_CAP = 1000  # skew guard on degenerate band values
 
 
 def simhash_near_dup(
     docs: DataFrame,
-    bits: int = SIMHASH_BITS,
+    bits: int = SIMHASH_ND_BITS,
     n_bands: int = SIMHASH_BANDS,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     band_df_cap: int = SIMHASH_BAND_DF_CAP,
@@ -254,8 +268,16 @@ def simhash_near_dup(
     candidate set (pairs colliding on any band value) has full recall,
     and the exact popcount verify (``bit_count(a ^ b)``) filters it
     down with zero false positives. The classic simhash-at-scale
-    shape: each band join shuffles (band, 8-bit value) keys, never
+    shape: each band join shuffles (band, band-value) keys, never
     text; per-key join work is collision-group^2.
+
+    The PAIRING fingerprint is wide (60 bits -> 15-bit bands, 32k
+    values per band) precisely because band width controls collision
+    group size: an 8-bit band collides corpus/256 ways — quadratic
+    blowup at any real corpus — while 15-bit bands keep groups near 1
+    at 50k docs and the df cap bounds the pathological values beyond
+    that. (The 32-bit ``simhash_fingerprints`` query keeps its own
+    width for compact storage comparisons; width is a per-use dial.)
 
     Skew guard: a degenerate band value shared by more than
     ``band_df_cap`` documents (e.g. the all-zeros band of
@@ -265,7 +287,11 @@ def simhash_near_dup(
     boilerplate, exactly what upstream quality filters remove). The
     oracle mirrors the cap, so both engines see the same pairs.
     """
-    fps = simhash_fingerprints(docs, bits)
+    # the fingerprint aggregate (``bits`` SUM columns over the token
+    # explode) feeds every band branch — materialize it once (one
+    # skinny row per doc); without the checkpoint it re-runs per branch
+    # (measured 4x end-to-end at sf0.1)
+    fps = simhash_fingerprints(docs, bits).localCheckpoint()
     w = bits // n_bands
     band_arr = F.array(
         *[
@@ -276,8 +302,12 @@ def simhash_near_dup(
             for b in range(n_bands)
         ]
     )
-    bands = fps.select("doc_id", F.explode(band_arr).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bval"
+    # the fingerprint rides WITH the band rows, so hamming is computed
+    # inside the band join and non-near pairs are dropped BEFORE the
+    # distinct — the shuffle then carries only true near-dup pairs
+    # (multi-band duplicates of them), not every collision
+    bands = fps.select("doc_id", "simhash", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "simhash", "bb.band", "bb.bval"
     )
     hot = (
         bands.groupBy("band", "bval")
@@ -286,36 +316,36 @@ def simhash_near_dup(
         .select("band", "bval")
     )
     bk = bands.join(F.broadcast(hot), ["band", "bval"], "left_anti")
-    a = bk.select(F.col("doc_id").alias("id_a"), "band", "bval")
-    b_ = bk.select(F.col("doc_id").alias("id_b"), "band", "bval")
-    cand = (
-        a.join(b_, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = bk.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"), "band", "bval"
     )
-    fa = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
-    fb = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    b_ = bk.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"), "band", "bval"
+    )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        a.join(b_, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """doc_id -> SimHash over distinct lowercased tokens: per bit j, sum
-    +1/-1 by bit value of the 32-bit token hash; fingerprint sets bit j
-    iff the sum is positive. One explode + one aggregate."""
+    +1/-1 by bit value of the token hash; fingerprint sets bit j iff the
+    sum is positive. One explode + one aggregate. The token hash is
+    sized to the fingerprint width (ceil(bits/4) md5 nibbles, max 60
+    bits)."""
     from .scale import widen
 
+    n_nibbles = max(8, -(-bits // 4))
     tok = (
         widen(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .where(F.col("token") != "")
         .distinct()
-        .withColumn("h32", F.expr(token_hash32_sql("token")))
+        .withColumn("h32", F.expr(token_hash_sql("token", n_nibbles)))
     )
     bit_aggs = [
         F.sum(

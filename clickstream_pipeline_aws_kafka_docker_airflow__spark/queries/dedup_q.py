@@ -81,22 +81,25 @@ def dedup_near_minhash(spark, sf_dir):
     return minhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_ctes() -> str:
+def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
     # identical per-bit +1/-1 construction; DuckDB strpos(str, ch) ==
-    # Spark locate(ch, str), handled inside token_hash32_sql via locate
+    # Spark locate(ch, str), handled inside token_hash_sql via locate
     # on Spark — here we inline the DuckDB spelling. Ends in
-    # ``fps(doc_id, simhash)`` for composition.
+    # ``fps(doc_id, simhash)`` for composition. The token hash is
+    # ceil(bits/4) nibbles, mirroring simhash_fingerprints.
+    n_nibbles = max(8, -(-bits // 4))
     h = "md5(token)"
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
-        for p in range(8)
+        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
+        f" * {16 ** (n_nibbles - 1 - p)}"
+        for p in range(n_nibbles)
     )
     bit_sums = ",\n           ".join(
         f"SUM(CASE WHEN (h32 // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     fp = " + ".join(
-        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
     )
     return f"""tok AS (
     SELECT DISTINCT doc_id, token
@@ -126,16 +129,17 @@ def _simhash_near_dup_oracle() -> str:
         SIMHASH_BANDS,
         SIMHASH_BAND_DF_CAP,
         SIMHASH_MAX_HAMMING,
+        SIMHASH_ND_BITS,
     )
 
-    w = SIMHASH_BITS // SIMHASH_BANDS
+    w = SIMHASH_ND_BITS // SIMHASH_BANDS
     band_rows = "\n    UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, (simhash // {1 << (b * w)}) % {1 << w}"
         f" AS bval FROM fps"
         for b in range(SIMHASH_BANDS)
     )
     return f"""
-WITH {_simhash_ctes()},
+WITH {_simhash_ctes(SIMHASH_ND_BITS)},
 bands AS (
     {band_rows}
 ), keep AS (

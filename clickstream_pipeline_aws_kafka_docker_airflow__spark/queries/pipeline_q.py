@@ -466,7 +466,9 @@ def contamination_check(spark, sf_dir):
     summation-order float risk).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, CONTAM_SHINGLE_N)
+    # three consumers (bench set, corpus counts, hits join): materialize
+    # the shingle chain once (same measured win as the dedup detectors)
+    sh = shingle_table(docs, CONTAM_SHINGLE_N).localCheckpoint()
     bench = (
         sh.where(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
     )

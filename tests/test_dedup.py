@@ -191,13 +191,14 @@ def test_simhash_near_dup_full_recall_vs_bruteforce(spark):
     from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import load_table
     from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
         SIMHASH_MAX_HAMMING,
+        SIMHASH_ND_BITS,
         simhash_near_dup,
     )
 
     docs = load_table(spark, SF_SMOKE, "documents")
     fps = {
         r["doc_id"]: r["simhash"]
-        for r in simhash_fingerprints(docs).collect()
+        for r in simhash_fingerprints(docs, bits=SIMHASH_ND_BITS).collect()
     }
     truth = {
         (a, b)
