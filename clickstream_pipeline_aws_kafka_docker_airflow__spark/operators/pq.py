@@ -266,9 +266,10 @@ def pq_topk(
     # read the wrong entry (or index past the end under ANSI mode).
     # Gap ids get +inf so a stale code can never win the prune.
     # LUT entries use the EXPANDED d2 spelling (q.q - 2 q.c + c.c) with
-    # sequential folds — bit-identical to the SQL oracle's
-    # list_dot_product arithmetic, so the prune ordering (adist, nid)
-    # matches across engines exactly and the candidate set is the same.
+    # sequential folds — the same arithmetic the SQL oracle spells via
+    # list_dot_product (agreement within an ulp), so the prune ordering
+    # (adist, nid) matches across engines away from ulp-ties and the
+    # generous rescore margin absorbs any boundary flip.
     from .similarity import _fold_dot
 
     lut_len = max(cid for book in books for cid, _ in book) + 1

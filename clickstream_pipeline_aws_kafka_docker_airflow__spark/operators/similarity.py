@@ -38,9 +38,12 @@ def _fold_sq(coords: list[float]) -> float:
 
 def _fold_dot(xs: list[float], ys: list[float]) -> float:
     """Driver-side sequential-fold dot product — bit-identical to the
-    ``F.aggregate(zip_with(...), 0.0, acc + x*y)`` expression and to
-    DuckDB's ``list_dot_product`` (the equivalence every similarity
-    oracle here rests on)."""
+    ``F.aggregate(zip_with(...), 0.0, acc + x*y)`` expression. DuckDB's
+    ``list_dot_product`` agrees to within an ulp (its reduction order
+    is not guaranteed identical); every oracle-compared similarity
+    OUTPUT therefore rounds to 4 dp, which absorbs the residual, and
+    unrounded values are used only as ordering keys where ties are
+    broken by id."""
     acc = 0.0
     for a, b in zip(xs, ys):
         acc = acc + a * b
@@ -149,10 +152,12 @@ def _assign_to_centroids(
       like any dimension table.
 
     Both paths compute every term (v.v, v.c, c.c) as a sequential
-    in-order float64 fold, so d2 is bit-identical between them and to
-    the DuckDB oracle's ``list_dot_product`` spelling; the final sort
-    key is (d2, cid) so the packing order of the broadcast array is
-    irrelevant.
+    in-order float64 fold, so d2 is bit-identical BETWEEN the two
+    transports; the DuckDB oracle's ``list_dot_product`` spelling
+    agrees to within an ulp, and the (d2, cid) sort key with id
+    tie-break keeps the ranking stable across that residual (output
+    sims additionally round to 4 dp). The packing order of the
+    broadcast array is irrelevant to the sort.
     """
     if mode is None:
         state = len(cents) * (len(cents[0][1]) + 1)

@@ -68,6 +68,7 @@ def _load_all() -> None:
         misc_q,
         pipeline_q,
         pq_q,
+        projection_q,
         multimodal_q,
         relational_q,
         similarity_q,
