@@ -220,6 +220,129 @@ def encode_pq(
     return proj.select("vec_id", F.array(*code_cols).alias("codes"))
 
 
+def _query_luts(emb, n_queries, books, sub_dim):
+    """Per-query PQ lookup tables as a broadcastable DataFrame
+    (qid, lut array<array<double>>) — expanded-form sequential folds
+    (see pq_topk)."""
+    from .similarity import _fold_dot
+
+    q_rows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    lut_len = max(cid for book in books for cid, _ in book) + 1
+    lut_rows = []
+    for r in q_rows:
+        v = list(r["v"])
+        luts = []
+        for s, book in enumerate(books):
+            sub = v[s * sub_dim : (s + 1) * sub_dim]
+            qq = _fold_dot(sub, sub)
+            row = [float("inf")] * lut_len
+            for cid, coords in book:
+                row[cid] = (
+                    qq - 2 * _fold_dot(sub, coords) + _fold_dot(coords, coords)
+                )
+            luts.append(row)
+        lut_rows.append((r["vec_id"], luts))
+    return emb.sparkSession.createDataFrame(
+        lut_rows, "qid bigint, lut array<array<double>>"
+    )
+
+
+def _adist_expr(n_sub: int) -> F.Column:
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("lut", (s + 1).cast("int")),
+            (F.element_at("codes", (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    cents: list[tuple[int, list[float]]],
+    corpus_cells: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    nprobe: int = 2,
+    rescore_margin: int = 50,
+    sub_dim: int = SUB_DIM,
+) -> DataFrame:
+    """IVF-PQ search — the production ANN serving architecture (the
+    faiss IVFPQ shape) composed from the materialized artifacts: probe
+    the query's ``nprobe`` nearest cells (coarse quantizer), rank ONLY
+    that cell's members by PQ approximate distance (codes scan + LUT
+    adds — no vector math on the corpus side), then exact-rescore the
+    ``k + rescore_margin`` survivors with the sequential-fold cosine.
+
+    At 100 TB: candidate work is (cells probed x cell size) rows of
+    CODES (~10^2 smaller than vectors), the LUTs and probe lists are
+    query-side broadcasts, and the exact rescore touches margin rows
+    per query. Everything upstream (quantizer, inverted file, code
+    table) is build-once state.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import norm
+    from .scale import widen
+    from .similarity import _assign_to_centroids
+
+    emb = widen(emb)
+    probe_rows = _assign_to_centroids(
+        emb.where(F.col("vec_id") < n_queries), cents, top=max(nprobe, 1)
+    ).collect()
+    probes = emb.sparkSession.createDataFrame(
+        [(r["vec_id"], r["centroid_id"]) for r in probe_rows],
+        "qid bigint, centroid_id bigint",
+    )
+    qdf = _query_luts(emb, n_queries, books, sub_dim)
+    # candidates: cell members of probed cells, ranked by PQ distance
+    cand_codes = (
+        corpus_cells.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(qdf), "qid")
+    )
+    pairs = cand_codes.select(
+        "qid", F.col("vec_id").alias("nid"), _adist_expr(len(books)).alias("adist")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    cand = (
+        pairs.withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= k + rescore_margin)
+        .select("qid", "nid")
+    )
+    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    qv = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    rescored = (
+        base.join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     n_queries: int,
@@ -255,11 +378,6 @@ def pq_topk(
     if codes is None:
         codes = encode_pq(emb, books, sub_dim=sub_dim)
 
-    q_rows = (
-        emb.where(F.col("vec_id") < n_queries)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .collect()
-    )
     # LUT[q][s][cid] = ||q_s - c||^2, indexed by CODEBOOK-ENTRY ID, not
     # list position: with n_iters>0 a k-means cluster can empty and drop
     # out of the book, leaving id gaps — a positional LUT would then
@@ -270,39 +388,13 @@ def pq_topk(
     # list_dot_product (agreement within an ulp), so the prune ordering
     # (adist, nid) matches across engines away from ulp-ties and the
     # generous rescore margin absorbs any boundary flip.
-    from .similarity import _fold_dot
-
-    lut_len = max(cid for book in books for cid, _ in book) + 1
-    lut_rows = []
-    for r in q_rows:
-        v = list(r["v"])
-        luts = []
-        for s, book in enumerate(books):
-            sub = v[s * sub_dim : (s + 1) * sub_dim]
-            qq = _fold_dot(sub, sub)
-            row = [float("inf")] * lut_len
-            for cid, coords in book:
-                row[cid] = (
-                    qq - 2 * _fold_dot(sub, coords) + _fold_dot(coords, coords)
-                )
-            luts.append(row)
-        lut_rows.append((r["vec_id"], luts))
-    qdf = emb.sparkSession.createDataFrame(
-        lut_rows, "qid bigint, lut array<array<double>>"
-    )
+    qdf = _query_luts(emb, n_queries, books, sub_dim)
     # approx distance: integer-indexed LUT lookups, one per subspace
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("lut", (s + 1).cast("int")),
-            (F.element_at("codes", (s + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
     pairs = (
         codes.join(F.broadcast(qdf), F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"), adist.alias("adist"))
+        .select(
+            "qid", F.col("vec_id").alias("nid"), _adist_expr(n_sub).alias("adist")
+        )
     )
     wp = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
     cand = (

@@ -148,6 +148,96 @@ WHERE rn <= {ANN_K}
 """
 
 
+def _ivfpq_oracle(nprobe: int) -> str:
+    """Combined IVF + PQ oracle: the refined-quantizer assignment chain
+    (similarity_q._ivf_ctes) gates which (query, corpus) pairs get a PQ
+    approximate distance; prune and exact rescore match the Spark path
+    stage for stage."""
+    from .similarity_q import IVF_KMEANS_ITERS, IVF_NCENTROIDS, _ivf_ctes
+
+    seed_joins = " ".join(
+        f"JOIN seeds s{s} ON s{s}.code = cd.c{s}" for s in range(N_SUB)
+    )
+    terms = []
+    for s in range(N_SUB):
+        lo, hi = s * SUB_DIM + 1, (s + 1) * SUB_DIM
+        terms.append(
+            f"(list_dot_product(q.v[{lo}:{hi}], q.v[{lo}:{hi}])"
+            f" - 2 * list_dot_product(q.v[{lo}:{hi}], s{s}.v[{lo}:{hi}])"
+            f" + list_dot_product(s{s}.v[{lo}:{hi}], s{s}.v[{lo}:{hi}]))"
+        )
+    adist = " + ".join(terms)
+    return f"""
+WITH {_codes_ctes()},
+{_ivf_ctes(IVF_NCENTROIDS, IVF_KMEANS_ITERS)},
+corpus AS (
+    SELECT e.vec_id, centroid_id
+    FROM e JOIN assign a ON a.vec_id = e.vec_id AND a.crank = 1
+),
+probes AS (
+    SELECT a.vec_id AS qid, a.centroid_id
+    FROM assign a
+    WHERE a.vec_id < {ANN_NQUERIES} AND a.crank <= {nprobe}
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {ANN_NQUERIES}),
+approx AS (
+    SELECT p.qid, c.vec_id AS nid, {adist} AS adist
+    FROM probes p
+    JOIN corpus c ON c.centroid_id = p.centroid_id AND c.vec_id <> p.qid
+    JOIN codes cd ON cd.vec_id = c.vec_id
+    JOIN q ON q.vec_id = p.qid
+    {seed_joins}
+),
+cand AS (
+    SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS prn
+        FROM approx
+    ) WHERE prn <= {ANN_K + PQ_RESCORE_MARGIN}
+),
+rescored AS (
+    SELECT cand.qid, cand.nid,
+           ROUND(list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm), 4) AS sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.qid
+    JOIN e en ON en.vec_id = cand.nid
+)
+SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
+FROM (SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM rescored)
+WHERE rn <= {ANN_K}
+"""
+
+
+@register("ann_topk_ivfpq", oracle=_ivfpq_oracle(nprobe=2))
+def ann_topk_ivfpq(spark, sf_dir):
+    """The production ANN serving tier (faiss-IVFPQ shape), composed
+    entirely from materialized build-once artifacts: persisted coarse
+    quantizer + inverted file gate the candidates, the PQ code table
+    ranks them without touching corpus vectors, and the survivors are
+    exact-rescored. Fully oracled end to end — quantizer refinement,
+    cell probing, code assignment, LUT distances, prune, and rescore
+    all have SQL twins."""
+    from ..operators.pq import ivfpq_topk, train_pq
+    from ..operators.similarity import IVF_NPROBE
+    from .similarity_q import _quantizer_cached, ivf_cells_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _quantizer_cached(spark, sf_dir)
+    return ivfpq_topk(
+        emb,
+        ANN_NQUERIES,
+        ANN_K,
+        cents=cents,
+        corpus_cells=ivf_cells_table(spark, sf_dir, cents),
+        codes=pq_codes_table(spark, sf_dir),
+        books=train_pq(emb),
+        nprobe=IVF_NPROBE,
+        rescore_margin=PQ_RESCORE_MARGIN,
+    )
+
+
 @register("ann_topk_pq", oracle=_pq_topk_oracle())
 def ann_topk_pq(spark, sf_dir):
     """ext_sim_topk PQ path, now FULLY oracled (upgraded from

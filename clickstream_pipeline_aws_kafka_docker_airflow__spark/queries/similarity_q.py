@@ -110,12 +110,14 @@ WHERE rn <= 5
 """
 
 
-def _ivf_refined_oracle(n_centroids: int, n_iters: int, nprobe: int) -> str:
-    """DuckDB twin of the k-means-refined IVF search: iterations are
-    unrolled as WITH stages; centroid means use the identical exact
-    truncated-decimal construction (operators/similarity.py::
-    MEAN_TRUNC6_SQL), so centroids — and therefore cells, candidates,
-    and top-k — are bit-identical across engines."""
+def _ivf_ctes(n_centroids: int, n_iters: int) -> str:
+    """Composable CTE chain (assumes ``e(vec_id, v, nrm)`` is already
+    defined) ending in ``assign(vec_id, centroid_id, crank)`` — the
+    k-means-refined quantizer assignment. Iterations are unrolled as
+    WITH stages; centroid means use the exact truncated-decimal
+    construction (operators/similarity.py::MEAN_TRUNC6_SQL), so
+    centroids — and therefore cells and candidates — agree across
+    engines."""
     from ..operators.similarity import ANN_DIM
 
     assign_over = (
@@ -127,13 +129,7 @@ def _ivf_refined_oracle(n_centroids: int, n_iters: int, nprobe: int) -> str:
         "                        centroid_id) AS crank\n"
         "    FROM e CROSS JOIN {cent}"
     )
-    sql = f"""
-WITH e AS (
-    SELECT vec_id, {_E} AS v,
-           sqrt(list_dot_product({_E}, {_E})) AS nrm
-    FROM embeddings
-),
-cent0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+    sql = f"""cent0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
           WHERE vec_id < {n_centroids})"""
     prev = "cent0"
     for i in range(1, n_iters + 1):
@@ -157,7 +153,19 @@ cent{i} AS (
     sql += f""",
 assign AS (
     {assign_over.format(cent=prev)}
+)"""
+    return sql
+
+
+def _ivf_refined_oracle(n_centroids: int, n_iters: int, nprobe: int) -> str:
+    """DuckDB twin of the k-means-refined IVF search."""
+    sql = f"""
+WITH e AS (
+    SELECT vec_id, {_E} AS v,
+           sqrt(list_dot_product({_E}, {_E})) AS nrm
+    FROM embeddings
 ),
+{_ivf_ctes(n_centroids, n_iters)},
 corpus AS (
     SELECT e.vec_id, v, nrm, centroid_id
     FROM e JOIN assign a ON a.vec_id = e.vec_id AND a.crank = 1

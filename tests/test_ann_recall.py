@@ -103,3 +103,36 @@ def test_quantizer_persists_and_reproduces(spark, tmp_path):
         for r in ivf_topk(emb, 10, 5, cents=loaded).collect()
     }
     assert fresh == reused
+
+
+def test_ivfpq_recall_vs_ivf(spark):
+    # IVF-PQ ranks the SAME probed-cell candidates as plain IVF but by
+    # PQ distance with a generous rescore margin — its recall floor
+    # tracks the IVF tier (the PQ prune can only lose candidates the
+    # margin fails to cover)
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.pq import (
+        encode_pq,
+        ivfpq_topk,
+        train_pq,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        IVF_KMEANS_ITERS,
+        IVF_NCENTROIDS,
+        _assign_to_centroids,
+        kmeans_centroid_list,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    truth = _pairs(_exact_topk(emb))
+    cents = kmeans_centroid_list(emb, IVF_NCENTROIDS, IVF_KMEANS_ITERS)
+    cells = _assign_to_centroids(emb, cents, top=1).select(
+        "vec_id", "centroid_id"
+    )
+    books = train_pq(emb)
+    codes = encode_pq(emb, books)
+    got = _pairs(
+        ivfpq_topk(emb, N_QUERIES, K, cents, cells, codes, books)
+    )
+    recall = len(truth & got) / len(truth)
+    print(f"\nIVF-PQ recall@{K}: {recall:.3f}")
+    assert recall >= FLOOR_IVF - 0.10
