@@ -467,26 +467,18 @@ SEMDEDUP_TAU = 0.35  # driver-data dial; production embeddings use ~0.9
 _E = "CAST(embedding AS DOUBLE[])"
 
 
-@register(
-    "semantic_dedup",
-    oracle=f"""
+def _semdedup_oracle() -> str:
+    from .similarity_q import IVF_KMEANS_ITERS, _ivf_ctes
+
+    return f"""
 WITH e AS (
     SELECT vec_id, {_E} AS v,
            sqrt(list_dot_product({_E}, {_E})) AS nrm
     FROM embeddings
-), cent AS (
-    SELECT vec_id AS centroid_id, v AS cvec FROM e
-    WHERE vec_id < {IVF_NCENTROIDS}
-), a AS (
-    SELECT e.vec_id, centroid_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, cvec)
-                        + list_dot_product(cvec, cvec),
-                        centroid_id) AS crank
-    FROM e CROSS JOIN cent
-), cells AS (
-    SELECT vec_id, centroid_id FROM a WHERE crank = 1
+),
+{_ivf_ctes(IVF_NCENTROIDS, IVF_KMEANS_ITERS)},
+cells AS (
+    SELECT vec_id, centroid_id FROM assign WHERE crank = 1
 ), dropped AS (
     SELECT DISTINCT cb.vec_id
     FROM cells ca
@@ -500,8 +492,10 @@ WITH e AS (
 SELECT c.vec_id, c.centroid_id AS cell,
        (d.vec_id IS NULL) AS is_kept
 FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
-""",
-)
+"""
+
+
+@register("semantic_dedup", oracle=_semdedup_oracle())
 def semantic_dedup(spark, sf_dir):
     """Embedding-space deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus into cells with the IVF
@@ -513,16 +507,19 @@ def semantic_dedup(spark, sf_dir):
     Scale shape — identical to IVF search: the self-join shuffles on
     the cell id, per-cell work is quadratic in CELL size (corpus/n_cells
     on average), never corpus^2; vectors travel into exactly one cell.
+    Cells come from the SHARED persisted quantizer and materialized
+    inverted file (similarity_q) — one quantizer serves search and
+    dedup, as in production SemDeDup deployments.
     tau={SEMDEDUP_TAU} is a driver-data dial (these synthetic
     embeddings are near-random, max cosine ~0.5); production corpora
     use ~0.9+ with the same plan. Cosine is rounded to 4 dp before the
     threshold compare — the same deterministic cross-engine contract as
     every similarity query here.
     """
+    from .similarity_q import ivf_cells_table
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = ivf_assignments(emb, IVF_NCENTROIDS, n_iters=0, top=1).select(
-        "vec_id", "centroid_id"
-    )
+    cells = ivf_cells_table(spark, sf_dir)
     base = emb.select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     ).join(cells, "vec_id")
