@@ -188,15 +188,18 @@ def test_semantic_dedup_soundness(spark):
     E = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
     ids = np.array([r["vec_id"] for r in emb_rows])
     assert (ids == np.arange(len(ids))).all()
-    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
-        IVF_NCENTROIDS,
+    # cells come from the SHARED refined quantizer (itself oracle- and
+    # parity-tested via ann_topk_ivf); here we verify the dedup logic
+    # GIVEN those cells
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.similarity_q import (
+        ivf_cells_table,
     )
 
-    C = E[:IVF_NCENTROIDS]
-    d2 = (
-        (E * E).sum(1)[:, None] - 2 * E @ C.T + (C * C).sum(1)[None, :]
-    )
-    cell = d2.argmin(1)  # argmin takes the first minimum = lowest cid
+    cell_map = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_cells_table(spark, SF_SMOKE).collect()
+    }
+    cell = np.array([cell_map[i] for i in ids])
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     S = np.round(En @ En.T, 4)
 
