@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.scalars import dec_sum_round2
 from ..io import load_table
 from ..registry import register
 
