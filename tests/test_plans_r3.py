@@ -174,3 +174,18 @@ def test_artifact_materialize_roundtrip(spark, tmp_path):
         pd.DataFrame({"x": [9]}).to_parquet(src)
         artifacts.materialized(spark, str(src), "t", _build)
         assert calls["n"] == 2
+
+
+def test_ivfpq_scans_codes_not_vectors_for_ranking(spark):
+    # the candidate-ranking stage must read the materialized CODE table
+    # (codes array scan) and the inverted file; corpus embeddings are
+    # touched only by the bounded exact-rescore join. No python evals.
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+        plan_facts,
+    )
+
+    f = plan_facts(_Q["ann_topk_ivfpq"](spark, SF_SMOKE))
+    assert any("codes" in s for s in f.read_schemas), f.read_schemas
+    assert any("centroid_id" in s for s in f.read_schemas), f.read_schemas
+    assert f.python_evals == 0
+    assert "Cartesian" not in f.text
