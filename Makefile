@@ -3,6 +3,9 @@
 test:
 	python -m pytest tests/ -q
 
+verify:
+	cd /tmp && python $(CURDIR)/scripts/verify_sweep.py
+
 test-slow:
 	RUN_SLOW=1 python -m pytest tests/ -q
 
