@@ -259,9 +259,12 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
         "lsh_bands": lsh_bands_table(spark, sf_dir).count(),
         "pq_codes": pq_codes_table(spark, sf_dir).count(),
     }
+    from .queries.pq_q import ivfpq_index_table
+
     cents = _quantizer_cached(spark, sf_dir)
     counts["ivf_centroids"] = len(cents)
     counts["ivf_cells"] = ivf_cells_table(spark, sf_dir, cents).count()
+    counts["ivfpq_index"] = ivfpq_index_table(spark, sf_dir).count()
     return counts
 
 

@@ -268,12 +268,13 @@ def ivfpq_topk(
     n_queries: int,
     k: int,
     cents: list[tuple[int, list[float]]],
-    corpus_cells: DataFrame,
-    codes: DataFrame,
-    books: list[list[tuple[int, list[float]]]],
+    corpus_cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    books: list[list[tuple[int, list[float]]]] | None = None,
     nprobe: int = 2,
     rescore_margin: int = 50,
     sub_dim: int = SUB_DIM,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search — the production ANN serving architecture (the
     faiss IVFPQ shape) composed from the materialized artifacts: probe
@@ -287,6 +288,11 @@ def ivfpq_topk(
     query-side broadcasts, and the exact rescore touches margin rows
     per query. Everything upstream (quantizer, inverted file, code
     table) is build-once state.
+
+    Pass ``index`` as the COMBINED (vec_id, centroid_id, codes) table
+    (the production layout — cells and codes stored together) to
+    serve from one scan with no corpus-sized vec_id join; passing
+    separate ``corpus_cells`` + ``codes`` joins them here instead.
     """
     from pyspark.sql.window import Window
 
@@ -303,11 +309,12 @@ def ivfpq_topk(
         "qid bigint, centroid_id bigint",
     )
     qdf = _query_luts(emb, n_queries, books, sub_dim)
+    if index is None:
+        index = corpus_cells.join(codes, "vec_id")
     # candidates: cell members of probed cells, ranked by PQ distance
     cand_codes = (
-        corpus_cells.join(F.broadcast(probes), "centroid_id")
+        index.join(F.broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("qid"))
-        .join(codes, "vec_id")
         .join(F.broadcast(qdf), "qid")
     )
     pairs = cand_codes.select(

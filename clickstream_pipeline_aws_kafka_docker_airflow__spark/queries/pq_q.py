@@ -210,18 +210,43 @@ WHERE rn <= {ANN_K}
 """
 
 
+def ivfpq_index_table(spark, sf_dir):
+    """Combined (vec_id, centroid_id, codes) index — the inverted file
+    and the code table stored TOGETHER, as a production IVF-PQ index
+    is: the search then probes cells and ranks codes from ONE scan,
+    with no corpus-sized vec_id join at query time."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from .similarity_q import ivf_cells_table
+
+    def _build():
+        return ivf_cells_table(spark, sf_dir).join(
+            pq_codes_table(spark, sf_dir), "vec_id"
+        )
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivfpq_index",
+        _build,
+        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}",
+    )
+
+
 @register("ann_topk_ivfpq", oracle=_ivfpq_oracle(nprobe=2))
 def ann_topk_ivfpq(spark, sf_dir):
     """The production ANN serving tier (faiss-IVFPQ shape), composed
-    entirely from materialized build-once artifacts: persisted coarse
-    quantizer + inverted file gate the candidates, the PQ code table
-    ranks them without touching corpus vectors, and the survivors are
-    exact-rescored. Fully oracled end to end — quantizer refinement,
-    cell probing, code assignment, LUT distances, prune, and rescore
-    all have SQL twins."""
+    entirely from materialized build-once artifacts: the combined
+    IVF-PQ index (home cell + codes in one table — no corpus-sized
+    join at query time) gates and ranks the candidates without
+    touching corpus vectors, and the survivors are exact-rescored.
+    Fully oracled end to end — quantizer refinement, cell probing,
+    code assignment, LUT distances, prune, and rescore all have SQL
+    twins."""
     from ..operators.pq import ivfpq_topk, train_pq
     from ..operators.similarity import IVF_NPROBE
-    from .similarity_q import _quantizer_cached, ivf_cells_table
+    from .similarity_q import _quantizer_cached
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _quantizer_cached(spark, sf_dir)
@@ -230,11 +255,10 @@ def ann_topk_ivfpq(spark, sf_dir):
         ANN_NQUERIES,
         ANN_K,
         cents=cents,
-        corpus_cells=ivf_cells_table(spark, sf_dir, cents),
-        codes=pq_codes_table(spark, sf_dir),
         books=train_pq(emb),
         nprobe=IVF_NPROBE,
         rescore_margin=PQ_RESCORE_MARGIN,
+        index=ivfpq_index_table(spark, sf_dir),
     )
 
 

@@ -249,7 +249,7 @@ def test_build_corpus_artifacts_counts(spark):
     counts = run_build_corpus_artifacts(spark, SF)
     assert set(counts) == {
         "dup_pairs", "cluster_labels", "contamination", "lsh_bands",
-        "pq_codes", "ivf_centroids", "ivf_cells",
+        "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
     }
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
@@ -257,6 +257,7 @@ def test_build_corpus_artifacts_counts(spark):
     assert counts["lsh_bands"] == n_vecs * 8
     assert counts["pq_codes"] == n_vecs
     assert counts["ivf_cells"] == n_vecs
+    assert counts["ivfpq_index"] == n_vecs
     assert counts["ivf_centroids"] > 0
     # idempotent: second run reads, counts identical
     assert run_build_corpus_artifacts(spark, SF) == counts
