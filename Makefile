@@ -1,10 +1,15 @@
-.PHONY: test test-slow bench verify smoke
+.PHONY: test test-slow bench verify audit smoke
 
 test:
 	python -m pytest tests/ -q
 
 verify:
 	cd /tmp && python $(CURDIR)/scripts/verify_sweep.py
+
+# strict cross-engine canonicalization audit (float bit patterns,
+# Decimal leakage, repr drift) — stronger than verify's value compare
+audit:
+	cd /tmp && python $(CURDIR)/scripts/dtype_audit.py
 
 test-slow:
 	RUN_SLOW=1 python -m pytest tests/ -q

@@ -108,8 +108,15 @@ def dec_avg_trunc4(x: str) -> Column:
 
 def ts_parse_iso(c: Column | str) -> Column:
     """ISO-8601 parse; Spark's ``to_timestamp`` handles the trailing
-    ``Z`` the reference normalizes by hand (ingest_clickstream_to_s3.py:38)."""
-    return F.to_timestamp(_col(c))
+    ``Z`` the reference normalizes by hand (ingest_clickstream_to_s3.py:38).
+
+    ``try_to_timestamp``, not ``to_timestamp``: the reference catches
+    ``datetime.fromisoformat`` failures and falls back to the
+    processing-time bucket (:38,48-51) — under ANSI mode a plain cast
+    would instead kill the whole job on the first garbage timestamp.
+    NULL-on-failure composes with ``coalesce(..., current_timestamp())``
+    downstream to reproduce the fallback exactly."""
+    return F.try_to_timestamp(_col(c))
 
 
 def derive_date(ts: Column | str) -> Column:

@@ -33,8 +33,19 @@ TABLES = (
 )
 
 
+# (session id, abs sf_dir, table, file identity) -> DataFrame. A
+# DataFrame is an immutable logical plan, so handing the same object to
+# every consumer is semantically free — what the cache saves is the
+# driver-side datasource resolution (file listing, footer/schema read)
+# that otherwise recurs once per query x table: ~0.1 s of fixed floor
+# per query in a 96-query run. File identity (mtime, size) keys out
+# staleness; the session id keys out stopped/restarted sessions.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table as a DataFrame.
+    """Load one driver testdata table as a DataFrame (cached per
+    session + file identity).
 
     ``events.ts`` has shipped in two parquet physical types across
     driver testdata generations; normalize both to a session-TZ
@@ -49,13 +60,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       oracle parity with DuckDB (which treats it as naive-UTC) holds.
     """
     apply_engine_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        # applicationId is unique per SparkContext — unlike id(spark),
+        # it cannot alias a new session onto a stopped one's entries
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _DF_CACHE:
+        return _DF_CACHE[key]
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        _DF_CACHE[key] = df
     return df
 
 

@@ -240,6 +240,8 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
     Idempotent: artifacts are keyed on snapshot identity, so re-running
     on an unchanged snapshot reads instead of rebuilding.
     """
+    from .operators.dedup import SIMHASH_BITS, SIMHASH_ND_BITS
+    from .queries.dedup_q import shingles_table, simhash_fps_table
     from .queries.pipeline_q import (
         cluster_labels_table,
         contamination_table,
@@ -253,6 +255,9 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
     )
 
     counts = {
+        "shingles": shingles_table(spark, sf_dir).count(),
+        "simhash_fps32": simhash_fps_table(spark, sf_dir, SIMHASH_BITS).count(),
+        "simhash_fps60": simhash_fps_table(spark, sf_dir, SIMHASH_ND_BITS).count(),
         "dup_pairs": dup_pairs_table(spark, sf_dir).count(),
         "cluster_labels": cluster_labels_table(spark, sf_dir).count(),
         "contamination": contamination_table(spark, sf_dir).count(),

@@ -24,7 +24,10 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-ARTIFACT_ROOT = "/tmp/spark_graft_artifacts"
+# Per-user root, created 0o700: a predictable world-writable /tmp path
+# would let any local user pre-plant a directory that the reader below
+# would serve as a trusted artifact.
+ARTIFACT_ROOT = f"/tmp/spark_graft_artifacts_u{os.getuid()}"
 
 
 def artifact_key(src_path: str, name: str, params: str = "") -> str:
@@ -39,6 +42,10 @@ def artifact_key(src_path: str, name: str, params: str = "") -> str:
     )
 
 
+def _complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def materialized(
     spark: SparkSession,
     src_path: str,
@@ -51,14 +58,35 @@ def materialized(
     ``build`` is a zero-arg callable returning the DataFrame to
     materialize. The parquet round-trip preserves every driver-checked
     type (bigint/double/string/bool/arrays).
+
+    Completion contract: a directory is an artifact ONLY if Spark's
+    ``_SUCCESS`` marker exists. Losing the build race is fine (the
+    winner's complete table is read); finding an INCOMPLETE directory
+    at the destination is not — it is cleared and the rename retried,
+    and if the destination still isn't complete the call raises rather
+    than serve a partial/foreign table.
     """
+    os.makedirs(ARTIFACT_ROOT, mode=0o700, exist_ok=True)
     path = os.path.join(ARTIFACT_ROOT, artifact_key(src_path, name, params))
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not _complete(path):
         tmp = f"{path}.tmp-{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)
         try:
             os.replace(tmp, path)
         except OSError:
-            # another process won the race; use its table
+            if not _complete(path):
+                # destination occupied by something that is NOT a
+                # finished artifact (crashed builder, foreign dir):
+                # clear it and promote ours
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.replace(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not _complete(path):
+                        raise RuntimeError(
+                            f"artifact destination {path} is neither "
+                            "complete nor replaceable"
+                        )
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)

@@ -138,20 +138,26 @@ def minhash_near_dup(
     n: int = SHINGLE_N,
     k: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> band -> candidate -> exact
     Jaccard. Returns (id_a, id_b, jaccard) for every candidate pair.
 
     The shingle table feeds four consumers (signatures, sizes, both
-    sides of the common-shingle join), so it is materialized ONCE with
-    an eager localCheckpoint instead of re-running the tokenize +
-    explode + distinct chain per branch — measured 2x end-to-end at
-    sf0.1 (an earlier round measured the opposite with .cache(); the
-    checkpoint avoids both the recompute and the cache-manager plan
-    pinning that defeated AQE coalescing). At 100 TB the equivalent is
-    materializing shingles to a staging table and amortizing the scan
-    — which is exactly what the checkpoint is, locally."""
-    sh = shingle_table(docs, n).localCheckpoint()
+    sides of the common-shingle join), so it must be materialized ONCE
+    instead of re-running the tokenize + explode + distinct chain per
+    branch — measured 2x end-to-end at sf0.1. The production path
+    passes ``shingles`` (the build-once parquet artifact,
+    queries/dedup_q.py::shingles_table — a dedup JOB materializes the
+    shingle staging table, downstream consumers scan it); the ad-hoc
+    fallback lazily localCheckpoints, so plan-only callers (explain,
+    tests) pay nothing and the first action materializes once for all
+    branches."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(docs, n).localCheckpoint(eager=False)
+    )
     cands = lsh_candidate_pairs(minhash_signatures(sh, k), k, band_size)
     return jaccard_verify(sh, cands)
 
@@ -164,22 +170,50 @@ def ngram_jaccard_all_pairs(
     n: int = SHINGLE_N,
     threshold: float = 0.05,
     df_cap: int = SHINGLE_DF_CAP,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >=1 (non-boilerplate)
     shingle — the LSH-free variant of near-dup detection.
 
-    The skew guard that makes this survive 100 TB: shingles whose
-    document frequency exceeds ``df_cap`` are dropped BEFORE the
-    self-join (and from the size denominators, so the Jaccard is over
-    the capped vocabulary on both sides). A boilerplate shingle shared
-    by f documents otherwise creates an O(f^2) join group — one hot
-    "click here to unsubscribe" 3-gram at corpus scale is a quadratic
-    blowup on a single key. With the cap, per-shingle join work is
-    bounded by df_cap^2 regardless of corpus size, and frequent
-    shingles carry no near-dup signal anyway (that is exactly what
-    makes them frequent).
+    SCALE BOUNDARY — when to use this tier vs MinHash/SimHash: the
+    blocking key here is the shingle itself, so every shingle with
+    document frequency f contributes an f^2 join group; total work is
+    sum(f_i^2) over the (capped) vocabulary, which grows with corpus
+    size even under the cap (more shingles hit the cap as N grows;
+    each contributes up to df_cap^2). This is the right tool when the
+    corpus is small enough to afford EXACT all-pairs semantics
+    (<~10^6 docs), or as the verify stage behind LSH blocking. Past
+    that, use MinHash+LSH (collision probability tuned by bands, work
+    independent of vocabulary DF) or SimHash banding — both in this
+    module — which trade exactness for per-pair work that does not
+    grow with corpus size.
+
+    The skew guard that makes the cap work: shingles whose document
+    frequency exceeds ``df_cap`` are dropped BEFORE the self-join (and
+    from the size denominators, so the Jaccard is over the capped
+    vocabulary on both sides). A boilerplate shingle shared by f
+    documents otherwise creates an O(f^2) join group — one hot "click
+    here to unsubscribe" 3-gram at corpus scale is a quadratic blowup
+    on a single key. With the cap, per-shingle join work is bounded by
+    df_cap^2 regardless of corpus size, and frequent shingles carry no
+    near-dup signal anyway (that is exactly what makes them frequent).
+    RECALL EFFECT of the cap: a pair whose overlap consists ONLY of
+    over-cap boilerplate shingles is not paired (by design — that
+    overlap is not duplication signal); pairs sharing at least one
+    under-cap shingle are always found, and their Jaccard is computed
+    over the capped vocabulary on both sides
+    (tests/test_dedup.py pins the capped-vs-uncapped delta).
+
+    ``shingles``: pass the materialized shingle artifact
+    (queries/dedup_q.py::shingles_table) to skip the tokenize/explode/
+    distinct rebuild; ad-hoc callers let it default to a lazy
+    localCheckpoint.
     """
-    sh = shingle_table(docs, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(docs, n).localCheckpoint(eager=False)
+    )
     # anti-join against the HOT list: shingles over the cap are few by
     # construction (the cap exists because they are pathological), so
     # the exclusion broadcasts and the shingle table never shuffles for
@@ -191,9 +225,11 @@ def ngram_jaccard_all_pairs(
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    # capped table feeds three consumers (sizes, both join sides):
-    # materialize once (same 2x measured win as minhash_near_dup)
-    shk = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
+    # the capped table feeds three consumers (sizes, both join sides),
+    # but it is a broadcast anti-join away from the materialized ``sh``
+    # — map-side, no shuffle — so re-deriving it per branch is cheaper
+    # than a second materialization
+    shk = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = shk.select(F.col("doc_id").alias("id_a"), "shingle")
     s2 = shk.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -259,6 +295,7 @@ def simhash_near_dup(
     n_bands: int = SIMHASH_BANDS,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     band_df_cap: int = SIMHASH_BAND_DF_CAP,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairing: (id_a, id_b, hamming) for every pair
     within ``max_hamming`` bit flips, found via band blocking.
@@ -288,10 +325,13 @@ def simhash_near_dup(
     oracle mirrors the cap, so both engines see the same pairs.
     """
     # the fingerprint aggregate (``bits`` SUM columns over the token
-    # explode) feeds every band branch — materialize it once (one
-    # skinny row per doc); without the checkpoint it re-runs per branch
-    # (measured 4x end-to-end at sf0.1)
-    fps = simhash_fingerprints(docs, bits).localCheckpoint()
+    # explode) feeds every band branch — it must be materialized once
+    # (one skinny row per doc); without that it re-runs per branch
+    # (measured 4x end-to-end at sf0.1). Production passes ``fps`` (the
+    # build-once parquet artifact, queries/dedup_q.py::simhash_fps_table);
+    # the ad-hoc fallback lazily localCheckpoints.
+    if fps is None:
+        fps = simhash_fingerprints(docs, bits).localCheckpoint(eager=False)
     w = bits // n_bands
     band_arr = F.array(
         *[

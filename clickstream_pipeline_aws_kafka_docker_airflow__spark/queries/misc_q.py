@@ -174,29 +174,63 @@ def string_suite(spark, sf_dir):
     )
 
 
-@register("value_percentiles_approx", oracle=None)  # t-digest estimates are engine-specific
+@register(
+    "value_percentiles_approx",
+    oracle="""
+SELECT event_type,
+       COUNT(value) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90_exact,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99_exact,
+       TRUE AS p50_in_band,
+       TRUE AS p90_in_band,
+       TRUE AS p99_in_band
+FROM events
+GROUP BY event_type
+""",
+)
 def value_percentiles_approx(spark, sf_dir):
-    """The 100 TB percentile path: approx_percentile (mergeable sketch,
-    single pass, bounded memory) — rows-only check; accuracy vs the
-    exact operator is asserted in tests/test_sketches.py.
+    """The 100 TB percentile path: approx_percentile (mergeable
+    Greenwald-Khanna sketch, single pass, bounded memory).
 
-    Output is projected to scalar ``p50/p90/p99`` doubles (not the raw
-    ``array<double>``) so downstream row-wise consumers — including the
-    driver's canonicalizer — need no array handling."""
+    The sketch's picks are engine- and merge-order-specific, so the
+    cross-engine contract is checked instead of the raw estimates: the
+    query emits exact percentiles plus in-query booleans asserting each
+    sketch estimate landed inside the exact distribution's rank band
+    q±0.01, and the oracle asserts those booleans TRUE. accuracy=10000
+    guarantees rank error <= 1e-4, so the ±0.01 band has a 100× margin —
+    the booleans are deterministically TRUE for a correct sketch and
+    flip (failing the hash) for a broken one. Quantiles are monotone in
+    rank, so "value at rank within q±1e-4" lies in
+    [percentile(q-0.01), percentile(q+0.01)] always.
+
+    Scale note: in production only the sketch aggregates run (no exact
+    percentile sort); the exact columns here exist to give the sketch a
+    checkable oracle at test scale."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.expr(
-                "approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"
-            ).alias("pcts"),
-            F.count(F.lit(1)).alias("n"),
+    g = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("_ap"),
+        F.expr(
+            "percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91,"
+            " 0.98, 0.99, 1.0))"
+        ).alias("_ex"),
+    )
+
+    def _band(ap_i, lo_i, hi_i):
+        return (F.col("_ap")[ap_i] >= F.col("_ex")[lo_i]) & (
+            F.col("_ap")[ap_i] <= F.col("_ex")[hi_i]
         )
-        .select(
-            "event_type",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
-            "n",
-        )
+
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.col("_ex")[1], 4).alias("p50_exact"),
+        F.round(F.col("_ex")[4], 4).alias("p90_exact"),
+        F.round(F.col("_ex")[7], 4).alias("p99_exact"),
+        _band(0, 0, 2).alias("p50_in_band"),
+        _band(1, 3, 5).alias("p90_in_band"),
+        _band(2, 6, 8).alias("p99_in_band"),
     )

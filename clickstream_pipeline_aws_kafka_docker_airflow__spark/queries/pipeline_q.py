@@ -21,7 +21,7 @@ from ..io import load_table
 from ..operators.artifacts import materialized
 from ..operators.clustering import connected_components
 from ..operators.dedup import HEX, minhash_near_dup, shingle_table, token_hash32_sql
-from ..queries.dedup_q import _minhash_oracle
+from ..queries.dedup_q import _minhash_oracle, shingles_table as _shingles
 from ..registry import register
 
 # Candidate pairs at/above this exact-Jaccard level are duplicates for
@@ -41,7 +41,8 @@ def dup_pairs_table(spark, sf_dir):
         os.path.join(sf_dir, "documents.parquet"),
         "dup_pairs",
         lambda: minhash_near_dup(
-            load_table(spark, sf_dir, "documents")
+            load_table(spark, sf_dir, "documents"),
+            shingles=_shingles(spark, sf_dir),
         ).where(F.col("jaccard") >= DUP_JACCARD),
         params=f"j{DUP_JACCARD}",
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.pq import K_SUB, N_SUB, SUB_DIM, encode_pq, pq_topk, train_pq
+from ..operators.similarity import IVF_NPROBE
 from ..registry import register
 from .similarity_q import ANN_K, ANN_NQUERIES
 
@@ -68,10 +69,11 @@ def pq_codes(spark, sf_dir):
     projection makes must match DuckDB re-deriving it from the same
     floats — d2 expanded identically (v.v - 2 v.c + c.c, sequential
     folds), ties on code id. Codes project to scalar columns (the
-    driver canonicalizer cannot hash array cells)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq(emb)
-    codes = encode_pq(emb, books)
+    driver canonicalizer cannot hash array cells). Served from the
+    MATERIALIZED code table (pq_codes_table) — integer codes
+    round-trip parquet exactly, so the oracle still checks the full
+    encoding decision chain."""
+    codes = pq_codes_table(spark, sf_dir)
     return codes.select(
         "vec_id", *[F.col("codes")[s].alias(f"c{s}") for s in range(N_SUB)]
     )
@@ -220,21 +222,26 @@ def ivfpq_index_table(spark, sf_dir):
     from ..operators.artifacts import materialized
     from .similarity_q import ivf_cells_table
 
+    from .similarity_q import IVF_KMEANS_ITERS, IVF_NCENTROIDS
+
     def _build():
         return ivf_cells_table(spark, sf_dir).join(
             pq_codes_table(spark, sf_dir), "vec_id"
         )
 
+    # key on BOTH halves of the index: PQ params AND the IVF quantizer
+    # config — changing centroid count/iterations must invalidate the
+    # cached index, not silently reuse cells from old centroids
     return materialized(
         spark,
         os.path.join(sf_dir, "embeddings.parquet"),
         "ivfpq_index",
         _build,
-        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}",
+        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}:i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}:v1",
     )
 
 
-@register("ann_topk_ivfpq", oracle=_ivfpq_oracle(nprobe=2))
+@register("ann_topk_ivfpq", oracle=_ivfpq_oracle(nprobe=IVF_NPROBE))
 def ann_topk_ivfpq(spark, sf_dir):
     """The production ANN serving tier (faiss-IVFPQ shape), composed
     entirely from materialized build-once artifacts: the combined
@@ -245,7 +252,6 @@ def ann_topk_ivfpq(spark, sf_dir):
     code assignment, LUT distances, prune, and rescore all have SQL
     twins."""
     from ..operators.pq import ivfpq_topk, train_pq
-    from ..operators.similarity import IVF_NPROBE
     from .similarity_q import _quantizer_cached
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,12 +1,22 @@
 """Dimensionality-reduction queries: seeded random projection (full
 DuckDB oracle — the matrix is a shared literal) and distributed PCA
-(rows-only: eigendecomposition has no SQL twin; numpy-parity tested).
+(contract oracle — eigendecomposition has no SQL twin, so the query
+emits SQL-checkable invariants instead of raw loadings; exact numpy
+parity of the loadings is pinned in tests/test_projection.py).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..io import load_table
-from ..operators.projection import RP_K, RP_SEED, pca_project, rp_project
+from ..operators.projection import (
+    RP_K,
+    RP_SEED,
+    pca_components,
+    pca_project,
+    rp_project,
+)
 from ..registry import register
 
 _E = "CAST(embedding AS DOUBLE[])"
@@ -32,13 +42,65 @@ def rp_project16(spark, sf_dir):
     return rp_project(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("pca_project8")
+@register(
+    "pca_project8",
+    oracle=f"""
+SELECT vec_id,
+       ROUND(list_dot_product({_E}, {_E}), 4) AS norm2,
+       TRUE AS proj_bounded,
+       TRUE AS components_orthonormal
+FROM embeddings
+""",
+)
 def pca_project8(spark, sf_dir):
-    """Distributed PCA (rows-only: eigh has no SQL spelling): one
-    mapInPandas pass computes per-batch partial Gram matrices (numpy
-    X^T X per Arrow batch — collected state is batches x dim^2, not
-    corpus-sized), the driver eigendecomposes the covariance, and the
-    top-8 components project back as literals (broadcast route at real
-    dim x k). Deterministic orientation (largest-|coord| positive);
-    exact numpy parity pinned in tests/test_projection.py."""
-    return pca_project(load_table(spark, sf_dir, "embeddings"))
+    """Distributed PCA: one mapInPandas pass computes per-batch partial
+    Gram matrices (numpy X^T X per Arrow batch — collected state is
+    batches x dim^2, not corpus-sized), the driver eigendecomposes the
+    covariance, and the top-8 components project back as literals
+    (broadcast route at real dim x k). Deterministic orientation
+    (largest-|coord| positive).
+
+    The loadings themselves have no SQL twin (eigh), so the
+    cross-engine check is a CONTRACT: per vector, the exact squared
+    norm (SQL twin, proven 4-dp fold pattern) plus an in-query boolean
+    asserting the projection respects Bessel's bound
+    ``||P(v-mean)|| <= ||v|| + ||mean||`` (an orthonormal projection is
+    non-expanding), and a driver-side boolean asserting the trained
+    components are orthonormal (numpy, at query build). The oracle
+    asserts both TRUE — a mis-scaled projection, wrong mean, or broken
+    eigensolve flips them and fails the hash. Exact numpy parity of
+    the loadings is pinned in tests/test_projection.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mean = pca_components(emb)
+
+    import numpy as np
+
+    ortho = bool(
+        np.allclose(comps @ comps.T, np.eye(comps.shape[0]), atol=1e-8)
+    )
+    mean_norm = float(np.sqrt(float((mean * mean).sum())))
+
+    proj = pca_project(emb, comps=comps, mean=mean)
+    norm2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sum_c2 = None
+    for i in range(comps.shape[0]):
+        term = F.col(f"c{i}") * F.col(f"c{i}")
+        sum_c2 = term if sum_c2 is None else sum_c2 + term
+    with_norm = proj.join(
+        emb.select("vec_id", norm2.alias("_n2")), "vec_id"
+    )
+    bound = (F.sqrt(F.col("_n2")) + F.lit(mean_norm)) ** 2
+    return with_norm.select(
+        "vec_id",
+        F.round(F.col("_n2"), 4).alias("norm2"),
+        (sum_c2 <= bound * 1.000001 + 1e-6).alias("proj_bounded"),
+        F.lit(ortho).alias("components_orthonormal"),
+    )

@@ -40,12 +40,59 @@ def time_arith_suite(spark, sf_dir):
     )
 
 
-@register("kpi_daily_approx", oracle=None)  # HLL estimates differ from DuckDB
+@register(
+    "kpi_daily_approx",
+    oracle="""
+SELECT CAST(ts AS DATE) AS dt,
+       COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       TRUE AS hll_within_5pct
+FROM events
+GROUP BY 1
+""",
+)
 def kpi_daily_approx(spark, sf_dir):
     """agg_distinct_users at 100 TB: the approx_count_distinct (HLL)
-    variant — one shuffle instead of two, bounded state; rows-only
-    check because the estimate is engine-specific (exactness is covered
-    by kpi_daily, accuracy by tests/test_clickstream_kpis.py)."""
-    from ..operators.kpis import daily_kpis
+    variant — one shuffle instead of two, bounded state.
 
-    return daily_kpis(load_table(spark, sf_dir, "events"), approx_distinct=True)
+    The HLL estimate itself is engine-specific, so the cross-engine
+    contract is checked instead of the raw number: the query emits the
+    exact per-day figures plus an in-query boolean asserting the sketch
+    landed within ±5% of the exact distinct count, and the oracle
+    asserts that boolean TRUE. HLL register merge is commutative (max
+    per register), so the boolean is partition-order deterministic —
+    a drifting sketch flips it and fails the hash. rsd=0.01 gives the
+    5% band a 5-sigma margin. (In production the exact column is
+    dropped and only the sketch runs — one shuffle; see
+    operators/kpis.py::kpi_aggs(approx_distinct=True).)
+
+    Plan shape: two-phase instead of mixing COUNT DISTINCT with other
+    aggregates in one ``agg`` — the mixed form compiles to an Expand
+    (row duplication per aggregate group, measured 4x slower here).
+    Phase 1 collapses to (dt, user_id) partials; phase 2 counts rows
+    for the exact distinct, sums partial counts for total_events, and
+    feeds the HLL from the deduplicated keys (HLL registers are
+    duplicate-insensitive, so the estimate is unchanged)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy(F.to_date("ts").alias("dt"), "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_user.groupBy("dt")
+        .agg(
+            F.sum("_n").alias("total_events"),
+            # count(user_id), not count(*): a null-user group must not
+            # count as a distinct user (COUNT DISTINCT excludes nulls)
+            F.count("user_id").alias("unique_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_hll"),
+        )
+        .select(
+            "dt",
+            "total_events",
+            "unique_users",
+            (
+                F.abs(F.col("_hll") - F.col("unique_users"))
+                <= F.col("unique_users") * 0.05
+            ).alias("hll_within_5pct"),
+        )
+    )

@@ -67,23 +67,50 @@ def with_partition_cols(events: DataFrame, ts_col: str = "event_ts") -> DataFram
     )
 
 
-def parse_kafka_value(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_kafka_value(
+    raw: DataFrame,
+    value_col: str = "value",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Parse a Kafka-style ``value`` byte/string column into typed event
-    columns, keeping malformed payloads (PERMISSIVE ``from_json``)."""
+    columns, keeping malformed payloads (PERMISSIVE ``from_json``).
+
+    "Malformed" matches the reference line loop
+    (ingest_clickstream_to_s3.py:34-51) exactly: a payload is corrupt
+    iff it is not a JSON *object* — ``json.loads`` raising, or the
+    parse yielding a non-dict (``5``, ``[1,2]``, ``"str"``, ``null``,
+    whose ``.get`` raises AttributeError into the same except-branch).
+    A field-less but valid object like ``{}`` is NOT corrupt: the
+    reference parses it and only routes it to the processing-time
+    bucket because ``event_ts`` is missing — which
+    :func:`with_partition_cols` reproduces downstream. The object test
+    is ``schema_of_variant(try_parse_json(...))`` — JVM-side, no UDF;
+    ``from_json``'s own ``_corrupt_record`` (set when a field fails to
+    coerce) is kept as a second corruption source.
+
+    ``passthrough``: extra columns of ``raw`` to carry into the output
+    unchanged (e.g. the verbatim payload for a byte-lossless raw zone,
+    streaming/ingest.py)."""
     parsed = F.from_json(
         F.col(value_col).cast("string"),
         CLICKSTREAM_EVENT_RAW_PERMISSIVE,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    base = raw.select(F.col(value_col).cast("string").alias("_raw"), parsed.alias("e"))
+    base = raw.select(
+        F.col(value_col).cast("string").alias("_raw"),
+        parsed.alias("e"),
+        *[F.col(c) for c in passthrough],
+    )
     fields = [f.name for f in CLICKSTREAM_EVENT_RAW.fields]
-    all_null = None
-    for fn in fields:
-        c = F.col(f"e.{fn}").isNull()
-        all_null = c if all_null is None else (all_null & c)
-    # from_json can null out _corrupt_record for some non-object scalars;
-    # normalize: an all-null parse carries the raw payload as corrupt.
-    corrupt = F.coalesce(F.col(f"e.{CORRUPT_COL}"), F.when(all_null, F.col("_raw")))
+    non_object = ~F.startswith(
+        F.expr("schema_of_variant(try_parse_json(_raw))"), F.lit("OBJECT")
+    )
+    corrupt = F.coalesce(
+        F.col(f"e.{CORRUPT_COL}"),
+        F.when(F.coalesce(non_object, F.lit(True)), F.col("_raw")),
+    )
     return base.select(
-        *[F.col(f"e.{fn}").alias(fn) for fn in fields], corrupt.alias(CORRUPT_COL)
+        *[F.col(f"e.{fn}").alias(fn) for fn in fields],
+        corrupt.alias(CORRUPT_COL),
+        *[F.col(c) for c in passthrough],
     )

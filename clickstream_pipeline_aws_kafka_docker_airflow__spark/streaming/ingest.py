@@ -34,13 +34,33 @@ from ..sources.jsonl import parse_kafka_value, with_partition_cols
 # reserved corrupt-column on read-back and silently null out.
 CORRUPT_OUT_COL = "corrupt_payload"
 
+# Raw-zone name for the verbatim source line (see build_ingest_frame).
+PAYLOAD_COL = "payload"
 
-def build_ingest_frame(raw: DataFrame, value_col: str = "value") -> DataFrame:
+
+def build_ingest_frame(
+    raw: DataFrame, value_col: str = "value", keep_payload: bool = True
+) -> DataFrame:
     """The transformation shared by batch/stream/test paths:
-    payload -> typed event columns (+corrupt_payload) -> (date,hour)."""
-    return with_partition_cols(
-        parse_kafka_value(raw, value_col).withColumnRenamed(CORRUPT_COL, CORRUPT_OUT_COL)
-    )
+    payload -> typed event columns (+corrupt_payload) -> (date,hour).
+
+    ``keep_payload=True`` (default) carries the VERBATIM source line in
+    a ``payload`` column — the reference's raw zone is the byte-exact
+    line list bucketed by (date,hour) (ingest_clickstream_to_s3.py:
+    41-51,70-79), so a lossless raw zone must keep the original bytes:
+    the typed columns alone drop unknown fields and malformed-but-
+    parseable detail. tests/test_ingest_fidelity.py pins the byte
+    equality. Set False to halve raw-zone volume when byte fidelity is
+    not required (typed columns + corrupt_payload still preserve every
+    schema field and every malformed line)."""
+    from pyspark.sql import functions as F
+
+    if keep_payload:
+        src = raw.withColumn(PAYLOAD_COL, F.col(value_col).cast("string"))
+        parsed = parse_kafka_value(src, value_col, passthrough=(PAYLOAD_COL,))
+    else:
+        parsed = parse_kafka_value(raw, value_col)
+    return with_partition_cols(parsed.withColumnRenamed(CORRUPT_COL, CORRUPT_OUT_COL))
 
 
 def start_ingest(
@@ -49,11 +69,12 @@ def start_ingest(
     checkpoint_dir: str,
     trigger: dict | None = None,
     value_col: str = "value",
+    keep_payload: bool = True,
 ) -> StreamingQuery:
     """Start the raw-zone ingest. ``trigger`` defaults to AvailableNow —
     drain everything then stop, the orchestrated-batch mode; pass
     ``{"processingTime": "60 seconds"}`` for the reference's cadence."""
-    events = build_ingest_frame(raw_stream, value_col)
+    events = build_ingest_frame(raw_stream, value_col, keep_payload)
     writer = (
         events.writeStream.format("json")
         .option("path", out_path)

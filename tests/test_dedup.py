@@ -210,3 +210,51 @@ def test_simhash_near_dup_full_recall_vs_bruteforce(spark):
     }
     assert truth, "no within-distance pairs; eval is vacuous"
     assert found == truth
+
+
+def test_ngram_jaccard_capped_recall_delta(spark):
+    """The cap's recall contract, pinned as a set relationship: capped
+    pairs are a subset of uncapped pairs, every under-cap-overlap pair
+    survives (full recall on pairs sharing >=1 rare shingle), and every
+    LOST pair overlapped ONLY in over-cap boilerplate — exactly the
+    class the operator's scale-boundary docstring excludes by design."""
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+        shingle_table,
+    )
+
+    df_cap = 4
+    boiler = "one two three four five"
+    rows = [(i, f"{boiler} filler{i} pad{i} end{i}") for i in range(8)]
+    rows += [(100, "red green blue cyan magenta"),
+             (101, "red green blue cyan yellow")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_all_pairs(docs, threshold=0.0, df_cap=df_cap).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_all_pairs(docs, threshold=0.0, df_cap=10**9).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in capped  # rare-shingle pair always found
+
+    sh = shingle_table(docs)
+    over_cap = {
+        r["shingle"]
+        for r in sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .collect()
+    }
+    by_doc = {
+        d: {r["shingle"] for r in sh.where(F.col("doc_id") == d).collect()}
+        for d in {i for p in (uncapped - capped) for i in p}
+    }
+    for a, b in uncapped - capped:
+        overlap = by_doc[a] & by_doc[b]
+        assert overlap and overlap <= over_cap, (a, b, overlap - over_cap)

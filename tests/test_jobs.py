@@ -248,12 +248,16 @@ def test_build_corpus_artifacts_counts(spark):
 
     counts = run_build_corpus_artifacts(spark, SF)
     assert set(counts) == {
+        "shingles", "simhash_fps32", "simhash_fps60",
         "dup_pairs", "cluster_labels", "contamination", "lsh_bands",
         "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
     }
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert counts["cluster_labels"] == n_docs
+    assert counts["simhash_fps32"] == n_docs
+    assert counts["simhash_fps60"] == n_docs
+    assert counts["shingles"] > n_docs  # many distinct n-grams per doc
     assert counts["lsh_bands"] == n_vecs * 8
     assert counts["pq_codes"] == n_vecs
     assert counts["ivf_cells"] == n_vecs
