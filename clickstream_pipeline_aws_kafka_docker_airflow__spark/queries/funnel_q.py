@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.scalars import norm_event_type
+from ..functions.scalars import (
+    dec_sum_round2,
+    is_purchase,
+    norm_event_type,
+    price_or_zero,
+)
 from ..io import load_table
 from ..registry import register
 
@@ -119,4 +124,94 @@ def retention_cohorts(spark, sf_dir):
             F.datediff("d", "cohort_dt").cast("bigint").alias("day_n"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RFM_ANCHOR = "2024-02-01"  # day after the testdata range; fixed so
+# recency is deterministic (a now() anchor would break replay/oracles)
+_RFM_PU = "lower(coalesce(event_type,'')) IN ('purchase','order','checkout')"
+_RFM_REV = (
+    f"CAST(ROUND(SUM(CAST(CASE WHEN {_RFM_PU} THEN "
+    "coalesce(TRY_CAST(value AS DOUBLE), 0.0) ELSE 0.0 END "
+    "AS DECIMAL(24,8))), 2) AS DOUBLE)"
+)
+
+
+@register(
+    "rfm_segments",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           date_diff('day', MAX(CAST(ts AS DATE)), DATE '{RFM_ANCHOR}')
+               AS recency_days,
+           COUNT(*) AS f_events,
+           {_RFM_REV} AS m_revenue
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY 1
+), q AS (
+    SELECT *,
+           NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+           NTILE(4) OVER (ORDER BY f_events DESC, user_id) AS f_q,
+           NTILE(4) OVER (ORDER BY m_revenue DESC, user_id) AS m_q
+    FROM u
+)
+SELECT user_id, recency_days, f_events, m_revenue, r_q, f_q, m_q,
+       r_q * 100 + f_q * 10 + m_q AS rfm_segment
+FROM q
+""",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    user-level marketing cut of the same purchase semantics as the
+    daily KPI job (daily_kpis.py:123-131), against a fixed anchor date
+    so the result is replay-deterministic.
+
+    Scale: the events table collapses to one row per user FIRST (one
+    shuffle on user_id with map-side partials); the three ``ntile``
+    windows then run over the bounded user universe, not the event
+    stream — at 100 TB that's a window over ~millions of users, and an
+    approx-percentile bucketing would replace ``ntile`` only if even
+    the user table outgrew a sort. Tie-break on user_id makes every
+    quartile assignment (and the oracle's) a total order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ANCHOR).cast("date"), F.max(F.to_date("ts"))
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("f_events"),
+            dec_sum_round2(
+                F.when(is_purchase("event_type"), price_or_zero("value"))
+                .otherwise(0.0)
+            ).alias("m_revenue"),
+        )
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy("recency_days", "user_id")
+    f_w = Window.orderBy(F.desc("f_events"), "user_id")
+    m_w = Window.orderBy(F.desc("m_revenue"), "user_id")
+    q = u.select(
+        "*",
+        F.ntile(4).over(r_w).cast("bigint").alias("r_q"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_q"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_q"),
+    )
+    return q.select(
+        "user_id",
+        "recency_days",
+        "f_events",
+        "m_revenue",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias(
+            "rfm_segment"
+        ),
     )

@@ -9,6 +9,8 @@ tests (tests/test_kpis.py) on reference-shaped data.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..io import load_table
 from ..operators.kpis import daily_kpis, hourly_rollup, single_day_kpis
 from ..registry import register
@@ -68,3 +70,44 @@ GROUP BY 1, 2
 def kpi_hourly(spark, sf_dir):
     """agg_groupby_bucket: the ingest (date,hour) bucketing as a rollup."""
     return hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+_UNPIVOT_METRICS = (
+    "total_events",
+    "unique_users",
+    "pageviews",
+    "purchases",
+    "revenue_usd",
+)
+
+
+@register(
+    "unpivot_kpi_metrics",
+    oracle=f"""
+WITH k AS (
+    SELECT CAST(ts AS DATE) AS dt,{_KPI_COLS}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT dt, '{m}' AS metric, CAST({m} AS DOUBLE) AS value FROM k"
+        for m in _UNPIVOT_METRICS
+    ),
+)
+def unpivot_kpi_metrics(spark, sf_dir):
+    """The KPI row melted long — (dt, metric, value) — the shape a
+    metrics store / dashboard timeseries ingests (the inverse of
+    ``pivot_event_counts``).
+
+    Scale: ``unpivot`` is the Expand operator — a 5x map-side row
+    fan-out of the ALREADY-AGGREGATED daily table (O(days) rows), zero
+    extra shuffles. Counts are integer-valued doubles (exact in IEEE)
+    and revenue is the 2-dp decimal round, so the long values hash
+    identically cross-engine.
+    """
+    k = daily_kpis(load_table(spark, sf_dir, "events"))
+    wide = k.select(
+        "dt", *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_METRICS]
+    )
+    return wide.unpivot("dt", list(_UNPIVOT_METRICS), "metric", "value")

@@ -312,3 +312,58 @@ def repetition_score(spark, sf_dir):
             "is_repetitive"
         ),
     )
+
+
+BIGRAM_TOP_K = 50
+
+
+@register(
+    "bigram_top",
+    oracle=rf"""
+WITH t AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+), s AS (
+    SELECT toks,
+           unnest(generate_series(1, CAST(len(toks) - 1 AS BIGINT))) AS i
+    FROM t
+    WHERE len(toks) >= 2
+)
+SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS n_pairs
+FROM s
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, w1, w2
+LIMIT {BIGRAM_TOP_K}
+""",
+)
+def bigram_top(spark, sf_dir):
+    """Corpus-wide top bigrams — the collocation profile a data-quality
+    pass reads before choosing tokenizer merges or boilerplate filters
+    (the 2-gram sibling of the unigram ``top_tokens``).
+
+    Scale: adjacent-pair fan-out is a pure map stage (one ``transform``
+    over the already-split token array — no self-join, no window); the
+    only shuffle keys on (w1, w2), which partial-aggregates map-side,
+    so skewed common-word pairs ship one partial row per partition, not
+    one row per occurrence. The final top-K is a TakeOrdered over the
+    grouped counts (exact integers + full tie-break ordering -> one
+    deterministic cross-engine prefix), not a global sort of the pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )

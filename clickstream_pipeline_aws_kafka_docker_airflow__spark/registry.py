@@ -72,6 +72,7 @@ def _load_all() -> None:
         multimodal_q,
         relational_q,
         similarity_q,
+        sketch_q,
         text_q,
         time_q,
         tpch2_q,
