@@ -273,6 +273,36 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
     return counts
 
 
+def run_sketch_zone(
+    spark: SparkSession,
+    raw_path: str,
+    zone_path: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> None:
+    """Maintain the daily distinct-users HLL sketch zone from the raw
+    zone (streaming/sketch_zone.py): one drain per scheduled run
+    (Trigger.AvailableNow, same batch-per-run shape as ``run_ingest``).
+    Each run folds newly landed raw files into the per-day sketches;
+    any later range-distinct query reads O(days) sketch rows via
+    ``range_distinct_from_zone`` instead of re-scanning raw events."""
+    from .schemas import CLICKSTREAM_EVENT_RAW
+    from .streaming.sketch_zone import start_sketch_zone
+
+    stream = (
+        spark.readStream.schema(CLICKSTREAM_EVENT_RAW)
+        .option("mode", "DROPMALFORMED")
+        .json(raw_path)
+        .withColumn("ts", F.to_timestamp("event_ts"))
+        .where(F.col("ts").isNotNull())
+        .select("ts", "user_id")
+    )
+    q = start_sketch_zone(
+        stream, zone_path, checkpoint_dir, watermark=watermark
+    )
+    q.awaitTermination()
+
+
 def run_healthcheck(spark: SparkSession, raw_path: str, lookback_minutes: int = 20) -> None:
     """Freshness gate: raise if no raw file landed in the lookback
     window (ingest_healthcheck.py:30-33 fail path)."""

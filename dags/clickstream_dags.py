@@ -91,6 +91,19 @@ def _task_corpus_curation(**_):
     return run_corpus_curation(_spark(), CORPUS_SRC, CORPUS_OUT)
 
 
+def _task_sketch_zone(**_):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_sketch_zone,
+    )
+
+    return run_sketch_zone(
+        _spark(),
+        RAW_PATH,
+        os.environ.get("CLICKSTREAM_SKETCH_ZONE", "/data/sketches/daily_users"),
+        os.environ.get("CLICKSTREAM_SKETCH_CKPT", "/data/ckpt/sketch_zone"),
+    )
+
+
 def _task_build_artifacts(**_):
     from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
         run_build_corpus_artifacts,
@@ -127,6 +140,21 @@ if HAVE_AIRFLOW:
         max_active_runs=1,
     ) as health_dag:
         PythonOperator(task_id="check_recent_ingest", python_callable=_task_healthcheck)
+
+    # Beyond the reference's DAGs: hourly fold of new raw files into
+    # the daily distinct-users sketch zone (checkpoint-incremental;
+    # each run only reads files the last run hasn't seen)
+    with DAG(
+        dag_id="sketch_zone_spark",
+        schedule_interval="@hourly",
+        start_date=datetime(2025, 9, 1),
+        catchup=False,
+        max_active_runs=1,
+    ) as sketch_dag:
+        PythonOperator(
+            task_id="fold_raw_into_sketch_zone",
+            python_callable=_task_sketch_zone,
+        )
 
     # Beyond the reference's three DAGs: the corpus-curation batch
     # (weekly full rebuild; idempotent overwrite, so no catchup)
