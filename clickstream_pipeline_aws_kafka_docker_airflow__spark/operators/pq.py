@@ -220,21 +220,19 @@ def encode_pq(
     return proj.select("vec_id", F.array(*code_cols).alias("codes"))
 
 
-def _query_luts(emb, n_queries, books, sub_dim):
+def _query_luts(emb, n_queries, books, sub_dim, q_vecs=None):
     """Per-query PQ lookup tables as a broadcastable DataFrame
     (qid, lut array<array<double>>) — expanded-form sequential folds
-    (see pq_topk)."""
-    from .similarity import _fold_dot
+    (see pq_topk). Pass ``q_vecs`` (from ``collect_query_vectors``) to
+    reuse an already-collected query slice instead of running another
+    collect job."""
+    from .similarity import _fold_dot, collect_query_vectors
 
-    q_rows = (
-        emb.where(F.col("vec_id") < n_queries)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .collect()
-    )
+    if q_vecs is None:
+        q_vecs = collect_query_vectors(emb, n_queries)
     lut_len = max(cid for book in books for cid, _ in book) + 1
     lut_rows = []
-    for r in q_rows:
-        v = list(r["v"])
+    for qid, v in q_vecs:
         luts = []
         for s, book in enumerate(books):
             sub = v[s * sub_dim : (s + 1) * sub_dim]
@@ -245,7 +243,7 @@ def _query_luts(emb, n_queries, books, sub_dim):
                     qq - 2 * _fold_dot(sub, coords) + _fold_dot(coords, coords)
                 )
             luts.append(row)
-        lut_rows.append((r["vec_id"], luts))
+        lut_rows.append((qid, luts))
     return emb.sparkSession.createDataFrame(
         lut_rows, "qid bigint, lut array<array<double>>"
     )
@@ -298,17 +296,15 @@ def ivfpq_topk(
 
     from ..functions.vectors import norm
     from .scale import widen
-    from .similarity import _assign_to_centroids
+    from .similarity import _probe_cells_driver, collect_query_vectors
 
     emb = widen(emb)
-    probe_rows = _assign_to_centroids(
-        emb.where(F.col("vec_id") < n_queries), cents, top=max(nprobe, 1)
-    ).collect()
+    q_vecs = collect_query_vectors(emb, n_queries)
     probes = emb.sparkSession.createDataFrame(
-        [(r["vec_id"], r["centroid_id"]) for r in probe_rows],
+        _probe_cells_driver(q_vecs, cents, max(nprobe, 1)),
         "qid bigint, centroid_id bigint",
     )
-    qdf = _query_luts(emb, n_queries, books, sub_dim)
+    qdf = _query_luts(emb, n_queries, books, sub_dim, q_vecs=q_vecs)
     if index is None:
         index = corpus_cells.join(codes, "vec_id")
     # candidates: cell members of probed cells, ranked by PQ distance

@@ -36,6 +36,49 @@ def _fold_sq(coords: list[float]) -> float:
     return acc
 
 
+def collect_query_vectors(
+    emb: "DataFrame", n_queries: int
+) -> list[tuple[int, list[float]]]:
+    """ONE driver collect of the query slice, shared by every consumer
+    of query-side state (probe assignment, PQ lookup tables, query
+    norms). Before this, each consumer ran its own collect job over the
+    same ``vec_id < n_queries`` rows — one full Spark job plus plan
+    analysis apiece, pure fixed cost at any scale. float32 -> float64
+    is exact, so downstream driver-side folds see the same values the
+    in-plan expressions would."""
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.where(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .collect()
+    )
+
+
+def _probe_cells_driver(
+    q_vecs: list[tuple[int, list[float]]],
+    cents: list[tuple[int, list[float]]],
+    top: int,
+) -> list[tuple[int, int]]:
+    """Driver-side twin of :func:`_assign_to_centroids` for the QUERY
+    side: d2 expanded as fold(v,v) - 2*fold(v,c) + fold_sq(c) — the
+    exact sequential float64 folds of the in-plan expression, so the
+    (d2, cid) ranking (ties on cid) is bit-identical — evaluated over
+    the tiny query set in Python instead of spending a Spark job and a
+    plan analysis on n_queries x n_centroids arithmetic. The CORPUS
+    side keeps the distributed operator."""
+    pairs: list[tuple[int, int]] = []
+    for qid, v in q_vecs:
+        dvv = _fold_dot(v, v)
+        ranked = sorted(
+            (dvv - 2 * _fold_dot(v, coords) + _fold_sq(coords), int(cid))
+            for cid, coords in cents
+        )
+        pairs.extend((qid, cid) for _, cid in ranked[:top])
+    return pairs
+
+
 def _fold_dot(xs: list[float], ys: list[float]) -> float:
     """Driver-side sequential-fold dot product — bit-identical to the
     ``F.aggregate(zip_with(...), 0.0, acc + x*y)`` expression. DuckDB's
@@ -436,11 +479,10 @@ def ivf_topk(
             "vec_id", "centroid_id"
         )
     corpus = base.join(corpus_cells, "vec_id")
-    probe_rows = _assign_to_centroids(
-        emb.where(F.col("vec_id") < n_queries), cents, top=max(nprobe, 1)
-    ).collect()
     probe_df = emb.sparkSession.createDataFrame(
-        [(r["vec_id"], r["centroid_id"]) for r in probe_rows],
+        _probe_cells_driver(
+            collect_query_vectors(emb, n_queries), cents, max(nprobe, 1)
+        ),
         "qid bigint, centroid_id bigint",
     )
     probes = probe_df.join(
