@@ -234,3 +234,55 @@ def value_percentiles_approx(spark, sf_dir):
         _band(1, 3, 5).alias("p90_in_band"),
         _band(2, 6, 8).alias("p99_in_band"),
     )
+
+
+HIST_WIDTH = 25.0  # fixed-width bins over the value domain
+HIST_NBINS = 20  # values past the top edge clamp into the last bin
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+SELECT event_type,
+       LEAST({HIST_NBINS - 1}, GREATEST(0,
+           CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT))) AS bucket,
+       LEAST({HIST_NBINS - 1}, GREATEST(0,
+           CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT))) * {HIST_WIDTH}
+           AS bucket_lo,
+       COUNT(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type — the distribution
+    profile behind dashboards and outlier screens (the binned
+    complement of ``value_percentiles``).
+
+    Spelled with portable integer-from-float arithmetic
+    (floor(value / width), clamped) instead of ``width_bucket`` —
+    identical IEEE division on both engines, and the bucket id is an
+    exact BIGINT so the rows hash cross-engine. Scale: a pure
+    map-side classification plus one shuffle on (event_type, bucket)
+    with bounded key cardinality — histograms of a 100 TB table cost
+    one scan regardless of bin count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(HIST_NBINS - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") / HIST_WIDTH).cast("bigint")
+        ),
+    ).cast("bigint")
+    return (
+        e.where(F.col("value").isNotNull())
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("bucket_lo"),
+            "n",
+        )
+    )
