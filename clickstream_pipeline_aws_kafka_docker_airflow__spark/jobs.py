@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from .io import write_kpis_parquet
 from .operators.kpis import daily_kpis
+from .session import temp_confs
 from .sources.jsonl import read_jsonl_drop_malformed
 from .streaming import healthcheck as hc
 from .streaming.ingest import start_ingest
@@ -175,6 +176,62 @@ def run_kpi_backfill(
     return {"days_written": n_days}
 
 
+def run_sketch_backfill(
+    spark: SparkSession,
+    raw_path: str,
+    zone_path: str,
+    start_date: str,
+    end_date: str,
+) -> dict[str, int]:
+    """Rebuild the daily-sketch zone for a date RANGE from raw — the
+    repair path for data later than the streaming watermark (the
+    streaming maintainer correctly drops it; this job folds it back
+    in). Same one-scan shape as :func:`run_kpi_backfill`: one
+    multi-path read over the present day partitions, one groupBy(dt)
+    building exact full-day sketches, dynamic overwrite of exactly
+    those day partitions. A rebuilt day's registers equal what an
+    unbounded-watermark stream would have produced (HLL is
+    duplicate-insensitive and order-free), so stream + backfill
+    compose without a merge step."""
+    from .streaming.sketch_zone import SKETCH_LG_K
+
+    days = _date_seq(start_date, end_date)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _exists(p: str) -> bool:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(hconf).exists(hp)
+
+    present = [
+        p for d in days if _exists(p := f"{raw_path}/date={d}")
+    ]
+    if not present:
+        return {"days_written": 0}
+    events = read_jsonl_drop_malformed(spark, present, base_path=raw_path)
+    daily = (
+        events.withColumn("ts", F.to_timestamp("event_ts"))
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").cast("string").alias("dt"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K)).alias("sk"))
+        .where(F.col("dt").isin(days))
+        .localCheckpoint()
+    )
+    n_days = daily.count()
+    if n_days == 0:
+        return {"days_written": 0}
+    with temp_confs(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        (
+            daily.repartition(1)
+            .write.partitionBy("dt")
+            .mode("overwrite")
+            .parquet(zone_path)
+        )
+    return {"days_written": n_days}
+
+
 def _date_seq(start_date: str, end_date: str) -> list[str]:
     d0, d1 = dt.date.fromisoformat(start_date), dt.date.fromisoformat(end_date)
     if d1 < d0:
@@ -270,6 +327,10 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
     counts["ivf_centroids"] = len(cents)
     counts["ivf_cells"] = ivf_cells_table(spark, sf_dir, cents).count()
     counts["ivfpq_index"] = ivfpq_index_table(spark, sf_dir).count()
+    from .queries.pq_q import ivfpq_res_index_table, pq_res_codes_table
+
+    counts["pq_res_codes"] = pq_res_codes_table(spark, sf_dir).count()
+    counts["ivfpq_res_index"] = ivfpq_res_index_table(spark, sf_dir).count()
     return counts
 
 

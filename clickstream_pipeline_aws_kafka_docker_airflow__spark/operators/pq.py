@@ -427,3 +427,140 @@ def pq_topk(
         rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= k)
     )
+
+
+def residual_frame(
+    emb: DataFrame,
+    cells: DataFrame,
+    cents: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """(vec_id, embedding = v - centroid[home_cell], centroid_id) —
+    the faiss-IVFPQ refinement: PQ codes quantize the RESIDUAL from
+    the coarse cell centroid, not the raw vector. Members of a tight
+    cell share nearly identical raw vectors (identical codes -> the
+    prune degenerates to its id tie-break); their residuals differ,
+    so the codes keep within-cell resolution — measured on 100k
+    clustered vectors (margins 50/200): raw-vector codes 0.08/0.26
+    recall@5 vs residual 0.23/0.57 at 16-entry codebooks, and
+    0.48/0.80 vs 0.51/0.90 at the faiss-standard 256 entries (IVF
+    with exact in-cell scoring hits 1.00; tests/test_pq.py pins the
+    ordering).
+
+    Parity note: the subtraction is per-element (one IEEE op, no
+    reduction), so residual arrays are bit-identical to the DuckDB
+    oracle's ``list_transform(list_zip(v, cvec), s -> s[1] - s[2])``
+    spelling — the whole downstream code/LUT machinery then applies
+    to residuals verbatim."""
+    cdf = emb.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in coords]) for cid, coords in cents],
+        "centroid_id bigint, _cvec array<double>",
+    )
+    return (
+        emb.join(cells.select("vec_id", "centroid_id"), "vec_id")
+        .join(F.broadcast(cdf), "centroid_id")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("_cvec"),
+                lambda a, b: a - b,
+            ).alias("embedding"),
+            "centroid_id",
+        )
+    )
+
+
+def _luts_for_vec(v, books, sub_dim, lut_len):
+    """LUT[s][cid] = ||v_s - c||^2 over one vector, expanded-form
+    sequential folds (shared by the raw-vector and residual paths)."""
+    from .similarity import _fold_dot
+
+    luts = []
+    for s, book in enumerate(books):
+        sub = v[s * sub_dim : (s + 1) * sub_dim]
+        qq = _fold_dot(sub, sub)
+        row = [float("inf")] * lut_len
+        for cid, coords in book:
+            row[cid] = (
+                qq - 2 * _fold_dot(sub, coords) + _fold_dot(coords, coords)
+            )
+        luts.append(row)
+    return luts
+
+
+def ivfpq_topk_residual(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    cents: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    nprobe: int = 2,
+    rescore_margin: int = 50,
+    sub_dim: int = SUB_DIM,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search over RESIDUAL codes (``residual_frame``): the LUT
+    is built per (query, probed cell) from the query's residual against
+    that cell's centroid — n_queries x nprobe tiny driver-side tables —
+    and candidates join on the cell id, so each cell member is ranked
+    by the LUT of the exact centroid its code was encoded against.
+    Everything else (prune window, exact cosine rescore on RAW
+    vectors) matches :func:`ivfpq_topk`."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import norm
+    from .scale import widen
+    from .similarity import _probe_cells_driver, collect_query_vectors
+
+    emb = widen(emb)
+    q_vecs = collect_query_vectors(emb, n_queries)
+    probe_pairs = _probe_cells_driver(q_vecs, cents, max(nprobe, 1))
+    cents_map = {int(cid): [float(x) for x in coords] for cid, coords in cents}
+    qmap = dict(q_vecs)
+    lut_len = max(cid for book in books for cid, _ in book) + 1
+    lut_rows = []
+    for qid, cellid in probe_pairs:
+        rv = [a - b for a, b in zip(qmap[qid], cents_map[cellid])]
+        lut_rows.append(
+            (qid, cellid, _luts_for_vec(rv, books, sub_dim, lut_len))
+        )
+    qdf = emb.sparkSession.createDataFrame(
+        lut_rows,
+        "qid bigint, centroid_id bigint, lut array<array<double>>",
+    )
+    cand_codes = index.join(F.broadcast(qdf), "centroid_id").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    pairs = cand_codes.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        _adist_expr(len(books)).alias("adist"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    cand = (
+        pairs.withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= k + rescore_margin)
+        .select("qid", "nid")
+    )
+    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    qv = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    rescored = (
+        base.join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )

@@ -251,6 +251,7 @@ def test_build_corpus_artifacts_counts(spark):
         "shingles", "simhash_fps32", "simhash_fps60",
         "dup_pairs", "cluster_labels", "contamination", "lsh_bands",
         "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
+        "pq_res_codes", "ivfpq_res_index",
     }
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
@@ -262,6 +263,8 @@ def test_build_corpus_artifacts_counts(spark):
     assert counts["pq_codes"] == n_vecs
     assert counts["ivf_cells"] == n_vecs
     assert counts["ivfpq_index"] == n_vecs
+    assert counts["pq_res_codes"] == n_vecs
+    assert counts["ivfpq_res_index"] == n_vecs
     assert counts["ivf_centroids"] > 0
     # idempotent: second run reads, counts identical
     assert run_build_corpus_artifacts(spark, SF) == counts

@@ -159,3 +159,76 @@ def test_run_sketch_zone_job_over_raw(spark, tmp_path):
         (str(r.dt), bytes(r.sk)) for r in spark.read.parquet(zone).collect()
     )
     assert before == after
+
+
+def test_run_sketch_backfill_repairs_late_day(spark, tmp_path):
+    """Data later than the streaming watermark is (correctly) dropped
+    by the maintainer; the batch backfill rebuilds those days from raw
+    to exactly the registers a full re-aggregation produces."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_sketch_backfill,
+        run_sketch_zone,
+    )
+
+    raw = tmp_path / "raw"
+
+    def write_day(day, users, fname):
+        d = raw / f"date={day}" / "hour=10"
+        d.mkdir(parents=True, exist_ok=True)
+        lines = [
+            json.dumps(
+                {
+                    "event_ts": f"{day}T10:{i:02d}:00Z",
+                    "user_id": u,
+                    "session_id": f"s{i}",
+                    "event_type": "page_view",
+                    "page": "/",
+                    "product_id": "sku_1",
+                    "price": None,
+                    "currency": "USD",
+                    "referrer": "google",
+                    "user_agent": "UA",
+                }
+            )
+            for i, u in enumerate(users)
+        ]
+        (d / fname).write_text("\n".join(lines) + "\n")
+
+    write_day("2025-09-01", ["u_1", "u_2"], "b1.jsonl")
+    write_day("2025-09-05", ["u_9"], "b1.jsonl")
+
+    zone, ckpt = str(tmp_path / "zone"), str(tmp_path / "ckpt")
+    # tight watermark: once day 5 is seen, day 1 is out of range
+    run_sketch_zone(spark, str(raw), zone, ckpt, watermark="1 day")
+    # late arrival for day 1 — streamed, but beyond the watermark
+    write_day("2025-09-01", ["u_3", "u_4"], "b2_late.jsonl")
+    run_sketch_zone(spark, str(raw), zone, ckpt, watermark="1 day")
+
+    def day1_est():
+        return (
+            spark.read.parquet(zone)
+            .where(F.col("dt") == "2025-09-01")
+            .select(F.hll_sketch_estimate("sk").alias("e"))
+            .collect()[0]["e"]
+        )
+
+    assert day1_est() == 2  # late users missing, as documented
+
+    out = run_sketch_backfill(
+        spark, str(raw), zone, "2025-09-01", "2025-09-01"
+    )
+    assert out == {"days_written": 1}
+    assert day1_est() == 4  # repaired from raw
+    # untouched day survives the dynamic overwrite
+    assert (
+        spark.read.parquet(zone).where(F.col("dt") == "2025-09-05").count()
+        == 1
+    )
+    # empty range is a no-op
+    assert run_sketch_backfill(
+        spark, str(raw), zone, "2025-10-01", "2025-10-02"
+    ) == {"days_written": 0}
