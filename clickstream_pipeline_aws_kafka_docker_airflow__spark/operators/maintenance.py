@@ -127,3 +127,71 @@ def vacuum_date_partitions(
         for p in doomed:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
     return sorted(doomed)
+
+
+ZORDER_BITS = 16
+
+
+def morton_key(a: F.Column | str, b: F.Column | str, bits: int = ZORDER_BITS) -> F.Column:
+    """Interleave the low ``bits`` of two non-negative integer columns
+    into one Z-order (Morton) key: bit i of ``a`` lands at position
+    2i+1, bit i of ``b`` at 2i. Sorting by the key gives a space-
+    filling-curve order in which file-level min/max ranges stay narrow
+    in BOTH dimensions — unlike a lexicographic sort, whose trailing
+    column spans its full range in every file."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a, b = a.cast("long"), b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Rewrite a table in Z-order over two integer-scalable columns:
+    each column is min/max-normalized to ``bits``-bit grid coordinates
+    (one tiny agg pass), rows are range-partitioned and sorted by the
+    interleaved Morton key, and every output file then covers a small
+    square-ish tile of the (col_a, col_b) plane. Parquet footer
+    statistics prune files for selective predicates on EITHER column —
+    the layout a 100 TB events table wants when queries filter by
+    user_id on some days and by date on others. (The single-dimension
+    variant is :func:`write_clustered`.)"""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    span = (1 << bits) - 1
+
+    def _grid(c: str, lo, hi) -> F.Column:
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.lit(span).cast("long"),
+            F.floor(
+                (F.col(c).cast("double") - float(lo))
+                / (float(hi) - float(lo))
+                * span
+            ).cast("long"),
+        )
+
+    zkey = morton_key(_grid(col_a, lo_a, hi_a), _grid(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("_z", zkey)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

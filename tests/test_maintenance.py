@@ -103,3 +103,85 @@ def test_vacuum_date_partitions_retention(spark, tmp_path):
 
     # missing root is a no-op
     assert vacuum_date_partitions(spark, str(tmp_path / "nope"), "2025-01-01") == []
+
+
+def test_morton_key_interleaves(spark):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.maintenance import (
+        morton_key,
+    )
+    from pyspark.sql import functions as F
+
+    rows = spark.range(1).select(
+        morton_key(F.lit(0b101), F.lit(0b011), bits=3).alias("k")
+    ).collect()
+    # a=101, b=011 -> bits (a2 b2 a1 b1 a0 b0) = 1 0 0 1 1 1 = 0b100111
+    assert rows[0].k == 0b100111
+
+    # monotone on each axis within the other held at 0
+    vals = spark.range(16).select(
+        morton_key(F.col("id"), F.lit(0), bits=4).alias("ka"),
+        morton_key(F.lit(0), F.col("id"), bits=4).alias("kb"),
+    ).collect()
+    ka = [r.ka for r in vals]
+    kb = [r.kb for r in vals]
+    assert ka == sorted(ka) and kb == sorted(kb)
+
+
+def test_zorder_files_are_tiles_in_both_dims(spark, tmp_path):
+    """The Z-order claim, measured from parquet footers: every output
+    file covers a narrow min/max band in BOTH dimensions, while a
+    lexicographic sort leaves the trailing dimension spanning its full
+    range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.maintenance import (
+        write_zordered,
+    )
+
+    n = 1 << 14
+    # two independent uniform dims (id bit-reversed for the second)
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),
+    )
+
+    def spans(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append((hi - lo) / (n - 1))
+        return out
+
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, "x", "y", n_files=16)
+    # lexicographic baseline: range by x, sort by (x, y)
+    lpath = str(tmp_path / "lex")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x", "y")
+        .write.parquet(lpath)
+    )
+
+    zx, zy = spans(zpath, "x"), spans(zpath, "y")
+    lx, ly = spans(lpath, "x"), spans(lpath, "y")
+    # lexicographic: x prunes great, y not at all
+    assert max(lx) <= 0.20
+    assert min(ly) >= 0.90
+    # z-order: BOTH dims bounded well below the full range per file
+    assert max(zx) <= 0.60, zx
+    assert max(zy) <= 0.60, zy
