@@ -185,3 +185,29 @@ def test_zorder_files_are_tiles_in_both_dims(spark, tmp_path):
     # z-order: BOTH dims bounded well below the full range per file
     assert max(zx) <= 0.60, zx
     assert max(zy) <= 0.60, zy
+
+
+def test_morton_key_matches_python_reference(spark):
+    """Spark bit-expression vs a straightforward Python reference over
+    random grid points — the full interleave, not just the axes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.maintenance import (
+        morton_key,
+    )
+
+    def ref(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+        return k
+
+    rnd = random.Random(4)
+    pairs = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16)) for _ in range(1000)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton_key("a", "b").alias("k")
+    )
+    for r in df.collect():
+        assert r.k == ref(r.a, r.b), (r.a, r.b)

@@ -232,3 +232,33 @@ def test_run_sketch_backfill_repairs_late_day(spark, tmp_path):
     assert run_sketch_backfill(
         spark, str(raw), zone, "2025-10-01", "2025-10-02"
     ) == {"days_written": 0}
+
+
+def test_range_serve_prunes_day_partitions(spark, tmp_path):
+    """The O(days) claim depends on partition pruning: a dt-range
+    filter on the zone must reach the scan as a PartitionFilter, not a
+    post-scan filter."""
+    df = _mk_events(spark)
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    zone = str(tmp_path / "zone")
+    _drain(spark, str(src), df.schema, zone, str(tmp_path / "ckpt"))
+
+    q = range_distinct_from_zone(spark, zone, "2025-09-01", "2025-09-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "isnotnull(dt" in plan, plan
+    row = q.collect()[0]
+    assert row.n_days == 2
+
+
+def test_sketch_backfill_reversed_range_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_sketch_backfill,
+    )
+
+    with _pytest.raises(ValueError, match="reversed"):
+        run_sketch_backfill(
+            spark, str(tmp_path), str(tmp_path / "z"), "2025-09-02", "2025-09-01"
+        )
