@@ -48,3 +48,31 @@ def attribution_join(
         F.col(f"p.{ts_col}").alias("purchase_ts"),
         F.col(f"p.{value}").alias("purchase_value"),
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    dimension table (product catalog, user attributes) with a
+    broadcast hint — the streaming twin of every dim⋈fact join in the
+    batch tier.
+
+    Scale shape: the static side ships once per executor as a
+    broadcast relation; the stream side keeps its partitioning (no
+    shuffle) and the join adds NO state-store state — unlike
+    stream-stream joins, a stream-static join is stateless, so it
+    composes freely under append mode and needs no watermark. For a
+    dimension too big to broadcast, drop the hint and Spark will
+    shuffle the batch side per micro-batch instead.
+
+    Freshness caveat (documented, not hidden): Spark re-evaluates the
+    static side per micro-batch, but file listings resolved at query
+    start may be cached — a slowly-changing dimension is picked up
+    reliably only via a restart or by reading a format that
+    re-resolves (e.g. an overwritten path with a consistent schema).
+    """
+    return stream.join(F.broadcast(dim), key, how)

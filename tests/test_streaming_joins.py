@@ -87,3 +87,40 @@ def test_attribution_left_outer_emits_unconverted(spark, tmp_path):
     got = {(r["user_id"], r["purchase_value"]) for r in rows}
     assert ("u1", 7.0) in got          # matched inside the window
     assert ("u3", None) in got         # never converted -> null purchase
+
+
+def test_stream_static_enrich_broadcasts_and_joins(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.joins import (
+        enrich_with_dimension,
+    )
+
+    events = spark.createDataFrame(
+        [Row(sku="sku_1", qty=2), Row(sku="sku_2", qty=1), Row(sku="sku_9", qty=5)]
+    )
+    src = tmp_path / "src"
+    events.coalesce(1).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [Row(sku="sku_1", category="toys"), Row(sku="sku_2", category="books")]
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        enrich_with_dimension(stream, dim, "sku")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r.sku: r.category for r in spark.sql("SELECT * FROM enriched").collect()}
+    # left join: matched rows enriched, unmatched kept with null
+    assert rows == {"sku_1": "toys", "sku_2": "books", "sku_9": None}
+    # stateless: no state-store rows were needed for the join
+    prog = q.lastProgress
+    assert not prog or all(
+        (op.get("numRowsTotal") or 0) == 0 for op in prog.get("stateOperators", [])
+    )
