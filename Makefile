@@ -1,4 +1,4 @@
-.PHONY: test test-slow bench verify audit smoke
+.PHONY: test test-slow bench verify audit smoke probe
 
 test:
 	python -m pytest tests/ -q
@@ -21,3 +21,7 @@ smoke:
 	python -c "import __spark_entry__ as E; \
 from clickstream_pipeline_aws_kafka_docker_airflow__spark.session import get_spark; \
 print(len(E.entry(get_spark()).collect()), 'rows')"
+
+# seeded scale probes behind the README tables (events|sketch|ann)
+probe:
+	cd /tmp && python $(CURDIR)/scripts/scale_probe.py all
