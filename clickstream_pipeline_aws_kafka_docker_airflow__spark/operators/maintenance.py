@@ -152,6 +152,26 @@ def morton_key(a: F.Column | str, b: F.Column | str, bits: int = ZORDER_BITS) ->
     return key
 
 
+def _hash_representatives(df: DataFrame, n: int) -> list[int]:
+    """For each partition index ``p`` in ``[0, n)``, find a small integer
+    whose Spark ``hash()`` (Murmur3, fixed seed) lands in partition ``p``
+    under ``pmod(hash(x), n)``. Routing rows through these representative
+    values makes ``repartition(n, col)`` an EXACT partitioner — each
+    distinct routed value owns one partition, with no sampled boundaries.
+    One tiny Spark job over ``64 * n`` candidates; deterministic."""
+    cand = (
+        df.sparkSession.range(64 * n)
+        .select(F.col("id"), F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"))
+        .groupBy("p")
+        .agg(F.min("id").alias("rep"))
+        .collect()
+    )
+    reps: dict[int, int] = {int(r["p"]): int(r["rep"]) for r in cand}
+    if len(reps) < n:  # pragma: no cover - 64x oversampling makes this ~impossible
+        raise RuntimeError(f"hash probe covered {len(reps)}/{n} partitions; widen search")
+    return [reps[p] for p in range(n)]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -162,13 +182,22 @@ def write_zordered(
 ) -> None:
     """Rewrite a table in Z-order over two integer-scalable columns:
     each column is min/max-normalized to ``bits``-bit grid coordinates
-    (one tiny agg pass), rows are range-partitioned and sorted by the
-    interleaved Morton key, and every output file then covers a small
-    square-ish tile of the (col_a, col_b) plane. Parquet footer
-    statistics prune files for selective predicates on EITHER column —
-    the layout a 100 TB events table wants when queries filter by
-    user_id on some days and by date on others. (The single-dimension
-    variant is :func:`write_clustered`.)"""
+    (one tiny agg pass), rows are Morton-interleaved, and each output
+    file is exactly ONE aligned Z-curve tile of the (col_a, col_b)
+    plane, so its parquet footer min/max covers at most ``1/2^ceil(k/2)``
+    of either dimension (k = log2(n_files)). Footer statistics then
+    prune files for selective predicates on EITHER column — the layout
+    a 100 TB events table wants when queries filter by user_id on some
+    days and by date on others. (The single-dimension variant is
+    :func:`write_clustered`.)
+
+    Tile→file routing is deterministic: the tile id (the top ``k`` bits
+    of the Morton key) is mapped through a hash-representative value so
+    ``repartition`` places each tile in its own partition exactly —
+    unlike range-partitioning on the raw key, whose sampled boundaries
+    can leave a file straddling a curve seam and spanning the full
+    range of one dimension. Skewed data yields uneven (never impure)
+    files; ``n_files`` is rounded up to a power of two."""
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
@@ -186,12 +215,18 @@ def write_zordered(
             ).cast("long"),
         )
 
+    tile_bits = max(1, (n_files - 1).bit_length())
+    n_tiles = 1 << tile_bits
+    reps = _hash_representatives(df, n_tiles)
     zkey = morton_key(_grid(col_a, lo_a, hi_a), _grid(col_b, lo_b, hi_b), bits)
+    tile = F.shiftright(F.col("_z"), 2 * bits - tile_bits)
+    route = F.element_at(F.array(*[F.lit(r).cast("int") for r in reps]), (tile + 1).cast("int"))
     (
         df.withColumn("_z", zkey)
-        .repartitionByRange(n_files, F.col("_z"))
+        .withColumn("_route", route)
+        .repartition(n_tiles, F.col("_route"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_route")
         .write.mode("overwrite")
         .parquet(path)
     )

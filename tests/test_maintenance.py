@@ -182,9 +182,11 @@ def test_zorder_files_are_tiles_in_both_dims(spark, tmp_path):
     # lexicographic: x prunes great, y not at all
     assert max(lx) <= 0.20
     assert min(ly) >= 0.90
-    # z-order: BOTH dims bounded well below the full range per file
-    assert max(zx) <= 0.60, zx
-    assert max(zy) <= 0.60, zy
+    # z-order: every file is one aligned Z-tile — with 16 files each
+    # dim spans at most 1/4 of its range (+ grid rounding), and the
+    # routing is exact (no sampled boundaries), so this is deterministic
+    assert max(zx) <= 0.30, zx
+    assert max(zy) <= 0.30, zy
 
 
 def test_morton_key_matches_python_reference(spark):
