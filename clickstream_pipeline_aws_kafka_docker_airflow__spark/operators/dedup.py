@@ -254,6 +254,96 @@ def ngram_jaccard_all_pairs(
 # SimHash
 
 
+J_ADMIT = 0.5  # incremental admission: reject at/above this Jaccard
+
+
+def incremental_admission(
+    new_ids: DataFrame,
+    shingles: DataFrame,
+    old_bands: DataFrame,
+    threshold: float = J_ADMIT,
+    k: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Batch admission of an incoming document batch against an EXISTING
+    corpus: sign the new docs, probe the persisted band index of the old
+    zone, exact-verify only the colliding pairs, and emit one verdict row
+    per new doc — ``(doc_id, admitted, dup_of, jaccard)`` where
+    ``dup_of``/``jaccard`` name the best old-zone match at or above
+    ``threshold`` (ties broken by lowest old doc_id) and ``admitted`` is
+    true when no such match exists.
+
+    This is the batch twin of the streaming online dedup
+    (streaming/corpus_ingest.py): the existing zone is touched only
+    through its band index (``old_bands`` — a build-once artifact, NOT
+    re-signed per batch), so per-batch work scales with the batch plus
+    its collisions, never with corpus size. At 100 TB the old zone's
+    shingle table is the materialized staging artifact and the verify
+    join reads only the candidate docs' shingles.
+
+    ``new_ids``: (doc_id) of the incoming batch. ``shingles``:
+    (doc_id, shingle) covering both zones (the snapshot staging table).
+    ``old_bands``: (doc_id, band, bkey) for the existing zone.
+    """
+    from pyspark.sql import Window
+
+    sh_new = shingles.join(new_ids.select("doc_id"), "doc_id", "left_semi")
+    bands_new = band_table(minhash_signatures(sh_new, k), k, band_size)
+    cand = (
+        bands_new.select(F.col("doc_id").alias("id_new"), "band", "bkey")
+        .join(
+            old_bands.select(F.col("doc_id").alias("id_old"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingles.select(F.col("doc_id").alias("id_new"), "shingle")
+    s2 = shingles.select(F.col("doc_id").alias("id_old"), "shingle")
+    common = (
+        cand.join(s1, "id_new")
+        .join(s2, ["id_old", "shingle"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        cand.join(common, ["id_new", "id_old"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("n_a")), "id_new")
+        .join(sizes.select(F.col("doc_id").alias("id_old"), F.col("n").alias("n_b")), "id_old")
+        .select(
+            "id_new",
+            "id_old",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("j"),
+        )
+    )
+    best = (
+        jac.where(F.col("j") >= threshold)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id_new").orderBy(F.desc("j"), F.asc("id_old"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        new_ids.select("doc_id")
+        .join(best, new_ids["doc_id"] == best["id_new"], "left")
+        .select(
+            "doc_id",
+            F.col("id_new").isNull().alias("admitted"),
+            F.col("id_old").alias("dup_of"),
+            F.col("j").alias("jaccard"),
+        )
+    )
+
+
 SIMHASH_BITS = 32
 
 

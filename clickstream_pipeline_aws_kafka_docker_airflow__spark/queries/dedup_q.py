@@ -7,6 +7,8 @@ operators, so the two implementations cannot drift apart silently.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..io import load_table
 from ..operators.dedup import (
     BAND_SIZE,
@@ -62,7 +64,10 @@ def simhash_fps_table(spark, sf_dir, bits):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_base_ctes() -> str:
+    """Shared oracle prefix — tokenize, shingle, sign, band. Ends in
+    ``bands(doc_id, band, bkey)`` and also exposes ``sh(doc_id,
+    shingle)`` for the verify stages of its consumers."""
     mins = ",\n           ".join(
         f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
     )
@@ -76,8 +81,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, {_TOKS} AS t FROM documents
 ), sh AS (
     SELECT DISTINCT doc_id,
@@ -90,7 +94,12 @@ WITH toks AS (
     FROM sh GROUP BY doc_id
 ), bands AS (
     {band_rows}
-), cand AS (
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_base_ctes()}, cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                              AND a.doc_id < b.doc_id
@@ -121,6 +130,97 @@ def dedup_near_minhash(spark, sf_dir):
     return minhash_near_dup(
         load_table(spark, sf_dir, "documents"),
         shingles=shingles_table(spark, sf_dir),
+    )
+
+
+# Zone split for the incremental-admission demo: every 5th doc plays
+# the incoming batch, the rest the existing corpus. Same constant feeds
+# the Spark predicate and the oracle.
+_NEW_MOD = 5
+
+
+def old_zone_bands_table(spark, sf_dir):
+    """Materialized (doc_id, band, bkey) LSH band index of the EXISTING
+    zone — the persisted signature zone a production pipeline keeps
+    next to the corpus so each incoming batch probes an index instead
+    of re-signing history."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.dedup import band_table, minhash_signatures
+
+    def _build():
+        sh_old = shingles_table(spark, sf_dir).where(
+            F.col("doc_id") % _NEW_MOD != 0
+        )
+        return band_table(minhash_signatures(sh_old))
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "minhash_bands_old",
+        _build,
+        params=f"n{SHINGLE_N}k{NUM_HASHES}b{BAND_SIZE}mod{_NEW_MOD}",
+    )
+
+
+def _incremental_oracle() -> str:
+    from ..operators.dedup import J_ADMIT
+
+    return f"""
+WITH {_minhash_base_ctes()}, cand AS (
+    SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id % {_NEW_MOD} = 0 AND b.doc_id % {_NEW_MOD} <> 0
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT c.id_new, c.id_old, COUNT(*) AS n_common
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.id_new
+    JOIN sh s2 ON s2.doc_id = c.id_old AND s2.shingle = s1.shingle
+    GROUP BY 1, 2
+), jac AS (
+    SELECT c.id_new, c.id_old,
+           ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(n_common, 0)), 4) AS j
+    FROM cand c
+    LEFT JOIN common USING (id_new, id_old)
+    JOIN sizes sa ON sa.doc_id = c.id_new
+    JOIN sizes sb ON sb.doc_id = c.id_old
+), best AS (
+    SELECT id_new, id_old, j,
+           ROW_NUMBER() OVER (PARTITION BY id_new
+                              ORDER BY j DESC, id_old) AS rn
+    FROM jac WHERE j >= {J_ADMIT}
+)
+SELECT d.doc_id,
+       b.id_new IS NULL AS admitted,
+       b.id_old AS dup_of,
+       b.j AS jaccard
+FROM documents d
+LEFT JOIN best b ON b.id_new = d.doc_id AND b.rn = 1
+WHERE d.doc_id % {_NEW_MOD} = 0
+"""
+
+
+@register("incremental_dedup_batch", oracle=_incremental_oracle())
+def incremental_dedup_batch(spark, sf_dir):
+    """Batch admission of an incoming doc batch against the existing
+    corpus: new docs are signed and probed against the PERSISTED band
+    index of the old zone (old_zone_bands_table artifact), colliding
+    pairs are exact-Jaccard-verified, and each new doc gets a verdict —
+    admitted, or rejected with its best old-zone match. The batch twin
+    of the streaming online dedup (streaming/corpus_ingest.py); per-
+    batch cost scales with the batch, not the corpus."""
+    from ..operators.dedup import incremental_admission
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_ids = docs.where(F.col("doc_id") % _NEW_MOD == 0).select("doc_id")
+    return incremental_admission(
+        new_ids,
+        shingles_table(spark, sf_dir),
+        old_zone_bands_table(spark, sf_dir),
     )
 
 

@@ -258,3 +258,47 @@ def test_ngram_jaccard_capped_recall_delta(spark):
     for a, b in uncapped - capped:
         overlap = by_doc[a] & by_doc[b]
         assert overlap and overlap <= over_cap, (a, b, overlap - over_cap)
+
+
+def test_incremental_admission_verdicts(spark):
+    """New-batch docs: a near-dup of an old-zone doc is rejected with
+    the right match; a unique doc and a shingle-less doc are admitted;
+    a doc duplicating only ANOTHER NEW doc is still admitted (admission
+    screens against the existing zone, not within-batch)."""
+    from pyspark.sql import Row
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        band_table,
+        incremental_admission,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest at dawn every single day"
+    )
+    fresh = "completely different text about spark query engines and distributed shuffles at scale"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),                               # old
+            Row(doc_id=2, text="unrelated old corpus text about kafka topics and parquet files stored daily"),  # old
+            Row(doc_id=10, text=base.replace("lazy", "sleepy")),    # new: near-dup of 1
+            Row(doc_id=11, text=fresh),                             # new: unique
+            Row(doc_id=12, text=fresh),                             # new: dup of ANOTHER NEW doc only
+            Row(doc_id=13, text="tiny doc"),                        # new: no shingles
+        ]
+    )
+    sh = shingle_table(docs)
+    old_bands = band_table(minhash_signatures(sh.where("doc_id < 10")))
+    new_ids = docs.where("doc_id >= 10").select("doc_id")
+    out = {
+        r["doc_id"]: r
+        for r in incremental_admission(new_ids, sh, old_bands).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert not out[10]["admitted"] and out[10]["dup_of"] == 1
+    assert out[10]["jaccard"] > 0.7
+    assert out[11]["admitted"] and out[11]["dup_of"] is None
+    assert out[12]["admitted"]  # within-batch dup is NOT the old zone's call
+    assert out[13]["admitted"]  # shingle-less -> never pairs -> admitted
