@@ -371,3 +371,89 @@ def run_healthcheck(spark: SparkSession, raw_path: str, lookback_minutes: int = 
         raise RuntimeError(
             f"no fresh ingest under {raw_path} in the last {lookback_minutes} min"
         )
+
+
+def run_user_erasure(
+    spark: SparkSession,
+    zone_path: str,
+    user_ids: list,
+    user_col: str = "user_id",
+    partition_cols: tuple[str, ...] = ("date", "hour"),
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Right-to-be-forgotten sweep over a partitioned zone: remove every
+    row belonging to a listed user, rewriting ONLY the partitions that
+    contain one. Three stages, each partition-bounded:
+
+    1. probe — broadcast semi-join finds the affected partition tuples
+       (the scan reads only the user + partition columns);
+    2. rewrite — the affected partitions are re-read under a literal
+       partition filter (pruned scan), anti-joined against the
+       broadcast list, localCheckpointed (the zone cannot be overwritten
+       while it is still being lazily read), and dynamically
+       overwritten — untouched partitions keep their files byte-for-byte;
+    3. clear — a partition whose every row belonged to listed users
+       produces no overwrite data, so its directory is deleted
+       explicitly (dynamic overwrite only replaces partitions it
+       writes).
+
+    Returns ``{"rows_erased", "partitions_rewritten",
+    "partitions_cleared"}``. At 100 TB the deletion list is requests
+    (tiny), and cost scales with affected partitions, not zone size.
+    """
+    import functools
+
+    from pyspark.sql.types import StructField, StructType
+
+    from .operators.lifecycle import affected_partitions
+
+    zone = spark.read.format(fmt).load(zone_path)
+    utype = zone.schema[user_col].dataType
+    del_df = spark.createDataFrame(
+        [(u,) for u in user_ids], StructType([StructField(user_col, utype)])
+    )
+    affected = [tuple(r) for r in affected_partitions(zone, del_df, user_col, partition_cols).collect()]
+    if not affected:
+        return {"rows_erased": 0, "partitions_rewritten": 0, "partitions_cleared": 0}
+
+    pfilter = functools.reduce(
+        lambda x, y: x | y,
+        [
+            functools.reduce(
+                lambda x, y: x & y,
+                [F.col(c) == F.lit(v) for c, v in zip(partition_cols, tup)],
+            )
+            for tup in affected
+        ],
+    )
+    scoped = zone.where(pfilter)
+    n_before = scoped.count()
+    survivors = scoped.join(
+        F.broadcast(del_df.select(user_col).distinct()), user_col, "left_anti"
+    ).localCheckpoint()
+    n_after = survivors.count()
+    with temp_confs(spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}):
+        (
+            survivors.write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .format(fmt)
+            .save(zone_path)
+        )
+    surviving_parts = {
+        tuple(str(v) for v in r)
+        for r in survivors.select(*partition_cols).distinct().collect()
+    }
+    cleared = [
+        tup for tup in affected if tuple(str(v) for v in tup) not in surviving_parts
+    ]
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for tup in cleared:
+        seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, tup))
+        p = jvm.org.apache.hadoop.fs.Path(f"{zone_path}/{seg}")
+        p.getFileSystem(hconf).delete(p, True)
+    return {
+        "rows_erased": n_before - n_after,
+        "partitions_rewritten": len(affected) - len(cleared),
+        "partitions_cleared": len(cleared),
+    }

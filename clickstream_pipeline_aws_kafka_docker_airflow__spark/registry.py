@@ -65,7 +65,9 @@ def _load_all() -> None:
         kafka_q,
         kpis_q,
         lateral_q,
+        lifecycle_q,
         misc_q,
+        pii_q,
         pipeline_q,
         pq_q,
         projection_q,

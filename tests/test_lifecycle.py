@@ -1,0 +1,105 @@
+"""Data-lifecycle operators: snapshot diff, erasure report, and the
+partition-pruned right-to-be-forgotten job."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Row, functions as F
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import run_user_erasure
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.lifecycle import (
+    erasure_report,
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    a = spark.createDataFrame(
+        [Row(k=1, v="x", w=None), Row(k=2, v="y", w="p"), Row(k=3, v="z", w="q")]
+    )
+    b = spark.createDataFrame(
+        [Row(k=1, v="x", w=None), Row(k=2, v="Y", w="p"), Row(k=4, v="n", w="r")]
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(a, b, "k").collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # k=1 unchanged, dropped
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    """The digest's null channel: NULL and '' must not collide."""
+    a = spark.createDataFrame([(1, None)], "k bigint, v string")
+    b = spark.createDataFrame([(1, "")], "k bigint, v string")
+    out = snapshot_diff(a, b, "k").collect()
+    assert [(r["k"], r["change_type"]) for r in out] == [(1, "changed")]
+
+
+def test_erasure_report_counts_and_null_user(spark):
+    events = spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 10:00:00", user_id=1),
+            Row(ts="2024-01-01 11:00:00", user_id=1),
+            Row(ts="2024-01-01 12:00:00", user_id=2),
+            Row(ts="2024-01-02 10:00:00", user_id=None),  # never erased
+            Row(ts="2024-01-02 11:00:00", user_id=3),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dels = spark.createDataFrame([Row(user_id=1), Row(user_id=9)])
+    out = {str(r["dt"]): r for r in erasure_report(events, dels).collect()}
+    assert out["2024-01-01"]["rows_erased"] == 2
+    assert out["2024-01-01"]["rows_retained"] == 1
+    assert out["2024-01-01"]["users_erased"] == 1  # user 9 has no rows
+    assert out["2024-01-02"]["rows_erased"] == 0
+    assert out["2024-01-02"]["rows_retained"] == 2
+
+
+def _zone_rows():
+    rows = []
+    for d, users in [
+        ("2024-01-01", [1, 2, 5]),   # 5 doomed -> rewrite
+        ("2024-01-02", [99]),        # all rows doomed -> clear
+        ("2024-01-03", [3, 4]),      # untouched
+    ]:
+        rows += [Row(date=d, user_id=u, payload=f"{d}:{u}") for u in users]
+    return rows
+
+
+def test_run_user_erasure_rewrites_only_affected_partitions(spark, tmp_path):
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(_zone_rows()).write.partitionBy("date").parquet(zone)
+    untouched_before = sorted(glob.glob(f"{zone}/date=2024-01-03/part-*"))
+
+    res = run_user_erasure(
+        spark, zone, [5, 99, 777], partition_cols=("date",)
+    )
+    assert res == {
+        "rows_erased": 2,
+        "partitions_rewritten": 1,
+        "partitions_cleared": 1,
+    }
+    # the fully-doomed partition directory is gone
+    assert not os.path.exists(f"{zone}/date=2024-01-02")
+    # the untouched partition kept its exact files
+    assert sorted(glob.glob(f"{zone}/date=2024-01-03/part-*")) == untouched_before
+    # the zone re-reads clean: no listed user anywhere, survivors intact
+    left = spark.read.parquet(zone)
+    assert left.where(F.col("user_id").isin(5, 99, 777)).count() == 0
+    assert {(str(r["date"]), r["user_id"]) for r in left.collect()} == {
+        ("2024-01-01", 1),
+        ("2024-01-01", 2),
+        ("2024-01-03", 3),
+        ("2024-01-03", 4),
+    }
+
+
+def test_run_user_erasure_no_match_is_noop(spark, tmp_path):
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(_zone_rows()).write.partitionBy("date").parquet(zone)
+    files_before = sorted(glob.glob(f"{zone}/date=*/part-*"))
+    res = run_user_erasure(spark, zone, [777], partition_cols=("date",))
+    assert res == {
+        "rows_erased": 0,
+        "partitions_rewritten": 0,
+        "partitions_cleared": 0,
+    }
+    assert sorted(glob.glob(f"{zone}/date=*/part-*")) == files_before
