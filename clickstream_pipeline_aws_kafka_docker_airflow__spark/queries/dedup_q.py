@@ -25,12 +25,14 @@ from ..registry import register
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
 
-def shingles_table(spark, sf_dir):
+def shingles_table(spark, sf_dir, n: int = SHINGLE_N):
     """Materialized distinct word-n-gram table (doc_id, shingle) — the
     dedup job's staging table, built once per corpus snapshot and
     scanned by every consumer (MinHash signatures, Jaccard sizes, both
     sides of the common-shingle join) instead of re-running the
-    tokenize + explode + distinct chain per query."""
+    tokenize + explode + distinct chain per query. Width-keyed: the
+    near-dup detectors share the 3-gram table, the contamination
+    screen its 5-gram one."""
     import os
 
     from ..operators.artifacts import materialized
@@ -40,8 +42,30 @@ def shingles_table(spark, sf_dir):
         spark,
         os.path.join(sf_dir, "documents.parquet"),
         "shingles",
-        lambda: shingle_table(load_table(spark, sf_dir, "documents")),
-        params=f"n{SHINGLE_N}",
+        lambda: shingle_table(load_table(spark, sf_dir, "documents"), n),
+        params=f"n{n}",
+    )
+
+
+def minhash_pairs_table(spark, sf_dir):
+    """Materialized MinHash candidate-pair table (id_a, id_b, jaccard)
+    — the near-dup DETECTOR job's raw output, before any threshold.
+    Downstream consumers (the thresholded dup list, cluster labeling,
+    cross-modal checks, this round's admission screen) filter or join
+    it instead of re-running sign/band/verify per query."""
+    import os
+
+    from ..operators.artifacts import materialized
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "minhash_pairs",
+        lambda: minhash_near_dup(
+            load_table(spark, sf_dir, "documents"),
+            shingles=shingles_table(spark, sf_dir),
+        ),
+        params=f"n{SHINGLE_N}k{NUM_HASHES}b{BAND_SIZE}",
     )
 
 
@@ -125,12 +149,10 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 @register("dedup_near_minhash", oracle=_minhash_oracle())
 def dedup_near_minhash(spark, sf_dir):
     """ext_dedup_near: MinHash signatures -> LSH bands -> candidate
-    pairs -> exact n-gram Jaccard on candidates only. Scans the
-    MATERIALIZED shingle staging table (shingles_table)."""
-    return minhash_near_dup(
-        load_table(spark, sf_dir, "documents"),
-        shingles=shingles_table(spark, sf_dir),
-    )
+    pairs -> exact n-gram Jaccard on candidates only. Served from the
+    MATERIALIZED pair table (minhash_pairs_table) — the detector runs
+    once per snapshot; every consumer reads its output."""
+    return minhash_pairs_table(spark, sf_dir)
 
 
 # Zone split for the incremental-admission demo: every 5th doc plays

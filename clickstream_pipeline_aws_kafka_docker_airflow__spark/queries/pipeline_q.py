@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.artifacts import materialized
 from ..operators.clustering import connected_components
-from ..operators.dedup import HEX, minhash_near_dup, shingle_table, token_hash32_sql
-from ..queries.dedup_q import _minhash_oracle, shingles_table as _shingles
+from ..operators.dedup import HEX, token_hash32_sql
+from ..queries.dedup_q import _minhash_oracle
 from ..registry import register
 
 # Candidate pairs at/above this exact-Jaccard level are duplicates for
@@ -36,15 +36,10 @@ def dup_pairs_table(spark, sf_dir):
     checks. In production this is a table the detector writes once per
     corpus snapshot; recomputing MinHash inside every consumer would
     multiply the heaviest text scan by the number of consumers."""
-    return materialized(
-        spark,
-        os.path.join(sf_dir, "documents.parquet"),
-        "dup_pairs",
-        lambda: minhash_near_dup(
-            load_table(spark, sf_dir, "documents"),
-            shingles=_shingles(spark, sf_dir),
-        ).where(F.col("jaccard") >= DUP_JACCARD),
-        params=f"j{DUP_JACCARD}",
+    from .dedup_q import minhash_pairs_table
+
+    return minhash_pairs_table(spark, sf_dir).where(
+        F.col("jaccard") >= DUP_JACCARD
     )
 
 
@@ -459,17 +454,21 @@ def contamination_check(spark, sf_dir):
     """Eval-set leakage screen: for every corpus doc, the fraction of
     its word 5-grams that also occur in the benchmark set (here: the
     first {N_BENCH_DOCS} docs stand in for a held-out benchmark).
-    Train-side docs with high overlap get quarantined before training.
+    Served from the MATERIALIZED screen output (contamination_table) —
+    the screening job runs once per snapshot."""
+    return contamination_table(spark, sf_dir)
 
-    Scale: the benchmark shingle set is small by definition — it
-    BROADCASTS, so the corpus-side shingle table never shuffles; per-doc
-    counts aggregate map-side. The rate is one int/int division (no
-    summation-order float risk).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # three consumers (bench set, corpus counts, hits join): materialize
-    # the shingle chain once (same measured win as the dedup detectors)
-    sh = shingle_table(docs, CONTAM_SHINGLE_N).localCheckpoint()
+
+def _contamination_build(spark, sf_dir):
+    """The screening job itself. Scale: the benchmark shingle set is
+    small by definition — it BROADCASTS, so the corpus-side shingle
+    table never shuffles; per-doc counts aggregate map-side. The rate
+    is one int/int division (no summation-order float risk). Scans the
+    width-keyed shingle artifact (three consumers: bench set, corpus
+    counts, hits join)."""
+    from .dedup_q import shingles_table
+
+    sh = shingles_table(spark, sf_dir, CONTAM_SHINGLE_N)
     bench = (
         sh.where(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
     )
@@ -502,7 +501,7 @@ def contamination_table(spark, sf_dir):
         spark,
         os.path.join(sf_dir, "documents.parquet"),
         "contamination",
-        lambda: contamination_check(spark, sf_dir),
+        lambda: _contamination_build(spark, sf_dir),
         params=f"n{CONTAM_SHINGLE_N}b{N_BENCH_DOCS}",
     )
 
