@@ -61,6 +61,7 @@ def _load_all() -> None:
         dedup_q,
         events_q,
         funnel_q,
+        graph_q,
         groupsets_q,
         kafka_q,
         kpis_q,

@@ -1,0 +1,62 @@
+"""Integer-exact PageRank operator vs a pure-Python reference."""
+
+from __future__ import annotations
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.graph import (
+    PR_DAMP_PCT,
+    PR_SCALE,
+    pagerank_int,
+)
+
+_EDGES = [  # (src, dst, n) — includes a dangling node (3 has no out-edge)
+    (0, 1, 3),
+    (0, 2, 1),
+    (1, 2, 2),
+    (2, 0, 5),
+    (2, 3, 1),
+]
+
+
+def _reference(edges, n_iters, damp=PR_DAMP_PCT, scale=PR_SCALE):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    out = {}
+    for s, _, n in edges:
+        out[s] = out.get(s, 0) + n
+    nn = len(nodes)
+    pr = {v: scale // nn for v in nodes}
+    for _ in range(n_iters):
+        s = {v: 0 for v in nodes}
+        for u, v, n in edges:
+            s[v] += (pr[u] * n) // out[u]
+        pr = {
+            v: (scale * (100 - damp)) // (100 * nn) + (damp * s[v]) // 100
+            for v in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = spark.createDataFrame(_EDGES, "src bigint, dst bigint, n bigint")
+    got = {r["node"]: r["pr"] for r in pagerank_int(edges, n_iters=3).collect()}
+    assert got == _reference(_EDGES, 3)
+
+
+def test_pagerank_sink_gains_hub_loses(spark):
+    """2 -> 0 carries weight 5: node 0 should outrank the dangling
+    node 3 (weight-1 in-edge from the same source), and every score is
+    positive (damping base term)."""
+    edges = spark.createDataFrame(_EDGES, "src bigint, dst bigint, n bigint")
+    got = {r["node"]: r["pr"] for r in pagerank_int(edges, n_iters=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] > got[3]
+    assert all(v > 0 for v in got.values())
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = spark.createDataFrame(_EDGES, "src bigint, dst bigint, n bigint")
+    a = {r["node"]: r["pr"] for r in pagerank_int(edges).collect()}
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank_int(edges.repartition(7)).collect()
+    }
+    assert a == b
