@@ -1,0 +1,60 @@
+"""Plan contracts for the round-4 continuation queries (lifecycle,
+PII, incremental dedup, PageRank): the shapes that survive a 100x
+scale-up must be pinned, not assumed."""
+
+from __future__ import annotations
+
+import re
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+    formatted_plan,
+)
+
+from conftest import SF_SMOKE
+
+_Q = registry.queries()
+
+
+def test_snapshot_diff_shuffles_digests_not_rows(spark):
+    """The full-outer join must exchange (key, md5 digest) pairs only —
+    if text-width columns (props, event_type) appear in an Exchange the
+    wide rows are being shuffled."""
+    plan = formatted_plan(_Q["snapshot_diff"](spark, SF_SMOKE))
+    for ex in re.findall(r"\(\d+\) Exchange\n(.*?)\n", plan):
+        assert "props" not in ex and "event_type" not in ex, ex
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_user_erasure_broadcasts_deletion_list(spark):
+    """The deletion list joins broadcast — the events scan must never
+    shuffle for the flagging join."""
+    plan = formatted_plan(_Q["user_erasure_report"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_scrub_single_scan_no_join(spark):
+    """Detection + redaction are pure column exprs over ONE documents
+    scan: no join, no exchange before the result."""
+    plan = formatted_plan(_Q["pii_scrub"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_incremental_admission_reads_band_index_not_corpus_sigs(spark):
+    """The admission probe joins the new batch's bands against the
+    PERSISTED old-zone band artifact — the plan must read the artifact
+    parquet, not re-derive old-zone signatures from documents."""
+    plan = formatted_plan(_Q["incremental_dedup_batch"](spark, SF_SMOKE))
+    assert "minhash_bands_old" in plan or "spark_graft_artifacts" in plan, plan
+
+
+def test_pagerank_no_cartesian_beyond_count(spark):
+    """The only product in the plan is the 1-row n_nodes broadcast; the
+    score/edge joins stay keyed."""
+    plan = formatted_plan(_Q["pagerank_props"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    # one keyed join per iteration (3) on the contrib side
+    assert len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)) >= 3, plan
