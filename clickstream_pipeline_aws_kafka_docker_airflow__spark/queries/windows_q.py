@@ -103,3 +103,49 @@ def date_parse_multi(spark, sf_dir):
     return e.select("event_id", parse_date_multi(raw).alias("dt"))
 
 
+
+
+# -- integer-exact EWMA smoothing -------------------------------------------
+
+
+def _ewma_oracle() -> str:
+    from ..operators.timeseries import EWMA_DEN, EWMA_NUM, EWMA_SCALE
+
+    return f"""
+WITH RECURSIVE hc AS (
+    SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, hh, cnt,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS i
+    FROM hc
+), r AS (
+    SELECT event_type, hh, cnt, i,
+           CAST(cnt * {EWMA_SCALE} AS BIGINT) AS ewma
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT n.event_type, n.hh, n.cnt, n.i,
+           CAST(({EWMA_NUM} * n.cnt * {EWMA_SCALE}
+                 + {EWMA_DEN - EWMA_NUM} * r.ewma) // {EWMA_DEN} AS BIGINT)
+    FROM r JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1
+)
+SELECT event_type, hh, cnt, ewma FROM r
+"""
+
+
+@register("ewma_hourly", oracle=_ewma_oracle())
+def ewma_hourly(spark, sf_dir):
+    """Integer-exact EWMA (alpha = 1/4, 10^6 fixed-point) over each
+    event type's hourly count series — the smoothing stage behind
+    rate-anomaly alerting. A sequential recurrence with no window-
+    function form: the Spark side runs it as a per-series engine-side
+    ``aggregate()`` fold (operators/timeseries.py), the oracle as a
+    recursive CTE stepping hour by hour. Exact BIGINT at every step,
+    so the fold and the recursion hash-match."""
+    from ..operators.timeseries import ewma_series
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return ewma_series(hourly, ["event_type"], "hh", "cnt")

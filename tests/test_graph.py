@@ -60,3 +60,40 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in pagerank_int(edges.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_ewma_series_matches_python_reference(spark):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.timeseries import (
+        EWMA_DEN,
+        EWMA_NUM,
+        EWMA_SCALE,
+        ewma_series,
+    )
+
+    rows = [("a", i, v) for i, v in enumerate([10, 0, 40, 40, 7])] + [
+        ("b", i, v) for i, v in enumerate([5, 5, 5])
+    ]
+    df = spark.createDataFrame(rows, "s string, t bigint, x bigint")
+    got = {
+        (r["s"], r["t"]): (r["x"], r["ewma"])
+        for r in ewma_series(df.repartition(5), ["s"], "t", "x").collect()
+    }
+
+    def ref(xs):
+        out, prev = [], None
+        for x in xs:
+            prev = (
+                x * EWMA_SCALE
+                if prev is None
+                else (EWMA_NUM * x * EWMA_SCALE + (EWMA_DEN - EWMA_NUM) * prev)
+                // EWMA_DEN
+            )
+            out.append(prev)
+        return out
+
+    for s, xs in [("a", [10, 0, 40, 40, 7]), ("b", [5, 5, 5])]:
+        expect = ref(xs)
+        for t, (x, e) in enumerate(zip(xs, expect)):
+            assert got[(s, t)] == (x, e), (s, t, got[(s, t)], (x, e))
+    # constant series: EWMA equals the constant at every tick
+    assert all(got[("b", t)][1] == 5 * EWMA_SCALE for t in range(3))
