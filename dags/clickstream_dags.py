@@ -112,6 +112,23 @@ def _task_build_artifacts(**_):
     return run_build_corpus_artifacts(_spark(), CORPUS_SRC)
 
 
+def _task_user_erasure(**context):
+    """Right-to-be-forgotten sweep. The deletion list arrives via
+    dag_run.conf['user_ids'] (a compliance system files the requests);
+    an empty list is a no-op run."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import (
+        run_user_erasure,
+    )
+
+    conf = (context.get("dag_run") and context["dag_run"].conf) or {}
+    user_ids = conf.get("user_ids", [])
+    if not user_ids:
+        return {"rows_erased": 0, "partitions_rewritten": 0, "partitions_cleared": 0}
+    return run_user_erasure(
+        _spark(), RAW_PATH, user_ids, partition_cols=("date", "hour"), fmt="json"
+    )
+
+
 if HAVE_AIRFLOW:
     with DAG(
         dag_id="clickstream_ingest_spark",
@@ -177,3 +194,18 @@ if HAVE_AIRFLOW:
             python_callable=_task_corpus_curation,
         )
         build >> curate
+
+    # Compliance: manually-triggered right-to-be-forgotten sweep over
+    # the raw zone (deletion list in dag_run.conf; rewrites only the
+    # partitions containing a listed user)
+    with DAG(
+        dag_id="user_erasure_spark",
+        schedule_interval=None,
+        start_date=datetime(2025, 9, 1),
+        catchup=False,
+        max_active_runs=1,
+    ) as erasure_dag:
+        PythonOperator(
+            task_id="erase_listed_users",
+            python_callable=_task_user_erasure,
+        )

@@ -43,11 +43,19 @@ def test_train_split_is_projection_only(spark):
 
 
 def test_contamination_benchmark_broadcasts(spark):
-    # the benchmark shingle set must broadcast so the corpus-side
-    # shingle table joins without shuffling for the probe
-    f = plan_facts(_Q["contamination_check"](spark, SF_SMOKE))
+    # the screening JOB: the benchmark shingle set must broadcast so
+    # the corpus-side shingle table joins without shuffling for the
+    # probe (the registered query serves the job's materialized output)
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.pipeline_q import (
+        _contamination_build,
+    )
+
+    f = plan_facts(_contamination_build(spark, SF_SMOKE))
     assert f.broadcast_joins >= 1, f.text
     assert f.python_evals == 0
+    # the served query is a bare artifact scan — no join, no shuffle
+    served = plan_facts(_Q["contamination_check"](spark, SF_SMOKE))
+    assert "Join" not in served.text, served.text
 
 
 def test_quota_sample_window_group_limit(spark):
