@@ -179,3 +179,107 @@ def source_curation_stats(spark, sf_dir, quality=None, clusters=None):
             & (F.col("avg_quality") >= SRC_QUALITY_FLOOR)
         ).alias("keep_source"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the per-source summary a corpus release ships
+
+
+def _dataset_card_oracle() -> str:
+    from .pii_q import _E, _I, _P, _PLANT_SQL
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, lang, n_chars, text AS otext,
+           {_PLANT_SQL} AS stext
+    FROM documents
+), per_doc AS (
+    SELECT source, lang, n_chars,
+           CAST(len(regexp_split_to_array(trim(otext), '\\s+')) AS BIGINT) AS n_tokens,
+           CASE WHEN len(regexp_extract_all(stext, '{_E}'))
+                   + len(regexp_extract_all(stext, '{_P}'))
+                   + len(regexp_extract_all(stext, '{_I}')) > 0
+                THEN 1 ELSE 0 END AS has_pii
+    FROM base
+), agg AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(has_pii) AS BIGINT) AS pii_docs
+    FROM per_doc GROUP BY source
+), lc AS (
+    SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), tl AS (
+    SELECT source, lang AS top_lang
+    FROM (SELECT source, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY c DESC, lang) AS rn
+          FROM lc)
+    WHERE rn = 1
+)
+SELECT a.source, a.n_docs, a.n_langs, t.top_lang,
+       a.total_tokens, a.total_chars, a.pii_docs,
+       CAST(a.pii_docs * 1000 // a.n_docs AS BIGINT) AS pii_permille
+FROM agg a JOIN tl t USING (source)
+"""
+
+
+@register("dataset_card", oracle=_dataset_card_oracle())
+def dataset_card(spark, sf_dir):
+    """The per-source summary table a corpus RELEASE ships (a
+    "dataset card"): volume (docs/tokens/chars), language mix (count +
+    modal language, ties to the alphabetically-first), and PII
+    incidence from the scrub stage (queries/pii_q.py's planted-PII
+    fixture feeds the detector here exactly as in pii_scrub).
+
+    Scale: two rollups shuffled on ``source`` (the doc-level aggregate
+    and the language mode) joined on the tiny per-source result; PII
+    detection is JVM regex in the same scan as the token counts.
+    Integer permille — no float division under the hash."""
+    from pyspark.sql import Window
+
+    from ..functions.text import ws_token_count
+    from ..operators.pii import pii_counts
+    from .pii_q import _planted
+
+    d = load_table(spark, sf_dir, "documents")
+    salted = _planted(d.withColumnRenamed("text", "otext").withColumn(
+        "text", F.col("otext")
+    ))
+    counts = pii_counts("text")
+    per_doc = salted.select(
+        "source",
+        "lang",
+        "n_chars",
+        ws_token_count("otext").alias("n_tokens"),
+        (
+            (counts["n_emails"] + counts["n_phones"] + counts["n_ips"]) > 0
+        ).cast("int").alias("has_pii"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("has_pii").cast("bigint").alias("pii_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    tl = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return agg.join(tl, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        "total_tokens",
+        "total_chars",
+        "pii_docs",
+        F.expr("CAST((pii_docs * 1000) div n_docs AS BIGINT)").alias("pii_permille"),
+    )

@@ -18,12 +18,12 @@ from ..registry import register
 
 
 def _planted(events_docs):
-    """Deterministically salt every 10th/10th+1/10th+2 doc with an
+    """Deterministically salt every 7th/7th+1/7th+2 doc (7 is coprime with the source assignment's mod-20, so per-source PII incidence varies instead of degenerating to 0/1000) with an
     email / IPv4 / phone respectively."""
     d = F.col("doc_id")
     salted = (
         F.when(
-            d % 10 == 0,
+            d % 7 == 0,
             F.concat(
                 F.col("text"),
                 F.lit(" contact user"),
@@ -32,7 +32,7 @@ def _planted(events_docs):
             ),
         )
         .when(
-            d % 10 == 1,
+            d % 7 == 1,
             F.concat(
                 F.col("text"),
                 F.lit(" from 192.168."),
@@ -41,7 +41,7 @@ def _planted(events_docs):
             ),
         )
         .when(
-            d % 10 == 2,
+            d % 7 == 2,
             F.concat(
                 F.col("text"),
                 F.lit(" call 555-"),
@@ -57,9 +57,9 @@ def _planted(events_docs):
 
 _PLANT_SQL = """
     CASE
-        WHEN doc_id % 10 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
-        WHEN doc_id % 10 = 1 THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7 today'
-        WHEN doc_id % 10 = 2 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        WHEN doc_id % 7 = 1 THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7 today'
+        WHEN doc_id % 7 = 2 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         ELSE text
     END
 """
