@@ -111,3 +111,51 @@ def unpivot_kpi_metrics(spark, sf_dir):
         "dt", *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_METRICS]
     )
     return wide.unpivot("dt", list(_UNPIVOT_METRICS), "metric", "value")
+
+
+@register(
+    "rolling_7d_kpis",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS dt,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_no,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(24,8))) AS revd
+    FROM events GROUP BY 1, 2
+)
+SELECT dt,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_events_7d,
+       CAST(ROUND(SUM(revd) OVER w, 2) AS DOUBLE) AS revenue_7d
+FROM daily
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_7d_kpis(spark, sf_dir):
+    """Trailing-7-day KPI window: per day, events and revenue over the
+    last 7 calendar days — a RANGE frame keyed on the integer day
+    number, so GAPS in the calendar shrink the frame (unlike a
+    6-ROWS-PRECEDING frame, which would silently reach further back).
+
+    Scale: the frame runs over the AGGREGATED day table (one row per
+    day — bounded), not the corpus; the single unpartitioned window is
+    over O(days) rows by construction. Revenue accumulates in DECIMAL
+    inside the frame — order-independent, exact under the driver hash.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("dt"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_no"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(24,8)")).alias("revd"),
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "dt",
+        F.sum("n").over(w).cast("bigint").alias("n_events_7d"),
+        F.round(F.sum("revd").over(w), 2).cast("double").alias("revenue_7d"),
+    )
