@@ -286,3 +286,78 @@ def value_histogram(spark, sf_dir):
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD-2 temporal dimension join
+
+# Synthetic slowly-changing dimension over the events' January 2024
+# span: each user's "tier" has two versions — v1 valid Jan 1-15,
+# v2 valid Jan 16 onward — derived deterministically from user_id.
+_SCD_CUT = "2024-01-16"
+
+
+@register(
+    "scd2_tier_join",
+    oracle=f"""
+WITH dim AS (
+    SELECT user_id,
+           CAST(user_id % 3 AS BIGINT) AS tier,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           TIMESTAMP '{_SCD_CUT}' AS valid_to
+    FROM (SELECT DISTINCT user_id FROM events)
+    UNION ALL
+    SELECT user_id,
+           CAST((user_id + 1) % 3 AS BIGINT) AS tier,
+           TIMESTAMP '{_SCD_CUT}' AS valid_from,
+           TIMESTAMP '2099-01-01' AS valid_to
+    FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT d.tier, CAST(e.ts AS DATE) AS dt,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY 1, 2
+""",
+)
+def scd2_tier_join(spark, sf_dir):
+    """SCD-2 (slowly-changing-dimension) temporal join: each event
+    joins the dimension VERSION valid at its event time (equi-key on
+    user_id plus a validity-interval predicate), then rolls up per
+    (tier, day). The dimension is synthesized deterministically — two
+    versions per user around a mid-month cut.
+
+    Scale: the equi-key carries the shuffle (hash join on user_id);
+    the interval predicate is a post-join filter on the at-most-2
+    matching versions — never a range-only join. An SCD dimension is
+    small relative to the fact table, so Catalyst broadcasts it."""
+    e = load_table(spark, sf_dir, "events")
+    # dim derives from the fact's user universe -> rename the dim key
+    # to sidestep self-join ambiguity
+    users = e.select(F.col("user_id").alias("d_uid")).distinct()
+    cut = F.lit(_SCD_CUT).cast("timestamp")
+    v1 = users.select(
+        "d_uid",
+        (F.col("d_uid") % 3).cast("bigint").alias("tier"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        cut.alias("valid_to"),
+    )
+    v2 = users.select(
+        "d_uid",
+        ((F.col("d_uid") + 1) % 3).cast("bigint").alias("tier"),
+        cut.alias("valid_from"),
+        F.lit("2099-01-01").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = e.join(
+        dim,
+        (F.col("user_id") == F.col("d_uid"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    )
+    return joined.groupBy("tier", F.to_date("ts").alias("dt")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -58,3 +58,13 @@ def test_pagerank_no_cartesian_beyond_count(spark):
     assert "CartesianProduct" not in plan, plan
     # one keyed join per iteration (3) on the contrib side
     assert len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)) >= 3, plan
+
+
+def test_scd2_dim_broadcasts(spark):
+    """The SCD dimension is small vs the fact table — the temporal
+    join must broadcast it with the equi-key carried by the join and
+    the validity interval as a residual condition, never a
+    range-only/nested-loop join."""
+    plan = formatted_plan(_Q["scd2_tier_join"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
