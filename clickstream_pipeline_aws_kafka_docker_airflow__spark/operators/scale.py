@@ -124,3 +124,38 @@ def salted_broadcast_join(
     small_exploded = small.select("*", salts)
     big_salted = big.withColumn("_salt", (F.rand() * n_salts).cast("int"))
     return big_salted.join(F.broadcast(small_exploded), [key, "_salt"]).drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnosis: per top-``top_k`` key, its row
+    count, its integer-permille share of the table, and whether it
+    exceeds 2x the fair (uniform) share — the report that decides
+    between a plain shuffle, :func:`salted_agg`, or
+    :func:`salted_broadcast_join` BEFORE a 100 TB shuffle is launched.
+
+    One scan (map-side partial counts on the key), then the totals
+    cross-join and rank run over the per-key aggregate. All integer
+    math; ties rank by key string for determinism."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "key",
+            "cnt",
+            F.expr("CAST((cnt * 1000) div n_rows AS BIGINT)").alias(
+                "share_permille"
+            ),
+            F.expr("cnt * n_keys > 2 * n_rows").alias("skewed"),
+        )
+    )

@@ -361,3 +361,31 @@ def scd2_tier_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+WITH counts AS (
+    SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+), totals AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM counts
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+       key, cnt,
+       CAST(cnt * 1000 // n_rows AS BIGINT) AS share_permille,
+       cnt * n_keys > 2 * n_rows AS skewed
+FROM counts, totals
+QUALIFY rank <= 10
+""",
+)
+def key_skew_report_q(spark, sf_dir):
+    """Key-skew diagnosis over the events join key (event_type): the
+    pre-shuffle report that picks plain shuffle vs salting
+    (operators/scale.py::key_skew_report)."""
+    from ..operators.scale import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "event_type")

@@ -62,12 +62,19 @@ def _sigs_zone(corpus_dir: str) -> str:
 
 
 def _dedup_one_batch(
-    batch_df: DataFrame, batch_id: int, corpus_dir: str
+    batch_df: DataFrame, batch_id: int, corpus_dir: str, redact: bool = False
 ) -> None:
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
     docs = batch_df.select("doc_id", "text")
+    if redact:
+        # compliance-first: mask PII BEFORE dedup, so signatures, the
+        # signature zone, and the stored corpus never carry raw PII —
+        # and docs differing only in their PII dedup together
+        from ..operators.pii import redact_pii
+
+        docs = docs.select("doc_id", redact_pii("text").alias("text"))
 
     # 1) within-batch: exact pipeline, transitive collapse to min-id
     pairs = minhash_near_dup(docs).where(F.col("jaccard") >= DUP_JACCARD)
@@ -144,14 +151,17 @@ def _dedup_one_batch(
 
 
 def start_dedup_corpus_ingest(
-    stream_docs: DataFrame, corpus_dir: str, checkpoint_dir: str
+    stream_docs: DataFrame, corpus_dir: str, checkpoint_dir: str,
+    redact: bool = False,
 ) -> StreamingQuery:
     """Run the online-dedup ingest over a streaming (doc_id, text)
     frame; AvailableNow-triggered so tests and backfills drain the
-    source and stop."""
+    source and stop. ``redact=True`` masks PII before dedup and
+    admission (operators/pii.py) — nothing downstream of the source
+    ever stores raw PII."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        _dedup_one_batch(batch_df, batch_id, corpus_dir)
+        _dedup_one_batch(batch_df, batch_id, corpus_dir, redact=redact)
 
     return (
         stream_docs.writeStream.foreachBatch(_ingest)

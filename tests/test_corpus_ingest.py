@@ -82,3 +82,60 @@ def test_online_dedup_within_and_across_batches(spark, tmp_path):
     # signature zone stays consistent with the docs zone
     sigs = spark.read.parquet(str(corpus / "signatures"))
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3, 11]
+
+
+def test_redacting_ingest_stores_no_raw_pii(spark, tmp_path):
+    """redact=True: admitted docs carry masks instead of raw PII, the
+    signature zone's minhashes derive from the REDACTED text, and two
+    docs differing only in their PII collapse as duplicates."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.pii import (
+        EMAIL_RE,
+    )
+
+    src = tmp_path / "src"
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE + " contact alice@example.com for details"),
+            Row(doc_id=2, text=BASE + " contact bob@other.org for details"),
+            Row(doc_id=3, text=FRESH),
+        ]
+    )
+    _drop_parquet(docs, src, "b0")
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(str(src))
+    q = start_dedup_corpus_ingest(stream, str(corpus), str(ckpt), redact=True)
+    q.awaitTermination(120)
+
+    kept = load_corpus(spark, str(corpus)).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # docs 1 and 2 differ ONLY in their email -> after redaction they
+    # are exact dups and collapse to the min id
+    assert ids == [1, 3]
+    for r in kept:
+        assert not re.search(EMAIL_RE, r["text"]), r["text"]
+        assert "alice" not in r["text"] and "bob" not in r["text"]
+    assert any("<EMAIL>" in r["text"] for r in kept)
+    # the signature zone never saw raw PII either: signatures of doc 1
+    # must equal signatures computed from the redacted text
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.pii import (
+        redact_pii,
+    )
+
+    sigs = spark.read.parquet(str(corpus / "signatures")).where("doc_id = 1")
+    expect = minhash_signatures(
+        shingle_table(
+            docs.where("doc_id = 1").select("doc_id", redact_pii("text").alias("text"))
+        )
+    )
+    got = {k: v for k, v in sigs.collect()[0].asDict().items() if k.startswith("mh")}
+    want = {k: v for k, v in expect.collect()[0].asDict().items() if k.startswith("mh")}
+    assert got == want

@@ -104,3 +104,20 @@ def test_salted_agg_rejects_unknown_recombine(spark):
     assert out == {"a": (5.0, 5.0), "b": (2.0, 2.0)}
     with pytest.raises(ValueError, match="no recombine op"):
         salted_agg(df, "k", {"avg_v": F.avg("v")})
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.scale import (
+        key_skew_report,
+    )
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in key_skew_report(df, "k", top_k=3).collect()}
+    assert out["hot"]["rank"] == 1
+    assert out["hot"]["cnt"] == 80
+    assert out["hot"]["share_permille"] == 800
+    assert out["hot"]["skewed"]  # 80 * 21 keys > 2 * 100 rows
+    # uniform tail keys are not skew-flagged
+    tail = [r for k, r in out.items() if k != "hot"]
+    assert tail and all(not r["skewed"] for r in tail)
