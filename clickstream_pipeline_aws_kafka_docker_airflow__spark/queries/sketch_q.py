@@ -81,3 +81,100 @@ def hll_range_distinct(spark, sf_dir):
             <= F.col("exact_users") * 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable count-min zone: range heavy hitters in O(days)
+
+CMSZ_D = 4  # depth (seeded hash rows)
+CMSZ_W = 256  # width (buckets per row)
+CMSZ_K = 10  # heavy hitters to probe
+CMSZ_START, CMSZ_END = "2024-01-08", "2024-01-22"  # [start, end)
+
+
+def _cms_range_oracle() -> str:
+    from .pipeline_q import _hash32_duck
+
+    h = _hash32_duck(f"CAST(s AS VARCHAR) || '|' || key")
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS dt, CAST(user_id AS VARCHAR) AS key
+    FROM events
+    WHERE ts >= TIMESTAMP '{CMSZ_START}' AND ts < TIMESTAMP '{CMSZ_END}'
+), counts AS (
+    SELECT dt, key, COUNT(*) AS n FROM ev GROUP BY 1, 2
+), rows_ AS (
+    SELECT dt, s, key, n, {h} % {CMSZ_W} AS b
+    FROM counts CROSS JOIN range({CMSZ_D}) r(s)
+), daily AS (
+    -- the ZONE: one D x W integer sketch per day
+    SELECT dt, s, b, SUM(n) AS cnt FROM rows_ GROUP BY dt, s, b
+), merged AS (
+    -- range merge: cell-wise SUM over the days (CMS is linear)
+    SELECT s, b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM daily GROUP BY s, b
+), exact AS (
+    SELECT key, COUNT(*) AS n FROM ev GROUP BY key
+), topk AS (
+    SELECT key, n FROM exact
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, key) <= {CMSZ_K}
+), probes AS (
+    SELECT t.key, t.n, s, {_hash32_duck("CAST(s AS VARCHAR) || '|' || key")} % {CMSZ_W} AS b
+    FROM topk t CROSS JOIN range({CMSZ_D}) r(s)
+)
+SELECT p.key, CAST(p.n AS BIGINT) AS n, CAST(MIN(m.cnt) AS BIGINT) AS est,
+       MIN(m.cnt) >= p.n AS overcount_ok
+FROM probes p JOIN merged m ON m.s = p.s AND m.b = p.b
+GROUP BY p.key, p.n
+"""
+
+
+@register("cms_range_topk", oracle=_cms_range_oracle())
+def cms_range_topk(spark, sf_dir):
+    """Range heavy hitters from a mergeable DAILY count-min zone — the
+    CMS twin of ``hll_range_distinct``: one {CMSZ_D}x{CMSZ_W} integer
+    sketch per day, cell-wise SUMMED over the queried date range (CMS
+    is linear, so day -> week -> month rollups merge freely), then the
+    exact top-{CMSZ_K} users are probed against the merged sketch.
+    ``overcount_ok`` is the CMS one-sided guarantee (est >= exact),
+    asserted by the oracle.
+
+    Scale: serving a range costs O(days * D * W) sketch cells, never a
+    raw re-scan; the zone is integer cells, so the whole chain — build,
+    merge, probe — is bit-deterministic and fully value-hash-checked
+    (unlike the engine-specific HLL registers, which need the
+    error-band contract)."""
+    from ..operators.dedup import token_hash32_sql
+
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(CMSZ_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(CMSZ_END).cast("timestamp"))
+    )
+    ev = e.select(
+        F.to_date("ts").alias("dt"), F.col("user_id").cast("string").alias("key")
+    )
+    counts = ev.groupBy("dt", "key").agg(F.count(F.lit(1)).alias("n"))
+    rows = counts.select(
+        "dt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMSZ_D - 1))).alias("s"),
+        "key",
+        "n",
+    ).withColumn(
+        "b",
+        F.expr(token_hash32_sql("CONCAT(CAST(s AS STRING), '|', key)")) % CMSZ_W,
+    )
+    daily = rows.groupBy("dt", "s", "b").agg(F.sum("n").alias("cnt"))
+    merged = daily.groupBy("s", "b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    topk = exact.orderBy(F.col("n").desc(), "key").limit(CMSZ_K)
+    probes = topk.select(
+        "key", "n", F.explode(F.sequence(F.lit(0), F.lit(CMSZ_D - 1))).alias("s")
+    ).withColumn(
+        "b",
+        F.expr(token_hash32_sql("CONCAT(CAST(s AS STRING), '|', key)")) % CMSZ_W,
+    )
+    return (
+        probes.join(F.broadcast(merged), ["s", "b"])
+        .groupBy("key")
+        .agg(F.max("n").cast("bigint").alias("n"), F.min("cnt").alias("est"))
+        .select("key", "n", "est", (F.col("est") >= F.col("n")).alias("overcount_ok"))
+    )
