@@ -97,3 +97,50 @@ def test_ewma_series_matches_python_reference(spark):
             assert got[(s, t)] == (x, e), (s, t, got[(s, t)], (x, e))
     # constant series: EWMA equals the constant at every tick
     assert all(got[("b", t)][1] == 5 * EWMA_SCALE for t in range(3))
+
+
+def test_ewma_fold_matches_spark_recursive_cte(spark):
+    """Spark 4 recursive CTEs (UNION ALL form) can spell the same
+    recurrence the engine-side fold runs — the fold and the SQL
+    recursion must agree cell-for-cell. (The DuckDB oracle is the
+    third spelling; the driver hash ties it to the fold.)"""
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.timeseries import (
+        EWMA_DEN,
+        EWMA_NUM,
+        EWMA_SCALE,
+        ewma_series,
+    )
+
+    rows = [("a", i, (i * 37) % 11) for i in range(40)] + [
+        ("b", i, (i * 13) % 7) for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "s string, t bigint, x bigint")
+    df.createOrReplaceTempView("series")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    try:
+        sql = spark.sql(f"""
+WITH RECURSIVE idx AS (
+    SELECT s, t, x,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) AS i
+    FROM series
+), r(s, t, x, i, ewma) AS (
+    SELECT s, t, x, i, CAST(x * {EWMA_SCALE} AS BIGINT) FROM idx WHERE i = 1
+    UNION ALL
+    SELECT n.s, n.t, n.x, n.i,
+           CAST(({EWMA_NUM} * n.x * {EWMA_SCALE}
+                 + {EWMA_DEN - EWMA_NUM} * r.ewma) div {EWMA_DEN} AS BIGINT)
+    FROM r JOIN idx n ON n.s = r.s AND n.i = r.i + 1
+)
+SELECT s, t, x, ewma FROM r
+""").collect()
+    finally:
+        spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+    got_sql = {(r["s"], r["t"]): r["ewma"] for r in sql}
+    got_fold = {
+        (r["s"], r["t"]): r["ewma"]
+        for r in ewma_series(df, ["s"], "t", "x").collect()
+    }
+    assert len(got_sql) == 65
+    assert got_sql == got_fold
