@@ -112,6 +112,25 @@ def _task_build_artifacts(**_):
     return run_build_corpus_artifacts(_spark(), CORPUS_SRC)
 
 
+def _task_cms_zone(**_):
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.cms_zone import (
+        compact_cms_zone,
+        start_cms_zone,
+    )
+
+    spark = _spark()
+    zone = os.environ.get("CLICKSTREAM_CMS_ZONE", "/data/sketches/daily_cms")
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id string")
+        .parquet(os.environ.get("CLICKSTREAM_CMS_SRC", RAW_PATH))
+    )
+    q = start_cms_zone(
+        stream, zone, os.environ.get("CLICKSTREAM_CMS_CKPT", "/data/ckpt/cms_zone")
+    )
+    q.awaitTermination()
+    return {"layers_folded": compact_cms_zone(spark, zone)}
+
+
 def _task_user_erasure(**context):
     """Right-to-be-forgotten sweep. The deletion list arrives via
     dag_run.conf['user_ids'] (a compliance system files the requests);
@@ -171,6 +190,11 @@ if HAVE_AIRFLOW:
         PythonOperator(
             task_id="fold_raw_into_sketch_zone",
             python_callable=_task_sketch_zone,
+        )
+        # CMS delta layers drain + compact in the same hourly tick
+        PythonOperator(
+            task_id="fold_raw_into_cms_zone",
+            python_callable=_task_cms_zone,
         )
 
     # Beyond the reference's three DAGs: the corpus-curation batch

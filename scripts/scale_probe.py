@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Reproducible scale probes behind the README's measured tables.
 
-Usage: python scripts/scale_probe.py [events|sketch|ann|all]
+Usage: python scripts/scale_probe.py [events|sketch|ann|iterative|all]
 
 * events — generate 10M synthetic events (30 days), run the KPI family
   (exact, HLL, hourly, sessionize) and print wall times.
@@ -9,6 +9,8 @@ Usage: python scripts/scale_probe.py [events|sketch|ann|all]
   serve a 30-day range-distinct from it vs re-scanning raw.
 * ann    — 100k clustered 64-dim vectors: brute-force vs IVF vs
   IVF-PQ raw/residual codes, timings + recall@5.
+* iterative — 10M events: PageRank over the product-transition graph,
+  the per-series EWMA fold, and the daily CMS zone build + range serve.
 
 Everything is seeded; numbers vary with hardware but orderings and
 recalls reproduce exactly. Each probe prints one JSON line.
@@ -237,7 +239,84 @@ def probe_ann(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann}
+def probe_iterative(spark) -> dict:
+    """Iterative/sequential operators at 10M events: PageRank over the
+    product-transition graph, the EWMA fold over hourly series, and the
+    mergeable daily CMS zone (build + range serve)."""
+    from pyspark.sql import Window
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.graph import (
+        pagerank_int,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.timeseries import (
+        ewma_series,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.cms_zone import (
+        _cells,
+        estimates_from_zone,
+    )
+
+    d = tempfile.mkdtemp(prefix="probe_iter_")
+    path, gen_s = _events_parquet(spark, d)
+    e = spark.read.parquet(path).withColumn("ts", F.col("event_ts"))
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    edges = (
+        e.select(
+            F.col("product_id").alias("src"),
+            F.lead("product_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    zone = f"{d}/cms_zone"
+
+    def build_zone():
+        from clickstream_pipeline_aws_kafka_docker_airflow__spark.session import (
+            temp_confs,
+        )
+
+        with temp_confs(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            (
+                _cells(e, "ts", "user_id")
+                .withColumn("batch_id", F.lit(0))
+                .repartition(1)
+                .write.partitionBy("batch_id")
+                .mode("overwrite")
+                .parquet(zone)
+            )
+
+    out = {
+        "probe": "iterative",
+        "n_events": N_EVENTS,
+        "generate_write_s": gen_s,
+        "pagerank_3iter_s": _t(lambda: run(pagerank_int(edges))),
+        "ewma_hourly_fold_s": _t(
+            lambda: run(ewma_series(hourly, ["event_type"], "hh", "cnt"))
+        ),
+        "cms_zone_build_s": _t(build_zone),
+        "cms_zone_serve_s": _t(
+            lambda: run(
+                estimates_from_zone(
+                    spark, zone, [f"u_{i}" for i in range(1, 11)],
+                    "2025-09-01", "2025-09-30",
+                )
+            )
+        ),
+    }
+    return out
+
+
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative}
 
 
 def main() -> None:
