@@ -389,3 +389,105 @@ def key_skew_report_q(spark, sf_dir):
     from ..operators.scale import key_skew_report
 
     return key_skew_report(load_table(spark, sf_dir, "events"), "event_type")
+
+
+# --------------------------------------------------------------------------
+# Robust statistics: median/MAD outlier screen in exact integer cents
+
+
+def _med2_sql(src: str, part: str, val: str) -> str:
+    """Doubled median (2x median) of BIGINT ``val`` per ``part`` via
+    order statistics — integer-exact for odd AND even group sizes
+    (middle element doubled, or sum of the two middles)."""
+    return f"""
+    SELECT {part}, CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                                 THEN {val} * (CASE WHEN n % 2 = 1 AND rn * 2 = n + 1
+                                                    THEN 2 ELSE 1 END)
+                                 ELSE 0 END) AS BIGINT) AS med2
+    FROM (SELECT {part}, {val},
+                 ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {val}) AS rn,
+                 COUNT(*) OVER (PARTITION BY {part}) AS n
+          FROM {src})
+    GROUP BY {part}
+"""
+
+
+@register(
+    "mad_outliers",
+    oracle=f"""
+WITH cents AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+), med AS ({_med2_sql("cents", "event_type", "c")}),
+dev AS (
+    SELECT c.event_type, c.c, ABS(2 * c.c - m.med2) AS d
+    FROM cents c JOIN med m USING (event_type)
+), madt AS ({_med2_sql("dev", "event_type", "d")})
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       m.med2 AS median_cents_x2,
+       t.med2 AS mad_cents_x4,
+       CAST(COUNT(CASE WHEN 2 * d.d > 3 * t.med2 THEN 1 END) AS BIGINT)
+           AS n_outliers
+FROM dev d
+JOIN med m USING (event_type)
+JOIN madt t ON t.event_type = d.event_type
+GROUP BY d.event_type, m.med2, t.med2
+""",
+)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier screen per event type: median and MAD computed as
+    ORDER STATISTICS over exact integer cents (doubled/quadrupled to
+    stay integer through even-sized groups), and the 3-MAD rule applied
+    by integer cross-multiplication — no float median, no interpolation
+    knife-edges, so the whole screen hash-matches the oracle exactly.
+
+    Scale: two rank windows partitioned by the group key (never
+    global), then joins on the tiny per-group stat rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+
+    def med2(df, val):
+        w = Window.partitionBy("event_type").orderBy(val)
+        wn = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wn)
+        )
+        pick = F.when(
+            (F.col("rn") * 2).isin(F.col("n"), F.col("n") + 1, F.col("n") + 2),
+            F.col(val)
+            * F.when(
+                (F.col("n") % 2 == 1) & (F.col("rn") * 2 == F.col("n") + 1), 2
+            ).otherwise(1),
+        ).otherwise(0)
+        return ranked.groupBy("event_type").agg(
+            F.sum(pick).cast("bigint").alias("med2")
+        )
+
+    med = med2(cents, "c")
+    dev = cents.join(med, "event_type").select(
+        "event_type", "c", F.abs(2 * F.col("c") - F.col("med2")).alias("d")
+    )
+    madt = med2(dev, "d").withColumnRenamed("med2", "mad4")
+    return (
+        dev.join(med, "event_type")
+        .join(madt, "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(2 * F.col("d") > 3 * F.col("mad4"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med2").alias("median_cents_x2"),
+            F.col("mad4").alias("mad_cents_x4"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -86,3 +86,37 @@ def test_unpivot_is_5x_daily(spark):
     long = unpivot_kpi_metrics(spark, SF_SMOKE)
     assert long.count() == 5 * n_days
     assert long.columns == ["dt", "metric", "value"]
+
+
+def test_mad_outliers_known_small_groups(spark, monkeypatch, tmp_path):
+    """Median/MAD order-statistics math on hand-checkable groups: an
+    odd group (median = middle), an even group (median = mean of the
+    two middles, carried exactly as x2), and an obvious outlier."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.misc_q import (
+        mad_outliers,
+    )
+
+    rows = (
+        # odd group: values 1,2,3,4,100 -> med 3, deviations 2,1,0,1,97
+        # -> MAD 1 -> only 100 breaks |v-med| > 3*MAD
+        [("odd", float(v)) for v in (1, 2, 3, 4, 100)]
+        # even group: 1,2,3,4 -> med 2.5 (x2=500 cents), devs 1.5,.5,.5,1.5
+        # -> MAD 1.0 -> no outliers
+        + [("even", float(v)) for v in (1, 2, 3, 4)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+
+    import clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.misc_q as m
+
+    monkeypatch.setattr(
+        m, "load_table", lambda spark, sf_dir, name: spark.read.parquet(path)
+    )
+    out = {r["event_type"]: r for r in mad_outliers(spark, "ignored").collect()}
+    assert out["odd"]["median_cents_x2"] == 2 * 300
+    assert out["odd"]["mad_cents_x4"] == 4 * 100
+    assert out["odd"]["n_outliers"] == 1
+    assert out["even"]["median_cents_x2"] == 500  # 2 x 2.50
+    assert out["even"]["mad_cents_x4"] == 400  # 4 x 1.00
+    assert out["even"]["n_outliers"] == 0
