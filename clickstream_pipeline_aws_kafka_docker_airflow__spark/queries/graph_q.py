@@ -22,13 +22,7 @@ from ..registry import register
 _K_SQL = 'TRY_CAST(regexp_extract(props, \'"k"\\s*:\\s*(-?\\d+)\', 1) AS BIGINT)'
 
 
-def _pagerank_oracle(n_iters: int = PR_ITERS) -> str:
-    base = (
-        f"CAST(({PR_SCALE} * {100 - PR_DAMP_PCT}) "
-        f"// (100 * (SELECT n_nodes FROM nn)) AS BIGINT)"
-    )
-    ctes = [
-        f"""s AS (
+_PROPS_EDGES_CTES = f"""s AS (
     SELECT user_id, {_K_SQL} AS from_k,
            LEAD({_K_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_k
     FROM events
@@ -36,7 +30,23 @@ def _pagerank_oracle(n_iters: int = PR_ITERS) -> str:
     SELECT from_k AS src, to_k AS dst, COUNT(*) AS n
     FROM s WHERE from_k IS NOT NULL AND to_k IS NOT NULL
     GROUP BY 1, 2
-), outd AS (
+)"""
+
+
+def _pagerank_oracle(edges_ctes: str = None, n_iters: int = PR_ITERS,
+                     final_select: str = "SELECT node, pr FROM pr{last}") -> str:
+    """Unrolled-CTE oracle for :func:`pagerank_int` over ANY edge list:
+    ``edges_ctes`` must end in ``edges(src, dst, n)``; the iteration
+    chain is shared by every graph query (props transitions, TextRank
+    keywords)."""
+    if edges_ctes is None:
+        edges_ctes = _PROPS_EDGES_CTES
+    base = (
+        f"CAST(({PR_SCALE} * {100 - PR_DAMP_PCT}) "
+        f"// (100 * (SELECT n_nodes FROM nn)) AS BIGINT)"
+    )
+    ctes = [
+        f"""{edges_ctes}, outd AS (
     SELECT src, SUM(n) AS outn FROM edges GROUP BY src
 ), nodes AS (
     SELECT DISTINCT node
@@ -64,7 +74,7 @@ def _pagerank_oracle(n_iters: int = PR_ITERS) -> str:
 )"""
         )
     joined = ",\n".join(ctes)
-    return f"WITH {joined}\nSELECT node, pr FROM pr{n_iters}"
+    return f"WITH {joined}\n" + final_select.format(last=n_iters)
 
 
 @register("pagerank_props", oracle=_pagerank_oracle())
@@ -84,3 +94,69 @@ def pagerank_props(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return pagerank_int(edges)
+
+
+# --------------------------------------------------------------------------
+# TextRank keywords: the same kernel over the token co-occurrence graph
+
+TEXTRANK_TOP = 20
+
+_TOKEN_EDGES_CTES = r"""toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+), adj AS (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> [t[i], t[i + 1]])) AS pair
+    FROM toks WHERE len(t) >= 2
+), edges AS (
+    -- co-occurrence is symmetric: emit both directions
+    SELECT pair[1] AS src, pair[2] AS dst, COUNT(*) AS n
+    FROM adj WHERE pair[1] <> '' AND pair[2] <> '' GROUP BY 1, 2
+    UNION ALL
+    SELECT pair[2], pair[1], COUNT(*) FROM adj
+    WHERE pair[1] <> '' AND pair[2] <> '' GROUP BY 1, 2
+)"""
+
+
+@register(
+    "keyword_textrank",
+    oracle=_pagerank_oracle(
+        edges_ctes=_TOKEN_EDGES_CTES,
+        final_select=f"""SELECT node AS token, pr,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank
+FROM pr{{last}}
+QUALIFY rank <= {TEXTRANK_TOP}""",
+    ),
+)
+def keyword_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): the SAME
+    integer-exact PageRank kernel (operators/graph.py) over the
+    corpus's adjacent-token co-occurrence graph (symmetric edges), top
+    tokens by score. A frequency-blind complement to top_tokens: a
+    token scores high when its NEIGHBORS are central, not merely when
+    it is common."""
+    from ..operators.graph import pagerank_int
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    pairs = d.select(t.alias("t")).where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> array(t[i-1], t[i]))")
+        ).alias("pair")
+    ).where((F.col("pair")[0] != "") & (F.col("pair")[1] != ""))
+    one_dir = pairs.groupBy(
+        F.col("pair")[0].alias("src"), F.col("pair")[1].alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    other = pairs.groupBy(
+        F.col("pair")[1].alias("src"), F.col("pair")[0].alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    edges = one_dir.unionByName(other)
+    pr = pagerank_int(edges)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TEXTRANK_TOP)
+        .select(F.col("node").alias("token"), "pr", "rank")
+    )
