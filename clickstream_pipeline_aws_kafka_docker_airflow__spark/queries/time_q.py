@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dec_sum_round2
 from ..io import load_table
 from ..registry import register
 
@@ -94,5 +95,45 @@ def kpi_daily_approx(spark, sf_dir):
                 F.abs(F.col("_hll") - F.col("unique_users"))
                 <= F.col("unique_users") * 0.05
             ).alias("hll_within_5pct"),
+        )
+    )
+
+
+_BIZ_TZ = "America/New_York"
+
+
+@register(
+    "local_tz_daily",
+    oracle=f"""
+SELECT CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE '{_BIZ_TZ}' AS DATE)
+           AS local_dt,
+       dayofweek(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE '{_BIZ_TZ}' AS DATE))
+           IN (0, 6) AS is_weekend,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def local_tz_daily(spark, sf_dir):
+    """Business-timezone daily rollup: events grouped by their
+    New-York-local calendar date (a UTC event at 03:30 belongs to the
+    PREVIOUS local day) with a weekend flag. Both sides use a
+    session-timezone-independent spelling — Spark's
+    ``from_utc_timestamp`` and DuckDB's explicit
+    ``(ts AT TIME ZONE 'UTC') AT TIME ZONE tz`` chain — over the same
+    IANA zone; January dates sit in constant EST, no DST edge in the
+    data (the operator itself handles DST via the IANA rules)."""
+    e = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp("ts", _BIZ_TZ)
+    local_dt = F.to_date(local)
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7
+    is_weekend = F.dayofweek(local_dt).isin(1, 7)
+    return (
+        e.groupBy(local_dt.alias("local_dt"), is_weekend.alias("is_weekend"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum_round2("value").alias("total_value"),
         )
     )
