@@ -367,3 +367,48 @@ def bigram_top(spark, sf_dir):
         .orderBy(F.desc("n_pairs"), "w1", "w2")
         .limit(BIGRAM_TOP_K)
     )
+
+
+@register(
+    "array_hof_suite",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> length(x) > 3)) AS BIGINT)
+           AS n_long_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS total_chars,
+       array_to_string(list_transform(list_slice(toks, 1, 3), x -> upper(x)), '-')
+           AS first3_upper,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS longest_token,
+       list_contains(toks, 'spark') AS mentions_spark
+FROM t
+""",
+)
+def array_hof_suite(spark, sf_dir):
+    """Higher-order array-function family over the token arrays —
+    filter, transform, slice, fold (aggregate), max reduction, and
+    membership — each as pure Catalyst HOF exprs with DuckDB ``list_*``
+    twins. One projection, no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 3))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "-"
+        ).alias("first3_upper"),
+        F.array_max(F.transform(toks, lambda x: F.length(x)))
+        .cast("bigint")
+        .alias("longest_token"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+    )
