@@ -215,3 +215,64 @@ def rfm_segments(spark, sf_dir):
             "rfm_segment"
         ),
     )
+
+
+@register(
+    "first_touch_attribution",
+    oracle="""
+WITH first_touch AS (
+    SELECT user_id,
+           CAST(TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)
+                // 10 AS BIGINT) AS ft_bucket
+    FROM (SELECT user_id, props,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+)
+SELECT f.ft_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(24,8))), 2) AS DOUBLE)
+           AS attributed_value
+FROM events e
+JOIN first_touch f USING (user_id)
+WHERE e.event_type = 'purchase'
+GROUP BY f.ft_bucket
+""",
+)
+def first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: every purchase credits its value to
+    the segment (props-k decile) of the user's FIRST-ever event — the
+    batch argmin/attribution pattern (the streaming twin is
+    streaming/joins.py::attribution_join). Deterministic first pick
+    via ROW_NUMBER with event_id tie-break, never min_by (whose tie
+    behavior differs across engines).
+
+    Scale: the first-touch table is one row PER USER — it grows with
+    the corpus, so it is deliberately NOT broadcast; the purchase side
+    is filtered before the shuffle and both sides hash-partition on
+    user_id (AQE picks SMJ/shuffled-hash and handles skew). Revenue
+    accumulates in DECIMAL."""
+    from pyspark.sql import Window
+
+    from ..functions.scalars import dec_sum_round2, props_int
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.select("user_id", "ts", "event_id", props_int("props", "k").alias("ft_k"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.expr("CAST(ft_k div 10 AS BIGINT)").alias("ft_bucket"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    return (
+        purchases.join(first, "user_id")
+        .groupBy("ft_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+            dec_sum_round2("value").alias("attributed_value"),
+        )
+    )

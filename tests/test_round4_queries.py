@@ -120,3 +120,29 @@ def test_mad_outliers_known_small_groups(spark, monkeypatch, tmp_path):
     assert out["even"]["median_cents_x2"] == 500  # 2 x 2.50
     assert out["even"]["mad_cents_x4"] == 400  # 4 x 1.00
     assert out["even"]["n_outliers"] == 0
+
+
+def test_first_touch_attribution_conserves_revenue(spark):
+    """Attribution is a partition of the purchase set: bucket counts
+    must sum to the total purchase count and attributed value to total
+    purchase revenue (every user has a first event, so the join drops
+    nothing). Also pins the scale contract: the per-user first-touch
+    side is NOT broadcast-hinted."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.funnel_q import (
+        first_touch_attribution,
+    )
+
+    df = first_touch_attribution(spark, SF_CORRECTNESS)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    pdf = df.toPandas()
+    e = load_table(spark, SF_CORRECTNESS, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(24,8)")), 2)
+        .cast("double")
+        .alias("rev"),
+    ).collect()[0]
+    assert int(pdf["n_purchases"].sum()) == tot["n"]
+    assert abs(float(pdf["attributed_value"].sum()) - tot["rev"]) < 0.02
