@@ -489,3 +489,136 @@ def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+# Jaccard admission threshold as an exact rational (3/5 = 0.6) — every
+# comparison below is integer cross-multiplication, never a float.
+PPJ_T_NUM = 3
+PPJ_T_DEN = 5
+
+
+def token_set_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) — distinct lowercased word tokens (the UNIT-gram
+    twin of shingle_table; empty tokens from blank docs dropped)."""
+    from .scale import widen
+
+    return (
+        widen(docs)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def ppjoin_prefix_table(
+    toks: DataFrame, t_num: int = PPJ_T_NUM, t_den: int = PPJ_T_DEN
+) -> DataFrame:
+    """(doc_id, token, n) — each document's prefix under the global
+    df-ascending token order: the first ``n - ceil(t*n) + 1`` of its n
+    tokens, rarest first (ties by token string — deterministic on both
+    engines). This is the INDEX of the prefix-filter join; build it
+    once per (snapshot, threshold) and materialize. The df-rank stage
+    is one vocabulary aggregate plus one per-doc window — both shuffles
+    on short strings, never on document text."""
+    from pyspark.sql import Window
+
+    df_tbl = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ceil_tn = F.expr(f"CAST(({t_num}*n + {t_den - 1}) div {t_den} AS BIGINT)")
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    return (
+        toks.join(df_tbl, "token")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n") - ceil_tn + F.lit(1))
+        .select("doc_id", "token", "n")
+    )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    t_num: int = PPJ_T_NUM,
+    t_den: int = PPJ_T_DEN,
+    toks: DataFrame | None = None,
+    prefix: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard join at threshold t = t_num/t_den via
+    prefix filtering (the PPJoin family, Xiao et al., WWW'08) — the
+    third blocking strategy next to MinHash-LSH (probabilistic) and the
+    shingle-DF-cap all-pairs tier (capped-exact): full recall AND full
+    precision with no df cap, because the blocking key is not "any
+    shared token" but "a shared token among each document's RAREST
+    few".
+
+    How the candidate space stays small at 100 TB: tokens are globally
+    ordered by ascending document frequency (ties by token string —
+    deterministic on both engines); a document of n tokens exposes only
+    its first ``n - ceil(t*n) + 1`` tokens in that order (its PREFIX).
+    The prefix-filter lemma guarantees any pair with J >= t shares a
+    prefix token, so the self-join runs on prefixes only — and prefixes
+    are dominated by RARE tokens (df-ascending order puts "click here
+    to unsubscribe" words last), so per-token join groups are small by
+    construction rather than by a recall-trading cap. The length filter
+    ``t_den*min(n) >= t_num*max(n)`` prunes size-incompatible pairs
+    before the verify. Worst case remains adversarial (a corpus of
+    near-identical docs has rare tokens shared corpus-wide), which is a
+    duplicate-mass pathology every exact join shares — route such
+    corpora through MinHash first.
+
+    All arithmetic is integer: prefix length uses ceil(t*n) =
+    (t_num*n + t_den - 1) div t_den, admission is
+    ``t_den*overlap >= t_num*(na+nb-overlap)``, and the reported
+    similarity is a BIGINT permille. Output: (doc_a, doc_b, n_a, n_b,
+    n_overlap, j_permille) for every pair with J >= t, exactly.
+
+    ``toks``: pass the materialized token-set artifact to skip the
+    tokenize/explode/distinct rebuild (mirrors the shingle artifact
+    plumbing of the other tiers). ``prefix``: pass the materialized
+    ppjoin_prefix_table to also skip the df-rank stage (the index half
+    of the join — built once per snapshot like the LSH band index).
+    """
+    tk = toks if toks is not None else token_set_table(docs).localCheckpoint(
+        eager=False
+    )
+    if prefix is None:
+        prefix = ppjoin_prefix_table(tk, t_num, t_den)
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("n").alias("n_b")
+    )
+    cands = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.least("n_a", "n_b") * t_den >= F.greatest("n_a", "n_b") * t_num
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    x = tk.select(F.col("doc_id").alias("doc_a"), "token")
+    y = tk.select(F.col("doc_id").alias("doc_b"), "token")
+    overlap = (
+        cands.join(x, "doc_a")
+        .join(y, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_overlap")
+    return (
+        overlap.where(F.col("n_overlap") * t_den >= union * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.expr("CAST((1000 * n_overlap) div (n_a + n_b - n_overlap) AS BIGINT)")
+            .alias("j_permille"),
+        )
+    )

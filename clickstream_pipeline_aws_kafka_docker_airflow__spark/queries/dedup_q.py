@@ -394,5 +394,87 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _ppjoin_oracle() -> str:
+    from ..operators.dedup import PPJ_T_DEN, PPJ_T_NUM
+
+    tn, td = PPJ_T_NUM, PPJ_T_DEN
+    return f"""
+WITH toks0 AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), tk AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
+                  i -> array_to_string(list_slice(t, i, i + {SHINGLE_N - 1}), ' '))) AS token
+    FROM toks0
+    WHERE len(t) >= {SHINGLE_N}
+), df AS (
+    SELECT token, COUNT(*) AS df FROM tk GROUP BY token
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY doc_id
+), ranked AS (
+    SELECT t.doc_id, t.token, s.n,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                              ORDER BY d.df, t.token) AS rn
+    FROM tk t JOIN df d USING (token) JOIN sizes s USING (doc_id)
+), prefix AS (
+    SELECT doc_id, token, n FROM ranked
+    WHERE rn <= n - ({tn}*n + {td - 1}) // {td} + 1
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n AS n_a, b.n AS n_b
+    FROM prefix a JOIN prefix b ON a.token = b.token
+                              AND a.doc_id < b.doc_id
+    WHERE {td}*LEAST(a.n, b.n) >= {tn}*GREATEST(a.n, b.n)
+), overlap AS (
+    SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, COUNT(*) AS o
+    FROM cand c
+    JOIN tk x ON x.doc_id = c.doc_a
+    JOIN tk y ON y.doc_id = c.doc_b AND y.token = x.token
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(o AS BIGINT) AS n_overlap,
+       CAST((1000 * o) // (n_a + n_b - o) AS BIGINT) AS j_permille
+FROM overlap
+WHERE {td}*o >= {tn}*(n_a + n_b - o)
+"""
+
+
+@register("ppjoin_shingle_pairs", oracle=_ppjoin_oracle())
+def ppjoin_shingle_pairs(spark, sf_dir):
+    """ext_dedup_near (prefix-filter variant): EXACT 3-gram-shingle
+    Jaccard join at t = 0.6 with full recall, full precision, and no
+    df cap — candidates blocked on each document's df-RAREST prefix
+    shingles only (PPJoin family; see operators/dedup.py::ppjoin_pairs
+    for the scale argument). The shingle universe (not unit tokens) is
+    the right set representation for templated corpora: unit-token sets
+    of boilerplate docs are near-identical (measured 7.1M pairs >= 0.6
+    at sf0.1) while their 3-gram sets separate cleanly (~300 pairs).
+    Reads the same materialized shingle staging table as the MinHash
+    tier — one artifact, three detectors."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.dedup import PPJ_T_DEN, PPJ_T_NUM, ppjoin_pairs
+
+    def _build():
+        toks = shingles_table(spark, sf_dir).withColumnRenamed(
+            "shingle", "token"
+        )
+        return ppjoin_pairs(
+            load_table(spark, sf_dir, "documents"), toks=toks
+        )
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "ppjoin_pairs",
+        _build,
+        params=f"n{SHINGLE_N}t{PPJ_T_NUM}d{PPJ_T_DEN}",
+    )
+
+
 # keep the generated-SQL helper importable for tests
 _ = token_hash32_sql

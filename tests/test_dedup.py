@@ -302,3 +302,70 @@ def test_incremental_admission_verdicts(spark):
     assert out[11]["admitted"] and out[11]["dup_of"] is None
     assert out[12]["admitted"]  # within-batch dup is NOT the old zone's call
     assert out[13]["admitted"]  # shingle-less -> never pairs -> admitted
+
+
+def test_ppjoin_exact_vs_bruteforce(spark):
+    """The prefix-filter join's whole claim: output EQUALS the
+    brute-force all-pairs exact-Jaccard join at the threshold — full
+    recall (the prefix lemma drops no qualifying pair) and full
+    precision (the verify stage is exact) — on the real sf0.001 shingle
+    universe, plus a hand-built corpus with pairs straddling the 0.6
+    boundary."""
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import (
+        load_table,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        PPJ_T_DEN,
+        PPJ_T_NUM,
+        ppjoin_pairs,
+        shingle_table,
+    )
+    from conftest import SF_SMOKE
+
+    def brute(tk):
+        a = tk.select(F.col("doc_id").alias("doc_a"), "token")
+        b = tk.select(F.col("doc_id").alias("doc_b"), "token")
+        sizes = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        o = (
+            a.join(b, "token")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("o"))
+            .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        )
+        return {
+            (r.doc_a, r.doc_b)
+            for r in o.where(
+                F.col("o") * PPJ_T_DEN
+                >= (F.col("n_a") + F.col("n_b") - F.col("o")) * PPJ_T_NUM
+            ).collect()
+        }
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tk = shingle_table(docs).withColumnRenamed("shingle", "token")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ppjoin_pairs(docs, toks=tk).collect()
+    }
+    assert got == brute(tk) and got, "sf0.001 shingle universe"
+
+    # boundary corpus: unit-token sets with J = 3/5 (in), 4/7, 1/2 (out)
+    rows = [
+        (1, "a b c d e"),       # {a,b,c,d,e}
+        (2, "a b c d x"),       # J(1,2) = 4/6 = 0.667 -> in
+        (3, "a b c y z"),       # J(1,3) = 3/7 = 0.43 -> out
+        (4, "a b c d e"),       # J(1,4) = 1.0 -> in
+        (5, "p q r"),           # disjoint
+    ]
+    hand = spark.createDataFrame(rows, "doc_id long, text string")
+    tk2 = hand.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    got2 = {
+        (r.doc_a, r.doc_b, r.j_permille)
+        for r in ppjoin_pairs(hand, toks=tk2).collect()
+    }
+    assert got2 == {(1, 2, 666), (1, 4, 1000), (2, 4, 666)}, got2
