@@ -251,3 +251,80 @@ def hourly_anomalies(spark, sf_dir):
         F.to_date("ts").alias("dt"), F.hour("ts").cast("bigint").alias("hh")
     ).agg(F.count(F.lit(1)).alias("c"))
     return trailing_z_flags(hourly)
+
+
+# Attention-interval width: each event claims [ts, ts+5min) of user
+# attention; overlapping claims merge. Same constant feeds both engines.
+ATTENTION_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {ATTENTION_US} AS e
+    FROM events
+), m AS (
+    SELECT user_id, s, e,
+           MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+    FROM iv
+), g AS (
+    SELECT user_id, s, e,
+           CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS new_island
+    FROM m
+), isl AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM g
+), spans AS (
+    SELECT user_id, island_id, MAX(e) - MIN(s) AS span_us
+    FROM isl GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(span_us) AS BIGINT) AS covered_us
+FROM spans GROUP BY user_id
+""",
+)
+def interval_union_coverage(spark, sf_dir):
+    """Interval union (gaps-and-islands MERGE): each event claims a
+    5-minute attention interval; overlapping claims per user coalesce
+    into islands, and the output is each user's exact covered time —
+    the layout/occupancy computation every availability, billing, or
+    dwell-time pipeline needs, and the window pattern `sessionize`'s
+    gap flag cannot express (an island's extent is a running MAX of
+    interval ENDS, not a lag of starts: a long interval can swallow a
+    later-starting shorter one).
+
+    All arithmetic is integer microseconds (unix_micros /
+    epoch_us — TZ-free on the NTZ column). Scale: one shuffle on
+    user_id; the running-max, island-sum and final per-island group
+    all reuse that partitioning (same single-exchange shape the
+    sessionizer pins in its plan test)."""
+    us = F.unix_micros(F.col("ts"))
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id", us.alias("s"), (us + F.lit(ATTENTION_US)).alias("e")
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+    ).otherwise(0)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        iv.withColumn("new_island", new_island)
+        .withColumn("island_id", F.sum("new_island").over(cum))
+        .groupBy("user_id", "island_id")
+        .agg((F.max("e") - F.min("s")).alias("span_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("span_us").alias("covered_us"),
+        )
+    )

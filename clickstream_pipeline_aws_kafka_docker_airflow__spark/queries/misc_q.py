@@ -491,3 +491,206 @@ def mad_outliers(spark, sf_dir):
             F.col("n_outliers").cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "revenue_gini",
+    oracle="""
+WITH cents AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL AND value > 0
+), ranked AS (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY c, event_type) AS i
+    FROM cents
+), sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(c) AS HUGEINT) AS s,
+           CAST(SUM(i * c) AS HUGEINT) AS s1
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST((1000 * (2 * s1 - (n + 1) * s)) // (n * s) AS BIGINT)
+           AS gini_permille
+FROM sums
+""",
+)
+def revenue_gini(spark, sf_dir):
+    """Revenue concentration per event type: the exact Gini coefficient
+    from the order-statistics identity G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)) over ascending-sorted integer cents — reported as an
+    integer permille via integer division, so both engines agree to the
+    bit (rank ties among equal cents cannot change sum(i*x_i): swapping
+    equal values across ranks leaves the sum identical).
+
+    The intermediate products n*s and sum(i*c) exceed BIGINT at corpus
+    scale (i is corpus-rank), so the sums accumulate in DECIMAL(38,0)/
+    HUGEINT before the one division. Scale: one rank window partitioned
+    by the group key (never global), then a per-group aggregate."""
+    from pyspark.sql import Window
+
+    cents = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_type")
+    ranked = cents.withColumn("i", F.row_number().over(w))
+    d38 = "decimal(38,0)"
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("c").cast(d38).alias("s"),
+        F.sum(F.col("i").cast(d38) * F.col("c")).cast(d38).alias("s1"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr("CAST((1000 * (2*s1 - (n+1)*s)) div (n*s) AS BIGINT)").alias(
+            "gini_permille"
+        ),
+    )
+
+
+# Declarative data-quality contract: (name, checked-table predicate
+# pair). Each check counts its violation predicate over its scan —
+# the audit a pipeline gates a release on.
+EXPECTATIONS = (
+    ("orders_custkey_resolves", "orders"),
+    ("lineitem_qty_1_50", "lineitem"),
+    ("lineitem_ship_before_1999", "lineitem"),
+    ("events_purchase_value_positive", "events"),
+    ("events_known_type", "events"),
+    ("documents_nchars_consistent", "documents"),
+)
+KNOWN_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "expectations_audit",
+    oracle=f"""
+SELECT 'orders_custkey_resolves' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_violations
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_qty_1_50',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_ship_before_1999',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(CASE WHEN l_shipdate >= DATE '1999-01-01' THEN 1 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_purchase_value_positive',
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT),
+       CAST(COUNT(CASE WHEN event_type = 'purchase'
+                        AND (value IS NULL OR value <= 0) THEN 1 END)
+            AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events_known_type',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(CASE WHEN event_type NOT IN
+                       {KNOWN_EVENT_TYPES!r} THEN 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents_nchars_consistent',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT)
+FROM documents
+""",
+)
+def expectations_audit(spark, sf_dir):
+    """Data-quality expectations audit — the declarative constraint
+    suite (referential integrity, domains, ranges, derived-column
+    consistency) a pipeline evaluates before promoting a snapshot;
+    one row per check with checked/violation counts.
+
+    Scale: every in-table check folds into a single conditional-count
+    aggregate over one scan (violation predicates evaluate inside the
+    scan's codegen stage — six checks are two scans plus one join, not
+    six). The referential check is a LEFT join counting unresolved
+    keys; at 100 TB both sides shuffle on the key (customer is not a
+    broadcastable dim at scale) and AQE handles the skew."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def audit(name, checked, violated):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.count(checked).cast("bigint").alias("n_checked"),
+            F.count(violated).cast("bigint").alias("n_violations"),
+        )
+
+    ref = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .agg(
+            audit(
+                "orders_custkey_resolves",
+                F.lit(1),
+                F.when(c["c_custkey"].isNull(), 1),
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    li_checks = li.agg(
+        audit(
+            "lineitem_qty_1_50",
+            F.lit(1),
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1),
+        ).alias("a"),
+        audit(
+            "lineitem_ship_before_1999",
+            F.lit(1),
+            F.when(F.col("l_shipdate") >= F.lit("1999-01-01").cast("date"), 1),
+        ).alias("b"),
+    )
+    li_rows = li_checks.select(F.explode(F.array("a", "b")).alias("r")).select(
+        "r.*"
+    )
+    ev_checks = e.agg(
+        audit(
+            "events_purchase_value_positive",
+            F.when(F.col("event_type") == "purchase", 1),
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value").isNull() | (F.col("value") <= 0)),
+                1,
+            ),
+        ).alias("a"),
+        audit(
+            "events_known_type",
+            F.lit(1),
+            F.when(~F.col("event_type").isin(*KNOWN_EVENT_TYPES), 1),
+        ).alias("b"),
+    )
+    ev_rows = ev_checks.select(F.explode(F.array("a", "b")).alias("r")).select(
+        "r.*"
+    )
+    doc = (
+        d.agg(
+            audit(
+                "documents_nchars_consistent",
+                F.lit(1),
+                F.when(F.col("n_chars") != F.length("text"), 1),
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return ref.unionAll(li_rows).unionAll(ev_rows).unionAll(doc)
