@@ -283,3 +283,65 @@ def dataset_card(spark, sf_dir):
         "pii_docs",
         F.expr("CAST((pii_docs * 1000) div n_docs AS BIGINT)").alias("pii_permille"),
     )
+
+
+# Weighted sample: draws per source, weight = document length.
+SAMPLE_PER_SOURCE = 8
+PRIORITY_SCALE = 1_000_000
+
+
+def _priority_oracle() -> str:
+    u32 = _hash32_duck("'ps:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pri AS (
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(({u32} * {PRIORITY_SCALE}) // n_chars AS BIGINT) AS priority
+    FROM documents WHERE n_chars > 0
+), ranked AS (
+    SELECT source, doc_id, n_chars, priority,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY priority, doc_id) AS rk
+    FROM pri
+)
+SELECT source, doc_id, n_chars, priority, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {SAMPLE_PER_SOURCE}
+"""
+
+
+@register("priority_sample_weighted", oracle=_priority_oracle())
+def priority_sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, k per source, inclusion
+    odds proportional to document length — priority sampling (Duffield
+    et al. / sequential Poisson): each doc gets priority u/w with u a
+    content-independent uniform 32-bit hash of its id and w = n_chars;
+    the k SMALLEST priorities per stratum are the sample. Deterministic
+    and reproducible across runs/engines (same u, same sample), unlike
+    rand()-keyed designs. Integer arithmetic throughout: u32*SCALE
+    stays under 2^53, the division is integral.
+
+    Scale: the rank-filter compiles to WindowGroupLimit — each
+    partition keeps a k-row heap per source, so the shuffle carries
+    k rows per (source, partition), never the corpus; the same
+    pattern topn_parts_per_brand pins in its plan test."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import token_hash32_sql
+
+    u32 = token_hash32_sql("concat('ps:', CAST(doc_id AS STRING))")
+    pri = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                f"CAST(({u32} * {PRIORITY_SCALE}) div n_chars AS BIGINT)"
+            ).alias("priority"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= SAMPLE_PER_SOURCE)
+    )

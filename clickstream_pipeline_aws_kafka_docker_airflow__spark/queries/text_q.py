@@ -412,3 +412,88 @@ def array_hof_suite(spark, sf_dir):
         .alias("longest_token"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + conjunctive keyword search
+
+# Probe conjunction: docs mentioning ALL of these (AND semantics).
+SEARCH_TERMS = ("spark", "batch", "window")
+
+
+def inverted_index_table(spark, sf_dir):
+    """Materialized inverted index: token -> (df, sorted posting list).
+    Built once per snapshot (one explode + one aggregate over the
+    corpus); conjunctive queries then touch ONLY the probed tokens'
+    rows — parquet predicate pushdown on the token column makes a
+    k-term search an O(k posting lists) read, never a corpus scan."""
+    import os
+
+    from ..operators.artifacts import materialized
+
+    def _build():
+        tk = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.split(F.trim(F.lower("text")), r"\s+")
+                ).alias("token"),
+            )
+            .where(F.col("token") != "")
+            .distinct()
+        )
+        return tk.groupBy("token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "inverted_index",
+        _build,
+        params="v1",
+    )
+
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _search_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+WITH tk AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    WHERE token IN ({terms})
+)
+SELECT d.doc_id, d.lang, d.source
+FROM (SELECT doc_id FROM tk GROUP BY doc_id
+      HAVING COUNT(*) = {len(SEARCH_TERMS)}) m
+JOIN documents d USING (doc_id)
+"""
+
+
+@register("keyword_search_conj", oracle=_search_oracle())
+def keyword_search_conj(spark, sf_dir):
+    """Conjunctive (AND) keyword search served from the materialized
+    inverted index: explode the probed tokens' posting lists, keep
+    doc_ids appearing in all k lists, then fetch metadata for the hits
+    only. The index read is filter-pushed to exactly k token rows; the
+    intersection is a groupBy over the union of those posting lists
+    (bounded by the sum of the k dfs, not the corpus); the metadata
+    join touches matching docs only. At 100 TB the index is
+    token-partitioned parquet and a search never scans the corpus."""
+    idx = inverted_index_table(spark, sf_dir).where(
+        F.col("token").isin(*SEARCH_TERMS)
+    )
+    hits = (
+        idx.select(F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") == len(SEARCH_TERMS))
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return hits.join(d, "doc_id").select("doc_id", "lang", "source")
