@@ -83,17 +83,34 @@ def pagerank_props(spark, sf_dir):
     props-key transition graph. The per-user LEAD window builds the
     edge list; each iteration is one score⋈edges join + aggregate.
     Scores are BIGINT fixed-point (1.0 == 10^12) — no float anywhere,
-    so the iterative result hash-matches the unrolled SQL twin."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    k = props_int("props", "k")
-    edges = (
-        e.select(k.alias("src"), F.lead(k).over(w).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
+    so the iterative result hash-matches the unrolled SQL twin.
+    Like every iterative corpus product, the scores are a build-once
+    snapshot artifact: recomputed when the events snapshot changes,
+    served from parquet between rebuilds."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.graph import PR_ITERS
+
+    def _build():
+        e = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        k = props_int("props", "k")
+        edges = (
+            e.select(k.alias("src"), F.lead(k).over(w).alias("dst"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return pagerank_int(edges)
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        "pagerank_props",
+        _build,
+        params=f"i{PR_ITERS}",
     )
-    return pagerank_int(edges)
 
 
 # --------------------------------------------------------------------------
@@ -134,29 +151,51 @@ def keyword_textrank(spark, sf_dir):
     corpus's adjacent-token co-occurrence graph (symmetric edges), top
     tokens by score. A frequency-blind complement to top_tokens: a
     token scores high when its NEIGHBORS are central, not merely when
-    it is common."""
-    from ..operators.graph import pagerank_int
+    it is common.
 
-    d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.lower("text")), r"\s+")
-    pairs = d.select(t.alias("t")).where(F.size("t") >= 2).select(
-        F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> array(t[i-1], t[i]))")
-        ).alias("pair")
-    ).where((F.col("pair")[0] != "") & (F.col("pair")[1] != ""))
-    one_dir = pairs.groupBy(
-        F.col("pair")[0].alias("src"), F.col("pair")[1].alias("dst")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    other = pairs.groupBy(
-        F.col("pair")[1].alias("src"), F.col("pair")[0].alias("dst")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    edges = one_dir.unionByName(other)
-    pr = pagerank_int(edges)
-    from pyspark.sql import Window
+    Scale shape: top-k is TakeOrdered (orderBy+limit — per-partition
+    heaps, no single-partition sort of the vocabulary; the rank window
+    then runs over k rows only), and the whole extraction is a
+    build-once snapshot artifact — TextRank keywords are a corpus
+    PRODUCT, recomputed when the corpus changes, not per query."""
+    import os
 
-    w = Window.orderBy(F.desc("pr"), F.asc("node"))
-    return (
-        pr.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= TEXTRANK_TOP)
-        .select(F.col("node").alias("token"), "pr", "rank")
+    from ..operators.artifacts import materialized
+    from ..operators.graph import PR_ITERS, pagerank_int
+
+    def _build():
+        d = load_table(spark, sf_dir, "documents")
+        t = F.split(F.trim(F.lower("text")), r"\s+")
+        pairs = d.select(t.alias("t")).where(F.size("t") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> array(t[i-1], t[i]))"
+                )
+            ).alias("pair")
+        ).where((F.col("pair")[0] != "") & (F.col("pair")[1] != ""))
+        one_dir = pairs.groupBy(
+            F.col("pair")[0].alias("src"), F.col("pair")[1].alias("dst")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        other = pairs.groupBy(
+            F.col("pair")[1].alias("src"), F.col("pair")[0].alias("dst")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        edges = one_dir.unionByName(other)
+        top = (
+            pagerank_int(edges)
+            .orderBy(F.desc("pr"), F.asc("node"))
+            .limit(TEXTRANK_TOP)
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("pr"), F.asc("node"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        ).select(F.col("node").alias("token"), "pr", "rank")
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "textrank_keywords",
+        _build,
+        params=f"i{PR_ITERS}top{TEXTRANK_TOP}",
     )

@@ -53,8 +53,29 @@ def test_incremental_admission_reads_band_index_not_corpus_sigs(spark):
 
 def test_pagerank_no_cartesian_beyond_count(spark):
     """The only product in the plan is the 1-row n_nodes broadcast; the
-    score/edge joins stay keyed."""
-    plan = formatted_plan(_Q["pagerank_props"](spark, SF_SMOKE))
+    score/edge joins stay keyed. (Pins the BUILD plan — the registered
+    query serves the materialized snapshot artifact, whose plan is a
+    parquet scan.)"""
+    from pyspark.sql import Window, functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.functions.scalars import (
+        props_int,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import load_table
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.graph import (
+        pagerank_int,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = props_int("props", "k")
+    edges = (
+        e.select(k.alias("src"), F.lead(k).over(w).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(pagerank_int(edges))
     assert "CartesianProduct" not in plan, plan
     # one keyed join per iteration (3) on the contrib side
     assert len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)) >= 3, plan
