@@ -694,3 +694,70 @@ def expectations_audit(spark, sf_dir):
         .select("r.*")
     )
     return ref.unionAll(li_rows).unionAll(ev_rows).unionAll(doc)
+
+
+@register(
+    "chi2_type_by_weekday",
+    oracle="""
+WITH obs AS (
+    SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, dow, o,
+           SUM(o) OVER (PARTITION BY event_type) AS r,
+           SUM(o) OVER (PARTITION BY dow) AS c,
+           SUM(o) OVER () AS n
+    FROM obs
+)
+SELECT event_type, dow, o,
+       CAST((r * c) // n AS BIGINT) AS expected_floor,
+       CAST((1000000 * (o * n - r * c) * (o * n - r * c))
+            // (n * r * c) AS BIGINT) AS chi2_contrib_ppm
+FROM tot
+""",
+)
+def chi2_type_by_weekday(spark, sf_dir):
+    """Chi-square independence screen: is event type independent of
+    weekday? Per contingency cell the statistic's contribution
+    (O-E)^2/E is carried EXACTLY as the integer cross-multiplied form
+    (O*N - R*C)^2 / (N*R*C) in parts-per-million — sum the column and
+    compare to the critical value for (|types|-1)(|dows|-1) dof; no
+    float expected-counts, so both engines agree to the bit. The
+    windowed marginals run over the AGGREGATED contingency table
+    (|types| x 7 rows), never the corpus.
+
+    Engine pitfall, handled: Spark dayofweek() is 1..7 Sunday-first,
+    DuckDB's is 0..6 — the oracle adds 1 so the bucket keys align.
+
+    Scale: one conditional-count aggregate over the scan; everything
+    after operates on the tiny contingency table."""
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast(d38).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).cast(d38).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast(d38).alias("n"),
+    )
+    return tot.select(
+        "event_type",
+        "dow",
+        "o",
+        F.expr("CAST((r*c) div n AS BIGINT)").alias("expected_floor"),
+        F.expr(
+            "CAST((1000000 * (o*n - r*c) * (o*n - r*c)) div (n*r*c) AS BIGINT)"
+        ).alias("chi2_contrib_ppm"),
+    )

@@ -133,3 +133,31 @@ def test_keyword_search_reads_index_not_corpus(spark):
         *[F.array_contains(toks, t).alias(t) for t in SEARCH_TERMS]
     ).collect()
     assert ok and all(all(r) for r in ok)
+
+
+def test_chi2_contributions_known_table(spark, monkeypatch, tmp_path):
+    """2x2 hand table (30/10 vs 10/30, all marginals 40, N=80): every
+    expected count is exactly 20 and every cell contributes
+    (30-20)^2/20 = 5.000000 (5,000,000 ppm); total chi2 = 20."""
+    import datetime as dt
+
+    import clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.misc_q as m
+
+    mon = dt.datetime(2024, 1, 1, 12)   # Monday  -> dow 2
+    tue = dt.datetime(2024, 1, 2, 12)   # Tuesday -> dow 3
+    rows = (
+        [(i, mon, "A", 1.0) for i in range(30)]
+        + [(100 + i, tue, "A", 1.0) for i in range(10)]
+        + [(200 + i, mon, "B", 1.0) for i in range(10)]
+        + [(300 + i, tue, "B", 1.0) for i in range(30)]
+    )
+    _fake_events(
+        spark, monkeypatch, tmp_path, rows,
+        "event_id long, ts timestamp, event_type string, value double", m,
+    )
+    out = m.chi2_type_by_weekday(spark, "ignored").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["expected_floor"] == 20, r
+        assert r["chi2_contrib_ppm"] == 5_000_000, r
+    assert sum(r["chi2_contrib_ppm"] for r in out) == 20_000_000
