@@ -328,3 +328,93 @@ def interval_union_coverage(spark, sf_dir):
             F.sum("span_us").alias("covered_us"),
         )
     )
+
+
+TRIGRAM_TOP = 20
+
+
+@register(
+    "session_trigrams",
+    oracle=f"""
+WITH l AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), g AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('microseconds', prev_ts, ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM l
+), s AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM g
+), seqs AS (
+    SELECT user_id, session_idx,
+           list(event_type ORDER BY ts, event_id) AS seq
+    FROM s GROUP BY user_id, session_idx
+), tri AS (
+    SELECT unnest(list_transform(generate_series(1, len(seq) - 2),
+                  i -> array_to_string(list_slice(seq, i, i + 2), '>')))
+               AS trigram
+    FROM seqs WHERE len(seq) >= 3
+), counts AS (
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY trigram
+)
+SELECT trigram, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= {TRIGRAM_TOP}
+""",
+)
+def session_trigrams(spark, sf_dir):
+    """Sequential-pattern mining: the top consecutive event-type
+    TRIGRAMS within 30-minute sessions — the length-3 upgrade of
+    session_transitions' bigram matrix (a trigram distinguishes
+    view>click>purchase from click>view>purchase, which the Markov
+    bigram factorization cannot).
+
+    Determinism across engines: per-session order is materialized by
+    array_sort over (ts, event_id, event_type) structs — collect_list
+    alone has no cross-partition order guarantee. Scale: one user_id
+    shuffle shared by the sessionizer window and the per-session
+    collect (session arrays are bounded by session length, not corpus
+    size); trigram counting is map-side explode + partial agg; top-k
+    is TakeOrdered with the rank window over k rows only."""
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_s = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seqs = (
+        e.withColumn("new_s", new_s)
+        .withColumn("session_idx", F.sum("new_s").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("arr")
+        )
+        .select(F.expr("transform(arr, x -> x.event_type)").alias("seq"))
+        .where(F.size("seq") >= 3)
+    )
+    tri = seqs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(seq) - 2), "
+                "i -> concat_ws('>', seq[i-1], seq[i], seq[i+1]))"
+            )
+        ).alias("trigram")
+    )
+    counts = tri.groupBy("trigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("trigram")).limit(TRIGRAM_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("trigram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -761,3 +761,73 @@ def chi2_type_by_weekday(spark, sf_dir):
             "CAST((1000000 * (o*n - r*c) * (o*n - r*c)) div (n*r*c) AS BIGINT)"
         ).alias("chi2_contrib_ppm"),
     )
+
+
+# Symmetric trim fraction for the robust mean, as an exact rational.
+TRIM_PCT = 5
+
+
+@register(
+    "trimmed_mean_value",
+    oracle=f"""
+WITH cents AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+), ranked AS (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY c, event_type) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM cents
+), kept AS (
+    SELECT event_type, c, n FROM ranked
+    WHERE rn > (n * {TRIM_PCT}) // 100
+      AND rn <= n - (n * {TRIM_PCT}) // 100
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST((1000000 * SUM(c)) // COUNT(*) AS BIGINT)
+           AS trimmed_mean_microcents
+FROM kept GROUP BY event_type
+""",
+)
+def trimmed_mean_value(spark, sf_dir):
+    """Robust (symmetric 5%-trimmed) mean of the value column per event
+    type: drop the floor(n*5/100) smallest and largest integer-cent
+    observations by rank, then the exact integer mean of the survivors
+    in microcents (integer division) — the robust-location complement
+    to mad_outliers' robust-scale screen, and bit-identical across
+    engines because no float, percentile interpolation, or
+    summation-order effect exists anywhere in it.
+
+    Scale: one rank window partitioned by the group key (never
+    global), one aggregate. Ties among equal cents are harmless —
+    which duplicates of a value get trimmed is immaterial to the sum
+    of what remains."""
+    from pyspark.sql import Window
+
+    cents = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_type")
+    wn = Window.partitionBy("event_type")
+    ranked = cents.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    cut = F.expr(f"(n * {TRIM_PCT}) div 100")
+    kept = ranked.where(
+        (F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut)
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.expr("CAST((1000000 * SUM(c)) div COUNT(*) AS BIGINT)").alias(
+            "trimmed_mean_microcents"
+        ),
+    )

@@ -161,3 +161,56 @@ def test_chi2_contributions_known_table(spark, monkeypatch, tmp_path):
         assert r["expected_floor"] == 20, r
         assert r["chi2_contrib_ppm"] == 5_000_000, r
     assert sum(r["chi2_contrib_ppm"] for r in out) == 20_000_000
+
+
+def test_trimmed_mean_drops_exactly_the_tails(spark, monkeypatch, tmp_path):
+    """20 values, 5% trim -> exactly rank 1 and rank 20 drop: the
+    planted outliers (-10.00, 1000.00) vanish and the mean is the
+    exact integer mean of 1.00..18.00 = 9.50 (950,000,000 microcents)."""
+    import datetime as dt
+
+    import clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.misc_q as m
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [i / 1.0 for i in range(1, 19)] + [-10.0, 1000.0]
+    rows = [(i, t0, "t", v) for i, v in enumerate(vals)]
+    _fake_events(
+        spark, monkeypatch, tmp_path, rows,
+        "event_id long, ts timestamp, event_type string, value double", m,
+    )
+    r = m.trimmed_mean_value(spark, "ignored").collect()[0]
+    assert r["n_total"] == 20
+    assert r["n_used"] == 18
+    assert r["trimmed_mean_microcents"] == 950 * 1_000_000
+
+
+def test_session_trigrams_session_boundary(spark, monkeypatch, tmp_path):
+    """Trigrams never straddle the 30-minute session gap, and order
+    within a session is event-time order."""
+    import datetime as dt
+
+    import clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.events_q as m
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    mn = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, "u1", "view"),
+        (2, t0 + mn, "u1", "click"),
+        (3, t0 + 2 * mn, "u1", "purchase"),
+        (4, t0 + 3 * mn, "u1", "view"),
+        # new session (45 min later): would form a cross-gap trigram
+        # with events 3,4 if the boundary leaked
+        (5, t0 + 48 * mn, "u1", "click"),
+        (6, t0 + 49 * mn, "u1", "click"),
+        (7, t0 + 50 * mn, "u1", "click"),
+    ]
+    _fake_events(
+        spark, monkeypatch, tmp_path, rows,
+        "event_id long, ts timestamp, user_id string, event_type string", m,
+    )
+    got = {r["trigram"]: r["n"] for r in m.session_trigrams(spark, "ignored").collect()}
+    assert got == {
+        "view>click>purchase": 1,
+        "click>purchase>view": 1,
+        "click>click>click": 1,
+    }
