@@ -178,3 +178,89 @@ def cms_range_topk(spark, sf_dir):
         .agg(F.max("n").cast("bigint").alias("n"), F.min("cnt").alias("est"))
         .select("key", "n", "est", (F.col("est") >= F.col("n")).alias("overcount_ok"))
     )
+
+
+@register(
+    "hll_audience_overlap",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS wk,
+           event_type, user_id
+    FROM events WHERE event_type IN ('view', 'purchase')
+), v AS (SELECT wk, user_id FROM du WHERE event_type = 'view'),
+p AS (SELECT wk, user_id FROM du WHERE event_type = 'purchase'),
+j AS (
+    SELECT v.wk,
+           CAST(COUNT(*) AS BIGINT) AS exact_overlap
+    FROM v JOIN p ON v.wk = p.wk AND v.user_id = p.user_id
+    GROUP BY v.wk
+)
+SELECT wk,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                THEN user_id END) AS BIGINT) AS exact_viewers,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                THEN user_id END) AS BIGINT) AS exact_buyers,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union,
+       CAST(COALESCE(MAX(j.exact_overlap), 0) AS BIGINT) AS exact_overlap,
+       TRUE AS hll_within_5pct_of_union
+FROM du LEFT JOIN j USING (wk)
+GROUP BY wk
+""",
+)
+def hll_audience_overlap(spark, sf_dir):
+    """Audience-overlap estimation from MERGEABLE sketches: weekly
+    viewers ∩ buyers via inclusion-exclusion over three HLL estimates
+    (|V| + |P| - |V∪P|) — the set-intersection question HLL cannot
+    answer directly, answered from per-segment sketches that at 100 TB
+    already exist in the sketch zone (no raw re-scan, no distinct-join
+    of two corpus-sized audiences). Error is relative to the UNION
+    size (each estimate errs ~1/sqrt(2^lg_k) on its own set), so the
+    contract bounds |est - exact| by 5% of the exact union. The exact
+    sides feed the contract boolean only; production keeps the sketch
+    path."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    wk = F.date_trunc("week", F.to_date("ts")).cast("date")
+    du = e.select(
+        wk.alias("wk"), "event_type", "user_id"
+    ).distinct()
+    sk = du.groupBy("wk").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("event_type") == "view", F.col("user_id")),
+                F.lit(HLL_LG_CONFIG_K),
+            )
+        ).alias("_est_v"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("event_type") == "purchase", F.col("user_id")),
+                F.lit(HLL_LG_CONFIG_K),
+            )
+        ).alias("_est_p"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LG_CONFIG_K))
+        ).alias("_est_u"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_viewers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_buyers"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    est_overlap = F.col("_est_v") + F.col("_est_p") - F.col("_est_u")
+    exact_overlap = (
+        F.col("exact_viewers") + F.col("exact_buyers") - F.col("exact_union")
+    )
+    return sk.select(
+        "wk",
+        "exact_viewers",
+        "exact_buyers",
+        "exact_union",
+        exact_overlap.cast("bigint").alias("exact_overlap"),
+        (
+            F.abs(est_overlap - exact_overlap)
+            <= F.col("exact_union") * 0.05
+        ).alias("hll_within_5pct_of_union"),
+    )
