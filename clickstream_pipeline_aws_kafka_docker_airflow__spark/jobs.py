@@ -331,6 +331,13 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
 
     counts["pq_res_codes"] = pq_res_codes_table(spark, sf_dir).count()
     counts["ivfpq_res_index"] = ivfpq_res_index_table(spark, sf_dir).count()
+    from .queries.dedup_q import ppjoin_shingle_pairs
+    from .queries.graph_q import keyword_textrank
+    from .queries.text_q import inverted_index_table
+
+    counts["ppjoin_pairs"] = ppjoin_shingle_pairs(spark, sf_dir).count()
+    counts["inverted_index"] = inverted_index_table(spark, sf_dir).count()
+    counts["textrank_keywords"] = keyword_textrank(spark, sf_dir).count()
     return counts
 
 

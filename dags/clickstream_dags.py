@@ -131,6 +131,27 @@ def _task_cms_zone(**_):
     return {"layers_folded": compact_cms_zone(spark, zone)}
 
 
+def _task_quality_gate(**_):
+    """Drain new raw events through the expectations gate: accepted /
+    quarantine / per-check metrics zones (streaming/quality_gate.py);
+    AvailableNow drains what has landed since the last run and stops."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.quality_gate import (
+        start_quality_gate,
+    )
+
+    spark = _spark()
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double"
+    ).parquet(os.environ.get("CLICKSTREAM_GATE_SRC", RAW_PATH))
+    q = start_quality_gate(
+        stream,
+        os.environ.get("CLICKSTREAM_GATE_DIR", "/data/quality_gate"),
+        os.environ.get("CLICKSTREAM_GATE_CKPT", "/data/ckpt/quality_gate"),
+    )
+    q.awaitTermination()
+
+
 def _task_user_erasure(**context):
     """Right-to-be-forgotten sweep. The deletion list arrives via
     dag_run.conf['user_ids'] (a compliance system files the requests);
@@ -218,6 +239,20 @@ if HAVE_AIRFLOW:
             python_callable=_task_corpus_curation,
         )
         build >> curate
+
+    # Data-quality gate: hourly drain of the raw zone through the
+    # expectations checks — quarantine + audit metrics, replay-safe
+    with DAG(
+        dag_id="quality_gate_spark",
+        schedule_interval="@hourly",
+        start_date=datetime(2025, 9, 1),
+        catchup=False,
+        max_active_runs=1,
+    ) as gate_dag:
+        PythonOperator(
+            task_id="gate_raw_events",
+            python_callable=_task_quality_gate,
+        )
 
     # Compliance: manually-triggered right-to-be-forgotten sweep over
     # the raw zone (deletion list in dag_run.conf; rewrites only the

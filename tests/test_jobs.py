@@ -252,6 +252,7 @@ def test_build_corpus_artifacts_counts(spark):
         "dup_pairs", "cluster_labels", "contamination", "lsh_bands",
         "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
         "pq_res_codes", "ivfpq_res_index",
+        "ppjoin_pairs", "inverted_index", "textrank_keywords",
     }
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
@@ -265,6 +266,8 @@ def test_build_corpus_artifacts_counts(spark):
     assert counts["ivfpq_index"] == n_vecs
     assert counts["pq_res_codes"] == n_vecs
     assert counts["ivfpq_res_index"] == n_vecs
+    assert counts["inverted_index"] > 0  # one row per distinct token
+    assert counts["textrank_keywords"] == 20
     assert counts["ivf_centroids"] > 0
     # idempotent: second run reads, counts identical
     assert run_build_corpus_artifacts(spark, SF) == counts

@@ -101,3 +101,61 @@ def test_pack_invariants_on_generated_lengths(spark, tmp_path_factory, n_tokens)
         total = sum(r["n_tokens"] for r in members)
         assert total <= PACK_MAX_TOKENS or len(members) == 1
         assert max(r["chunk_fill"] for r in members) == total
+
+
+def _jaccard_pairs_ref(docsets, t_num, t_den):
+    """Independent reference: brute-force token-set Jaccard >= t."""
+    out = set()
+    ids = sorted(docsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = docsets[a], docsets[b]
+            if not sa or not sb:
+                continue
+            o = len(sa & sb)
+            if o * t_den >= (len(sa) + len(sb) - o) * t_num:
+                out.add((a, b))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_ppjoin_matches_bruteforce(spark, corpora):
+    """The prefix-filter join against a pure-Python brute force on tiny
+    random corpora over an 8-token alphabet — dense overlap, empty
+    docs, singletons, and threshold-boundary pairs all land here. Full
+    recall AND precision must hold on every example."""
+    from pyspark.sql import functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        PPJ_T_DEN,
+        PPJ_T_NUM,
+        ppjoin_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tk = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in ppjoin_pairs(docs, toks=tk).collect()
+    }
+    ref = _jaccard_pairs_ref(
+        {i: set(toks) for i, toks in enumerate(corpora)}, PPJ_T_NUM, PPJ_T_DEN
+    )
+    assert got == ref
