@@ -254,14 +254,21 @@ def ngram_jaccard_all_pairs(
 # SimHash
 
 
-J_ADMIT = 0.5  # incremental admission: reject at/above this Jaccard
+# Incremental-admission Jaccard threshold as an exact rational
+# (1/2 = 0.5): the admission verdict is decided by integer
+# cross-multiplication, never by comparing a rounded float — a true J
+# of 0.49996 must NOT round up to 0.5000 and flip the verdict.
+J_ADMIT_NUM = 1
+J_ADMIT_DEN = 2
+J_ADMIT = J_ADMIT_NUM / J_ADMIT_DEN  # reported-column convenience only
 
 
 def incremental_admission(
     new_ids: DataFrame,
     shingles: DataFrame,
     old_bands: DataFrame,
-    threshold: float = J_ADMIT,
+    t_num: int = J_ADMIT_NUM,
+    t_den: int = J_ADMIT_DEN,
     k: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
@@ -270,8 +277,11 @@ def incremental_admission(
     zone, exact-verify only the colliding pairs, and emit one verdict row
     per new doc — ``(doc_id, admitted, dup_of, jaccard)`` where
     ``dup_of``/``jaccard`` name the best old-zone match at or above
-    ``threshold`` (ties broken by lowest old doc_id) and ``admitted`` is
-    true when no such match exists.
+    ``t_num/t_den`` (decided by integer cross-multiplication
+    ``t_den*n_common >= t_num*(n_a+n_b-n_common)`` exactly as
+    ``ppjoin_pairs`` does — the rounded float ``jaccard`` is a REPORT
+    column, never the verdict; ties broken by lowest old doc_id) and
+    ``admitted`` is true when no such match exists.
 
     This is the batch twin of the streaming online dedup
     (streaming/corpus_ingest.py): the existing zone is touched only
@@ -312,25 +322,29 @@ def incremental_admission(
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
         .join(sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("n_a")), "id_new")
         .join(sizes.select(F.col("doc_id").alias("id_old"), F.col("n").alias("n_b")), "id_old")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
         .select(
             "id_new",
             "id_old",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ).alias("j"),
+            "n_common",
+            "n_union",
+            # exact double for deterministic ordering; ROUND only in the
+            # reported column below — never in a comparison
+            (F.col("n_common") / F.col("n_union")).alias("j_exact"),
         )
     )
     best = (
-        jac.where(F.col("j") >= threshold)
+        jac.where(F.col("n_common") * t_den >= F.col("n_union") * t_num)
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("id_new").orderBy(F.desc("j"), F.asc("id_old"))
+                Window.partitionBy("id_new").orderBy(
+                    F.desc("j_exact"), F.asc("id_old")
+                )
             ),
         )
         .where(F.col("rn") == 1)
+        .withColumn("j", F.round(F.col("j_exact"), 4))
     )
     return (
         new_ids.select("doc_id")

@@ -28,18 +28,28 @@ from pyspark.sql import Column, DataFrame, functions as F
 def row_digest(df: DataFrame, key: str) -> Column:
     """md5 digest over every non-key column, in schema order, with an
     explicit null channel (a null and the string 'null' must not
-    collide). The digest is engine-internal — it only ever meets other
-    digests computed by the same engine — so plain CAST-to-string
-    normalization is safe; what matters is that equal rows digest equal
-    and differing rows differ."""
+    collide). Each column is digested INDEPENDENTLY and the fixed-width
+    32-hex per-column digests are concatenated before the outer md5 —
+    field boundaries can never shift, so values containing any
+    delimiter character ('x|0','y' vs 'x','0|y') cannot collide. The
+    digest is engine-internal — it only ever meets other digests
+    computed by the same engine — so plain CAST-to-string normalization
+    is safe; what matters is that equal rows digest equal and differing
+    rows differ."""
     cols: list[Column] = []
     for c in df.columns:
         if c == key:
             continue
         s = F.col(c).cast("string")
-        cols.append(F.coalesce(s, F.lit("")))
-        cols.append(F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")))
-    return F.md5(F.concat_ws("|", *cols))
+        cols.append(
+            F.md5(
+                F.concat(
+                    F.when(F.col(c).isNull(), F.lit("N")).otherwise(F.lit("V")),
+                    F.coalesce(s, F.lit("")),
+                )
+            )
+        )
+    return F.md5(F.concat(*cols))
 
 
 def snapshot_diff(a: DataFrame, b: DataFrame, key: str) -> DataFrame:

@@ -41,8 +41,11 @@ def ewma_series(
     """Per-series integer EWMA. Input: one row per (series, tick);
     output: the same rows plus ``ewma`` (BIGINT, ``scale`` fixed-point).
     Ticks are ordered by ``order_col`` inside each series."""
+    # Explicit 'seen' boolean in the accumulator — NOT a negative
+    # sentinel on prev, so a series whose value (or fixed-point EWMA
+    # state) goes negative never silently restarts the recurrence.
     step = (
-        f"CASE WHEN acc.prev < 0 THEN x.v * {scale} "
+        f"CASE WHEN NOT acc.seen THEN x.v * {scale} "
         f"ELSE ({num} * x.v * {scale} + {den - num} * acc.prev) div {den} END"
     )
     fold = f"""
@@ -50,12 +53,14 @@ def ewma_series(
             xs,
             named_struct(
                 'out', cast(array() as array<struct<o:{{otype}},v:bigint,ewma:bigint>>),
-                'prev', cast(-1 AS bigint)
+                'prev', cast(0 AS bigint),
+                'seen', false
             ),
             (acc, x) -> named_struct(
                 'out', array_append(acc.out,
                     named_struct('o', x.o, 'v', x.v, 'ewma', cast({step} as bigint))),
-                'prev', cast({step} as bigint)
+                'prev', cast({step} as bigint),
+                'seen', true
             ),
             acc -> acc.out
         )

@@ -187,7 +187,11 @@ def old_zone_bands_table(spark, sf_dir):
 
 
 def _incremental_oracle() -> str:
-    from ..operators.dedup import J_ADMIT
+    # Admission decided by integer cross-multiplication against the
+    # exact rational threshold (never a rounded float); ROUND appears
+    # only in the reported jaccard column — mirrors
+    # operators/dedup.py::incremental_admission.
+    from ..operators.dedup import J_ADMIT_DEN, J_ADMIT_NUM
 
     return f"""
 WITH {_minhash_base_ctes()}, cand AS (
@@ -204,17 +208,19 @@ WITH {_minhash_base_ctes()}, cand AS (
     GROUP BY 1, 2
 ), jac AS (
     SELECT c.id_new, c.id_old,
-           ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
-                 / (sa.n + sb.n - COALESCE(n_common, 0)), 4) AS j
+           COALESCE(n_common, 0) AS n_common,
+           sa.n + sb.n - COALESCE(n_common, 0) AS n_union,
+           CAST(COALESCE(n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(n_common, 0)) AS j_exact
     FROM cand c
     LEFT JOIN common USING (id_new, id_old)
     JOIN sizes sa ON sa.doc_id = c.id_new
     JOIN sizes sb ON sb.doc_id = c.id_old
 ), best AS (
-    SELECT id_new, id_old, j,
+    SELECT id_new, id_old, ROUND(j_exact, 4) AS j,
            ROW_NUMBER() OVER (PARTITION BY id_new
-                              ORDER BY j DESC, id_old) AS rn
-    FROM jac WHERE j >= {J_ADMIT}
+                              ORDER BY j_exact DESC, id_old) AS rn
+    FROM jac WHERE n_common * {J_ADMIT_DEN} >= n_union * {J_ADMIT_NUM}
 )
 SELECT d.doc_id,
        b.id_new IS NULL AS admitted,

@@ -603,7 +603,7 @@ FROM events
 UNION ALL
 SELECT 'events_known_type',
        CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(CASE WHEN event_type NOT IN
+       CAST(COUNT(CASE WHEN event_type IS NULL OR event_type NOT IN
                        {KNOWN_EVENT_TYPES!r} THEN 1 END) AS BIGINT)
 FROM events
 UNION ALL
@@ -677,7 +677,11 @@ def expectations_audit(spark, sf_dir):
         audit(
             "events_known_type",
             F.lit(1),
-            F.when(~F.col("event_type").isin(*KNOWN_EVENT_TYPES), 1),
+            F.when(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*KNOWN_EVENT_TYPES),
+                1,
+            ),
         ).alias("b"),
     )
     ev_rows = ev_checks.select(F.explode(F.array("a", "b")).alias("r")).select(

@@ -35,7 +35,11 @@ def _event_checks() -> dict[str, Column]:
     """check name -> VIOLATION predicate (true == row fails)."""
     return {
         "ts_present": F.col("ts").isNull(),
-        "known_type": ~F.col("event_type").isin(*KNOWN_EVENT_TYPES),
+        # NULL is a violation too: bare ~isin() is NULL for NULL input,
+        # which when() treats as false — missing event_type must not
+        # slip into the accepted zone.
+        "known_type": F.col("event_type").isNull()
+        | ~F.col("event_type").isin(*KNOWN_EVENT_TYPES),
         "purchase_value_positive": (F.col("event_type") == "purchase")
         & (F.col("value").isNull() | (F.col("value") <= 0)),
     }

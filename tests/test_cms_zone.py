@@ -101,3 +101,66 @@ def test_cms_zone_compaction_preserves_estimates(spark, tmp_path):
     assert _ests(spark, zone) == before
     # compacting a compacted zone is a no-op
     assert compact_cms_zone(spark, str(zone)) == 0
+
+
+def test_cms_zone_compaction_crash_before_gc_never_double_counts(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window the ADVICE flagged: compacted layer fully written,
+    folded layer dirs NOT yet deleted. The in-band manifest must make
+    readers skip the stale layers, and a re-run must converge instead
+    of re-summing them into a corrupted zone."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming import (
+        cms_zone as cz,
+    )
+
+    src, zone, ckpt = tmp_path / "src", tmp_path / "zone", tmp_path / "ckpt"
+    _stage(spark, src, "b1", _B1)
+    _stage(spark, src, "b2", _B2)
+    _run_stream(spark, src, zone, ckpt)
+    before = _ests(spark, zone)
+
+    # simulate the crash: manifest+sums committed, GC never ran
+    monkeypatch.setattr(cz, "_gc_layers", lambda *a, **k: None)
+    assert compact_cms_zone(spark, str(zone)) == 2
+    monkeypatch.undo()
+    stale = sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{zone}/batch_id=*")
+    )
+    assert len(stale) == 3  # compacted layer + both stale originals
+
+    # stale layers present but excluded -> estimates exact, not doubled
+    assert _ests(spark, zone) == before
+
+    # re-running compaction converges: nothing new to fold, GC finishes
+    assert compact_cms_zone(spark, str(zone)) == 0
+    layers = glob.glob(f"{zone}/batch_id=*")
+    assert [p.rsplit("=", 1)[1] for p in layers] == [str(COMPACTED_LAYER)]
+    assert _ests(spark, zone) == before
+
+
+def test_cms_zone_uncommitted_compaction_layer_is_invisible(spark, tmp_path):
+    """A compaction that dies mid-write leaves a negative layer with no
+    manifest rows: readers must ignore it and the next compaction must
+    GC it."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    src, zone, ckpt = tmp_path / "src", tmp_path / "zone", tmp_path / "ckpt"
+    _stage(spark, src, "b1", _B1)
+    _stage(spark, src, "b2", _B2)
+    _run_stream(spark, src, zone, ckpt)
+    before = _ests(spark, zone)
+
+    # forge the torn write: duplicate all data cells under batch_id=-7
+    # WITHOUT manifest rows (the real writer commits them together)
+    torn = spark.read.parquet(str(zone)).withColumn("batch_id", F.lit(-7))
+    torn.repartition(1).write.mode("append").partitionBy("batch_id").parquet(
+        str(zone)
+    )
+    assert _ests(spark, zone) == before  # invisible, not double-counted
+
+    assert compact_cms_zone(spark, str(zone)) == 2
+    layers = glob.glob(f"{zone}/batch_id=*")
+    # torn layer GC'd; only the new compacted generation remains
+    assert [p.rsplit("=", 1)[1] for p in layers] == ["-8"]
+    assert _ests(spark, zone) == before

@@ -30,6 +30,7 @@ def _rows():
         (4, _T0, "u2", "teleport", 1.0),         # unknown type
         (5, None, "u3", "click", None),          # missing ts
         (6, None, "u3", "purchase", 0.0),        # missing ts AND bad value
+        (7, _T0, "u4", None, None),              # NULL type is a violation
     ]
 
 
@@ -49,7 +50,7 @@ def test_gate_routes_and_labels(spark, tmp_path):
     gate = _run(spark, tmp_path, "a")
     acc = spark.read.parquet(accepted_zone(gate))
     quar = spark.read.parquet(quarantine_zone(gate))
-    assert acc.count() + quar.count() == 6  # routed, never dropped
+    assert acc.count() + quar.count() == 7  # routed, never dropped
     assert {r.event_id for r in acc.collect()} == {1, 2}
     labels = {
         r.event_id: sorted(r.violations) for r in quar.collect()
@@ -59,14 +60,15 @@ def test_gate_routes_and_labels(spark, tmp_path):
         4: ["known_type"],
         5: ["ts_present"],
         6: ["purchase_value_positive", "ts_present"],
+        7: ["known_type"],
     }
     m = {
         r.check_name: r
         for r in spark.read.parquet(metrics_zone(gate)).collect()
     }
-    assert all(r.n_checked == 6 for r in m.values())
+    assert all(r.n_checked == 7 for r in m.values())
     assert m["ts_present"].n_violations == 2
-    assert m["known_type"].n_violations == 1
+    assert m["known_type"].n_violations == 2  # unknown AND NULL type
     assert m["purchase_value_positive"].n_violations == 2
 
 
