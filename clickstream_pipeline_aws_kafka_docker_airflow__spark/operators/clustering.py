@@ -42,6 +42,8 @@ def connected_components(
     Raises if the propagation hasn't converged after ``max_iters``
     rounds (deterministic output is part of the contract — a truncated
     run would silently mislabel long chains).
+
+    Tier choice: README "Choosing a dedup tier" decision table.
     """
     a = F.col(src).alias("a")
     b = F.col(dst).alias("b")

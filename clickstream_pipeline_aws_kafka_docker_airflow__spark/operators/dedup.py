@@ -152,7 +152,10 @@ def minhash_near_dup(
     shingle staging table, downstream consumers scan it); the ad-hoc
     fallback lazily localCheckpoints, so plan-only callers (explain,
     tests) pay nothing and the first action materializes once for all
-    branches."""
+    branches.
+
+    Tier choice: README "Choosing a dedup tier" decision table.
+    """
     sh = (
         shingles
         if shingles is not None
@@ -208,6 +211,8 @@ def ngram_jaccard_all_pairs(
     (queries/dedup_q.py::shingles_table) to skip the tokenize/explode/
     distinct rebuild; ad-hoc callers let it default to a lazy
     localCheckpoint.
+
+    Tier choice: README "Choosing a dedup tier" decision table.
     """
     sh = (
         shingles
@@ -294,6 +299,8 @@ def incremental_admission(
     ``new_ids``: (doc_id) of the incoming batch. ``shingles``:
     (doc_id, shingle) covering both zones (the snapshot staging table).
     ``old_bands``: (doc_id, band, bkey) for the existing zone.
+
+    Tier choice: README "Choosing a dedup tier" decision table.
     """
     from pyspark.sql import Window
 
@@ -427,6 +434,8 @@ def simhash_near_dup(
     every band is degenerate (at that point the docs are near-empty
     boilerplate, exactly what upstream quality filters remove). The
     oracle mirrors the cap, so both engines see the same pairs.
+
+    Tier choice: README "Choosing a dedup tier" decision table.
     """
     # the fingerprint aggregate (``bits`` SUM columns over the token
     # explode) feeds every band branch — it must be materialized once
@@ -594,6 +603,8 @@ def ppjoin_pairs(
     plumbing of the other tiers). ``prefix``: pass the materialized
     ppjoin_prefix_table to also skip the df-rank stage (the index half
     of the join — built once per snapshot like the LSH band index).
+
+    Tier choice: README "Choosing a dedup tier" decision table.
     """
     tk = toks if toks is not None else token_set_table(docs).localCheckpoint(
         eager=False

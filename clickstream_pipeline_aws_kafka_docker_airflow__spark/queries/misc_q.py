@@ -207,17 +207,7 @@ def value_percentiles_approx(spark, sf_dir):
     Scale note: in production only the sketch aggregates run (no exact
     percentile sort); the exact columns here exist to give the sketch a
     checkable oracle at test scale."""
-    e = load_table(spark, sf_dir, "events")
-    g = e.groupBy("event_type").agg(
-        F.count("value").alias("n"),
-        F.expr(
-            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("_ap"),
-        F.expr(
-            "percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91,"
-            " 0.98, 0.99, 1.0))"
-        ).alias("_ex"),
-    )
+    g = value_percentiles_frame(spark, sf_dir)
 
     def _band(ap_i, lo_i, hi_i):
         return (F.col("_ap")[ap_i] >= F.col("_ex")[lo_i]) & (
@@ -233,6 +223,29 @@ def value_percentiles_approx(spark, sf_dir):
         _band(0, 0, 2).alias("p50_in_band"),
         _band(1, 3, 5).alias("p90_in_band"),
         _band(2, 6, 8).alias("p99_in_band"),
+    )
+
+
+AP_ACCURACY = 10000  # approx_percentile accuracy: rank error <= 1e-4
+AP_QS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles_frame(spark, sf_dir):
+    """Sketch-bearing aggregate under ``value_percentiles_approx``
+    (``_ap`` = GK-sketch picks at :data:`AP_QS`, ``_ex`` = exact
+    percentiles at the band edges) — exposed so
+    ``tests/test_sketches.py`` can pin the measured rank error to half
+    the contract band at sf0.01 AND sf0.1."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.expr(
+            f"approx_percentile(value, array{AP_QS}, {AP_ACCURACY})"
+        ).alias("_ap"),
+        F.expr(
+            "percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91,"
+            " 0.98, 0.99, 1.0))"
+        ).alias("_ex"),
     )
 
 

@@ -52,6 +52,25 @@ def hll_range_distinct(spark, sf_dir):
     drops it and keeps the sketch path (one narrow shuffle over
     (dt, user) keys, then O(days) rows).
     """
+    return hll_range_frame(spark, sf_dir).select(
+        "wk",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= F.col("exact_users") * HLL_BAND
+        ).alias("hll_within_5pct"),
+    )
+
+
+HLL_BAND = 0.05
+
+
+def hll_range_frame(spark, sf_dir):
+    """Estimate-bearing frame under ``hll_range_distinct`` (weekly
+    merged-sketch estimate ``_est`` alongside the exact distinct) —
+    exposed so ``tests/test_sketches.py`` can pin the measured error to
+    half the contract band at sf0.01 AND sf0.1."""
     e = load_table(spark, sf_dir, "events")
     day_user = e.groupBy(F.to_date("ts").alias("dt"), "user_id").agg(
         F.count(F.lit(1)).alias("_n")
@@ -72,15 +91,7 @@ def hll_range_distinct(spark, sf_dir):
         # count(user_id), not count(*): COUNT DISTINCT excludes nulls
         .agg(F.count("user_id").alias("exact_users"))
     )
-    return weekly_est.join(weekly_exact, "wk").select(
-        "wk",
-        "n_days",
-        "exact_users",
-        (
-            F.abs(F.col("_est") - F.col("exact_users"))
-            <= F.col("exact_users") * 0.05
-        ).alias("hll_within_5pct"),
-    )
+    return weekly_est.join(weekly_exact, "wk")
 
 
 # --------------------------------------------------------------------------
@@ -218,6 +229,28 @@ def hll_audience_overlap(spark, sf_dir):
     contract bounds |est - exact| by 5% of the exact union. The exact
     sides feed the contract boolean only; production keeps the sketch
     path."""
+    sk = hll_overlap_frame(spark, sf_dir)
+    est_overlap = F.col("_est_v") + F.col("_est_p") - F.col("_est_u")
+    exact_overlap = (
+        F.col("exact_viewers") + F.col("exact_buyers") - F.col("exact_union")
+    )
+    return sk.select(
+        "wk",
+        "exact_viewers",
+        "exact_buyers",
+        "exact_union",
+        exact_overlap.cast("bigint").alias("exact_overlap"),
+        (
+            F.abs(est_overlap - exact_overlap)
+            <= F.col("exact_union") * HLL_BAND
+        ).alias("hll_within_5pct_of_union"),
+    )
+
+
+def hll_overlap_frame(spark, sf_dir):
+    """Estimate-bearing frame under ``hll_audience_overlap`` (three HLL
+    estimates + exact audience sizes per week) — exposed for the
+    half-band margin test in ``tests/test_sketches.py``."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
@@ -225,7 +258,7 @@ def hll_audience_overlap(spark, sf_dir):
     du = e.select(
         wk.alias("wk"), "event_type", "user_id"
     ).distinct()
-    sk = du.groupBy("wk").agg(
+    return du.groupBy("wk").agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(
                 F.when(F.col("event_type") == "view", F.col("user_id")),
@@ -248,19 +281,4 @@ def hll_audience_overlap(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("exact_buyers"),
         F.countDistinct("user_id").alias("exact_union"),
-    )
-    est_overlap = F.col("_est_v") + F.col("_est_p") - F.col("_est_u")
-    exact_overlap = (
-        F.col("exact_viewers") + F.col("exact_buyers") - F.col("exact_union")
-    )
-    return sk.select(
-        "wk",
-        "exact_viewers",
-        "exact_buyers",
-        "exact_union",
-        exact_overlap.cast("bigint").alias("exact_overlap"),
-        (
-            F.abs(est_overlap - exact_overlap)
-            <= F.col("exact_union") * 0.05
-        ).alias("hll_within_5pct_of_union"),
     )

@@ -44,7 +44,10 @@ GROUP BY 1
 def dedup_exact_docs(spark, sf_dir):
     """ext_dedup_exact: hash-groupBy on normalized text; keeps the
     lowest doc_id as the canonical representative. One shuffle on the
-    text hash (not the full text — narrow shuffle rows at 100 TB)."""
+    text hash (not the full text — narrow shuffle rows at 100 TB).
+
+    Tier choice: README "Choosing a dedup tier" decision table.
+    """
     d = load_table(spark, sf_dir, "documents")
     return (
         d.groupBy(fingerprint_md5("text").alias("text_hash"))

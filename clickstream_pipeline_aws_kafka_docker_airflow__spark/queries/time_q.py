@@ -74,28 +74,37 @@ def kpi_daily_approx(spark, sf_dir):
     for the exact distinct, sums partial counts for total_events, and
     feeds the HLL from the deduplicated keys (HLL registers are
     duplicate-insensitive, so the estimate is unchanged)."""
+    return kpi_daily_approx_frame(spark, sf_dir).select(
+        "dt",
+        "total_events",
+        "unique_users",
+        (
+            F.abs(F.col("_hll") - F.col("unique_users"))
+            <= F.col("unique_users") * KPI_HLL_BAND
+        ).alias("hll_within_5pct"),
+    )
+
+
+KPI_HLL_RSD = 0.01
+KPI_HLL_BAND = 0.05
+
+
+def kpi_daily_approx_frame(spark, sf_dir):
+    """The estimate-bearing frame under ``kpi_daily_approx`` — exposed
+    so ``tests/test_sketches.py`` can pin the measured HLL error to
+    half the contract band at sf0.01 AND sf0.1 (a Spark version bump
+    that drifts the sketch fails the margin test before it can flip
+    the contract boolean)."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy(F.to_date("ts").alias("dt"), "user_id").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    return (
-        per_user.groupBy("dt")
-        .agg(
-            F.sum("_n").alias("total_events"),
-            # count(user_id), not count(*): a null-user group must not
-            # count as a distinct user (COUNT DISTINCT excludes nulls)
-            F.count("user_id").alias("unique_users"),
-            F.approx_count_distinct("user_id", 0.01).alias("_hll"),
-        )
-        .select(
-            "dt",
-            "total_events",
-            "unique_users",
-            (
-                F.abs(F.col("_hll") - F.col("unique_users"))
-                <= F.col("unique_users") * 0.05
-            ).alias("hll_within_5pct"),
-        )
+    return per_user.groupBy("dt").agg(
+        F.sum("_n").alias("total_events"),
+        # count(user_id), not count(*): a null-user group must not
+        # count as a distinct user (COUNT DISTINCT excludes nulls)
+        F.count("user_id").alias("unique_users"),
+        F.approx_count_distinct("user_id", KPI_HLL_RSD).alias("_hll"),
     )
 
 

@@ -515,6 +515,8 @@ def semantic_dedup(spark, sf_dir):
     use ~0.9+ with the same plan. Cosine is rounded to 4 dp before the
     threshold compare — the same deterministic cross-engine contract as
     every similarity query here.
+
+    Tier choice: README "Choosing a dedup tier" decision table.
     """
     from .similarity_q import ivf_cells_table
 

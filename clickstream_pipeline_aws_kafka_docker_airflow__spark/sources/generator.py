@@ -97,11 +97,13 @@ def generate_events_batch(
     days: int = 7,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Fast-forward backfill: ``n_events`` evenly spaced across the
-    window, mirroring ``sim_timestamps`` (produce_events.py:49-70)."""
-    step_us = int(days * 86_400_000_000 / max(n_events, 1))
+    """Fast-forward backfill mirroring ``sim_timestamps``
+    (produce_events.py:49-70): ``n_events`` is the FF_EVENTS_TARGET; the
+    actual row count and step come from :func:`ff_schedule` (reference
+    edge semantics — rounded step, ``ceil(duration/step)`` rows)."""
+    step_us, n_rows = ff_schedule(n_events, days)
     base = spark.range(
-        0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism
+        0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism
     )
     ts = F.timestamp_micros(
         F.unix_micros(F.lit(start_date).cast("timestamp")) + F.col("id") * step_us
@@ -173,8 +175,43 @@ def det_uuid_duckdb_sql(i_sql: str) -> str:
     )
 
 
-def step_micros(n_events: int, days: int) -> int:
-    return int(days * 86_400_000_000 / max(n_events, 1))
+def _div_round_half_even(num: int, den: int) -> int:
+    """Integer division rounded to nearest, ties to even — exactly what
+    Python's ``timedelta / int`` does at microsecond resolution."""
+    q, r = divmod(num, den)
+    if 2 * r > den or (2 * r == den and q % 2 == 1):
+        q += 1
+    return q
+
+
+def ff_schedule(
+    n_target: int, days: int, rate: float | None = None
+) -> tuple[int, int]:
+    """``(step_us, n_events)`` of the reference producer's fast-forward
+    clock (``produce_events.py:48-70``), bit-exact at the window edges:
+
+    * ``FF_EVENTS_TARGET > 0`` → ``step = duration / target`` — Python
+      timedelta division, i.e. nearest microsecond, ties to even (NOT
+      truncation);
+    * else → ``step = timedelta(seconds=1/rate)`` (same rounding);
+    * the ``while t < end`` loop then yields ``ceil(duration / step)``
+      events — when the rounded step does not divide the window this is
+      NOT the target count (e.g. target 97 over 3 days yields 98).
+
+    A 0-µs step (target > 2× the window in µs) would hang the
+    reference's generator loop; we clamp to 1 µs and keep the ceil.
+    Pinned against a literal Python twin of ``sim_timestamps()`` in
+    ``tests/test_generator_clock.py``.
+    """
+    duration_us = days * 86_400_000_000
+    if n_target > 0:
+        step_us = _div_round_half_even(duration_us, n_target)
+    else:
+        r = rate if rate and rate > 0 else 1.0
+        step_us = round(1_000_000 / r)  # timedelta(seconds=1/r) rounding
+    step_us = max(step_us, 1)
+    n_events = -(-duration_us // step_us)  # ceil: `while t < end`
+    return step_us, n_events
 
 
 def generate_events_batch_deterministic(
@@ -187,10 +224,12 @@ def generate_events_batch_deterministic(
     """Reproducible fast-forward backfill: same schema/distributions as
     :func:`generate_events_batch`, draws derived from the row index.
     Scale shape is identical — ``spark.range`` slices, no shuffle, no
-    driver loop; md5 + integer ops run inside whole-stage codegen."""
-    step_us = step_micros(n_events, days)
+    driver loop; md5 + integer ops run inside whole-stage codegen.
+    ``n_events`` is the FF_EVENTS_TARGET; actual count/step follow the
+    reference edge semantics via :func:`ff_schedule`."""
+    step_us, n_rows = ff_schedule(n_events, days)
     base = spark.range(
-        0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism
+        0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism
     )
     i = F.col("id")
     ts = F.timestamp_micros(
@@ -235,12 +274,14 @@ def generate_events_batch_deterministic(
 def gen_events_oracle_sql(n_events: int, start_us: int, days: int) -> str:
     """DuckDB twin of :func:`generate_events_batch_deterministic` — the
     full event projection as one SELECT (no trailing semicolon), shared
-    by the generator oracle and the Kafka round-trip oracle."""
+    by the generator oracle and the Kafka round-trip oracle. Row count
+    and step use the same :func:`ff_schedule` as the Spark side."""
     t0, t1, t2 = TYPE_THRESHOLDS
+    step_us, n_rows = ff_schedule(n_events, days)
     pages = "[" + ", ".join(f"'{p}'" for p in PAGES) + "]"
     refs = "[" + ", ".join(f"'{r}'" for r in REFERRERS) + "]"
     return f"""
-WITH base AS (SELECT CAST(i AS BIGINT) AS id FROM range(0, {n_events}) t(i)),
+WITH base AS (SELECT CAST(i AS BIGINT) AS id FROM range(0, {n_rows}) t(i)),
 d AS (
     SELECT id,
            {det_draw_duckdb_sql("type", "id")} AS d_type,
@@ -251,7 +292,7 @@ d AS (
            {det_draw_duckdb_sql("price", "id")} AS d_price
     FROM base
 )
-SELECT strftime(make_timestamp({start_us} + id * {step_micros(n_events, days)}),
+SELECT strftime(make_timestamp({start_us} + id * {step_us}),
                 '%Y-%m-%dT%H:%M:%S.%fZ') AS event_ts,
        'u_' || CAST(((d_user * {N_USERS}) >> {DRAW_BITS}) + 1 AS VARCHAR) AS user_id,
        {det_uuid_duckdb_sql("id")} AS session_id,
