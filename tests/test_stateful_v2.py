@@ -14,6 +14,11 @@ try:  # the state-v2 runner speaks protobuf to the JVM state server
 
     _HAS_PROTOBUF = True
 except ImportError:
+    # Impossible in this container: google.protobuf is not baked in and
+    # installs are prohibited; transformWithStateInPandas needs the real
+    # protobuf wire protocol (a vendored stub cannot speak to the JVM
+    # state server). The v1 applyInPandasWithState operator covers the
+    # stateful-streaming surface in test_stateful.py.
     _HAS_PROTOBUF = False
 
 # same state-store startup cost as the v1 operator test — on-demand
