@@ -36,12 +36,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from ``id``.
     Raises if the propagation hasn't converged after ``max_iters``
     rounds (deterministic output is part of the contract — a truncated
     run would silently mislabel long chains).
+
+    ``stats``: pass a dict to receive ``{"rounds": r, "state_rows": n}``
+    — the convergence round count and the (id, label) state size, which
+    is constant across rounds (one row per node in the edge set). Costs
+    one extra count; used by ``scripts/scale_probe.py``.
 
     Tier choice: README "Choosing a dedup tier" decision table.
     """
@@ -67,7 +73,7 @@ def connected_components(
         .agg(F.min("label").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), "label"
         )
@@ -87,6 +93,9 @@ def connected_components(
         changed = new.where("_chg").limit(1).count()
         labels = new.select("id", "label")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = _round + 1
+                stats["state_rows"] = labels.count()
             return labels
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iters} rounds "

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Reproducible scale probes behind the README's measured tables.
 
-Usage: python scripts/scale_probe.py [events|sketch|ann|iterative|all]
+Usage: python scripts/scale_probe.py [events|sketch|ann|iterative|dedup|all]
 
 * events — generate 10M synthetic events (30 days), run the KPI family
   (exact, HLL, hourly, sessionize) and print wall times.
@@ -11,6 +11,13 @@ Usage: python scripts/scale_probe.py [events|sketch|ann|iterative|all]
   IVF-PQ raw/residual codes, timings + recall@5.
 * iterative — 10M events: PageRank over the product-transition graph,
   the per-series EWMA fold, and the daily CMS zone build + range serve.
+* dedup  — candidate-set growth of the PPJoin and MinHash-LSH blocking
+  strategies at 1x vs 10x corpus (Zipf-skewed token draws: hot
+  shingles, hot prefix tokens), plus rounds-to-converge / state size
+  for connected components and PageRank with hot join keys. Shuffle
+  bytes come from the Spark status REST API. The claim under test:
+  candidates grow ~linearly (sub-quadratically) with corpus size, and
+  the iterative kernels carry flat per-round state.
 
 Everything is seeded; numbers vary with hardware but orderings and
 recalls reproduce exactly. Each probe prints one JSON line.
@@ -316,13 +323,232 @@ def probe_iterative(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative}
+# ---------------------------------------------------------------------------
+# dedup probe: candidate growth + iterative state at 1x vs 10x
+
+
+def _shuffle_write_bytes(spark) -> int | None:
+    """Total shuffle WRITE bytes across completed stages, via the
+    status REST API (needs spark.ui.enabled). None if unavailable."""
+    import urllib.request
+
+    try:
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"http://localhost:{port}/api/v1/applications/{app}/stages"
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return None
+
+
+def _zipf_u(field: str, i, bits: int = 24):
+    """Deterministic uniform draw in [0,1) for (field, row, slot)."""
+    h = F.md5(F.concat_ws("|", F.lit(field), i.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / (1 << bits)
+
+
+def _zipf_docs(spark, n_docs: int, vocab: int | None = None,
+               doc_len: int = 30, dup_every: int = 20, shared: int = 28):
+    """Seeded corpus with log-uniform (Zipf-like) token draws — the
+    head token lands in ~8% of slots, so shingle/token DF is heavily
+    skewed — plus planted near-dups: every ``dup_every``-th doc copies
+    its predecessor's first ``shared`` slots.
+
+    Vocabulary size scales with the corpus (Heaps' law, as in real
+    text): with a FIXED vocabulary a 10x corpus multiplies every
+    token's df by 10 and the rarest-token join groups grow
+    quadratically — the duplicate-mass pathology prefix filtering is
+    documented not to solve, not the scaling regime the probe models."""
+    if vocab is None:
+        vocab = max(5000, 3 * n_docs)
+    base = spark.range(n_docs)
+    src = F.when(
+        (F.col("id") % dup_every) == dup_every - 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+
+    def tok(iexpr, j):
+        u = _zipf_u(f"z{j}", iexpr)
+        return F.concat(
+            F.lit("t"),
+            F.floor(F.pow(F.lit(float(vocab)), u)).cast("int").cast("string"),
+        )
+
+    cols = [tok(src, j) for j in range(shared)] + [
+        tok(F.col("id"), j) for j in range(shared, doc_len)
+    ]
+    return base.select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *cols).alias("text")
+    )
+
+
+def _zipf_edges(spark, n_edges: int, n_nodes: int = 300):
+    """Weighted edge list with Zipf-hot endpoints (the head node takes
+    ~8% of endpoints — a genuinely hot join key)."""
+    base = spark.range(n_edges)
+
+    def node(field):
+        u = _zipf_u(field, F.col("id"))
+        return F.concat(
+            F.lit("n"),
+            F.floor(F.pow(F.lit(float(n_nodes)), u)).cast("int").cast("string"),
+        )
+
+    return (
+        base.select(node("es").alias("src"), node("ed").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _dedup_at_scale(spark, d: str, n_docs: int) -> dict:
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.clustering import (
+        connected_components,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        PPJ_T_DEN,
+        PPJ_T_NUM,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ppjoin_pairs,
+        ppjoin_prefix_table,
+        shingle_table,
+        token_set_table,
+    )
+
+    path = f"{d}/docs_{n_docs}"
+    _zipf_docs(spark, n_docs).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out: dict = {"n_docs": n_docs, "allpairs_space": n_docs * (n_docs - 1) // 2}
+
+    sh = shingle_table(docs).localCheckpoint()
+    out["shingle_rows"] = sh.count()
+    out["max_shingle_df"] = (
+        sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+
+    # MinHash-LSH: band join candidates, then exact verify
+    s0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    cands = lsh_candidate_pairs(minhash_signatures(sh)).localCheckpoint()
+    out["lsh_candidates"] = cands.count()
+    out["lsh_s"] = round(time.perf_counter() - t0, 2)
+    s1 = _shuffle_write_bytes(spark)
+    if s0 is not None and s1 is not None:
+        out["lsh_shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+
+    # PPJoin: prefix-filter candidate space + exact pairs
+    tk = token_set_table(docs).localCheckpoint()
+    prefix = ppjoin_prefix_table(tk).localCheckpoint()
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("n_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "token", F.col("n").alias("n_b"))
+    ppj_cands = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.least("n_a", "n_b") * PPJ_T_DEN >= F.greatest("n_a", "n_b") * PPJ_T_NUM)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out["ppjoin_candidates"] = ppj_cands.count()
+    out["ppjoin_pairs"] = ppjoin_pairs(docs, toks=tk, prefix=prefix).count()
+    out["ppjoin_s"] = round(time.perf_counter() - t0, 2)
+    s1 = _shuffle_write_bytes(spark)
+    if s0 is not None and s1 is not None:
+        out["ppjoin_shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+
+    # connected components over the verified near-dup pairs
+    pairs = (
+        jaccard_verify(sh, cands)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    stats: dict = {}
+    t0 = time.perf_counter()
+    connected_components(pairs, stats=stats).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["cc_s"] = round(time.perf_counter() - t0, 2)
+    out["cc_rounds"] = stats.get("rounds")
+    out["cc_state_rows"] = stats.get("state_rows")
+    return out
+
+
+def probe_dedup(spark) -> dict:
+    """1x vs 10x corpus: sub-quadratic candidate growth for the blocked
+    joins; flat per-round state for the iterative kernels."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.graph import (
+        pagerank_int,
+    )
+
+    d = tempfile.mkdtemp(prefix="probe_dedup_")
+    out: dict = {"probe": "dedup"}
+    n1 = 10_000
+    for tag, n in (("x1", n1), ("x10", n1 * 10)):
+        out[tag] = _dedup_at_scale(spark, d, n)
+    for k in ("lsh_candidates", "ppjoin_candidates"):
+        out[f"{k}_growth"] = round(out["x10"][k] / max(out["x1"][k], 1), 1)
+
+    # PageRank with hot join keys: doubling iterations ~doubles shuffle
+    # while the state (one row per node) stays constant
+    e1 = 200_000
+    pr: dict = {}
+    for tag, n_edges in (("x1", e1), ("x10", e1 * 10)):
+        edges = _zipf_edges(spark, n_edges).localCheckpoint()
+        row = {"n_edges": n_edges, "state_rows": (
+            edges.select("src").union(edges.select("dst")).distinct().count()
+        )}
+        for iters in (3, 6):
+            s0 = _shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            pagerank_int(edges, n_iters=iters).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[f"iters{iters}_s"] = round(time.perf_counter() - t0, 2)
+            s1 = _shuffle_write_bytes(spark)
+            if s0 is not None and s1 is not None:
+                row[f"iters{iters}_shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+        pr[tag] = row
+    out["pagerank"] = pr
+    return out
+
+
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup}
+
+
+def _probe_spark():
+    """get_spark twin with the UI (status REST API) enabled, so probes
+    can read per-step shuffle-write deltas."""
+    import os as _os
+
+    from pyspark.sql import SparkSession
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.session import (
+        ENGINE_CONFS,
+        apply_engine_confs,
+    )
+
+    cpus = int(_os.environ.get("SPARK_GRAFT_CPUS") or _os.cpu_count() or 4)
+    b = SparkSession.builder.master(f"local[{cpus}]").appName("scale-probe")
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+    b = b.config(
+        "spark.driver.memory", _os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    )
+    b = b.config("spark.ui.enabled", "true").config("spark.ui.port", "4046")
+    return apply_engine_confs(b.getOrCreate())
 
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     names = list(PROBES) if which == "all" else [which]
-    spark = get_spark(app_name="scale-probe")
+    spark = _probe_spark()
     for n in names:
         print(json.dumps(PROBES[n](spark)), flush=True)
 
