@@ -41,19 +41,25 @@ def main() -> None:
 
     # Per-query error isolation: one broken query records an "err" entry
     # and the artifact still emits — a crash must never void the run.
+    # Rounds are interleaved (full pass, then repeat, min across
+    # passes): transient slow windows hit consecutive queries, so
+    # back-to-back repeats can both land in one; interleaving puts a
+    # query's samples minutes apart and the min shakes the window out.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(qs):
-        best = float("inf")
-        try:
-            for _ in range(N_RUNS):
+    for _ in range(N_RUNS):
+        for name in sorted(qs):
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 _force(qs[name](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-        except Exception as ex:  # noqa: BLE001 — isolate, record, continue
-            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
-            continue
-        times[name] = round(best, 4)
+                t = time.perf_counter() - t0
+            except Exception as ex:  # noqa: BLE001 — isolate, record, continue
+                errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                times.pop(name, None)
+                continue
+            times[name] = round(min(times.get(name, float("inf")), t), 4)
 
     total = round(sum(times.values()), 4)
     out = {
