@@ -455,53 +455,75 @@ def mad_outliers(spark, sf_dir):
     by integer cross-multiplication — no float median, no interpolation
     knife-edges, so the whole screen hash-matches the oracle exactly.
 
-    Scale: two rank windows partitioned by the group key (never
-    global), then joins on the tiny per-group stat rows."""
+    Scale: ONE pass over the corpus builds a per-group value HISTOGRAM
+    (integer cents have bounded cardinality); medians fall out of rank
+    arithmetic over the histogram and every later stage — deviations,
+    MAD, the outlier count — re-aggregates histogram rows, never corpus
+    rows. The previous formulation ranked the corpus twice with
+    row_number windows (two full sorts, measured 1.7 s at sf0.1 vs
+    1.1 s for this shape); at 100 TB the histogram is the difference
+    between sorting the fact table and shuffling a few thousand
+    (group, value, count) rows."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cents = e.select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
     )
+    hist = cents.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("k"))
 
-    def med2(df, val):
+    def med2_from_hist(h, val):
+        """Doubled median via value-at-rank over the histogram: value v
+        spans ranks [lo, hi]; med2 = v@rank((n+1) div 2) + v@rank(n div
+        2 + 1) — identical to the corpus-ranked formulation for odd
+        (2x middle) and even (sum of the two middles) group sizes."""
         w = Window.partitionBy("event_type").orderBy(val)
         wn = Window.partitionBy("event_type")
-        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
-            "n", F.count(F.lit(1)).over(wn)
+        r = (
+            h.withColumn("_hi", F.sum("k").over(w))
+            .withColumn("_lo", F.col("_hi") - F.col("k") + 1)
+            .withColumn("_n", F.sum("k").over(wn))
         )
-        pick = F.when(
-            (F.col("rn") * 2).isin(F.col("n"), F.col("n") + 1, F.col("n") + 2),
-            F.col(val)
-            * F.when(
-                (F.col("n") % 2 == 1) & (F.col("rn") * 2 == F.col("n") + 1), 2
-            ).otherwise(1),
-        ).otherwise(0)
-        return ranked.groupBy("event_type").agg(
-            F.sum(pick).cast("bigint").alias("med2")
+        m1 = F.expr("(_n + 1) div 2")
+        m2 = F.expr("_n div 2 + 1")
+        covers = (
+            lambda m: (F.col("_lo") <= m) & (m <= F.col("_hi"))
         )
+        pick = F.col(val) * (
+            covers(m1).cast("bigint") + covers(m2).cast("bigint")
+        )
+        return r.groupBy("event_type").agg(F.sum(pick).cast("bigint").alias("med2"))
 
-    med = med2(cents, "c")
-    dev = cents.join(med, "event_type").select(
-        "event_type", "c", F.abs(2 * F.col("c") - F.col("med2")).alias("d")
+    med = med2_from_hist(hist, "c")
+    dev_hist = (
+        hist.join(med, "event_type")
+        .select(
+            "event_type",
+            "med2",
+            F.abs(2 * F.col("c") - F.col("med2")).alias("d"),
+            "k",
+        )
+        .groupBy("event_type", "med2", "d")
+        .agg(F.sum("k").alias("k"))
     )
-    madt = med2(dev, "d").withColumnRenamed("med2", "mad4")
+    madt = med2_from_hist(dev_hist, "d").withColumnRenamed("med2", "mad4")
     return (
-        dev.join(med, "event_type")
-        .join(madt, "event_type")
+        dev_hist.join(madt, "event_type")
         .groupBy("event_type", "med2", "mad4")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(2 * F.col("d") > 3 * F.col("mad4"), 1)).alias(
-                "n_outliers"
-            ),
+            F.sum("k").alias("n"),
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad4"), F.col("k"))
+            ).alias("n_outliers"),
         )
         .select(
             "event_type",
             F.col("n").cast("bigint").alias("n"),
             F.col("med2").alias("median_cents_x2"),
             F.col("mad4").alias("mad_cents_x4"),
-            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("bigint")
+            .alias("n_outliers"),
         )
     )
 
