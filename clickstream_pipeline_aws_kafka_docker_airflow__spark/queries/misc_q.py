@@ -470,7 +470,16 @@ def mad_outliers(spark, sf_dir):
     cents = e.select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
     )
-    hist = cents.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("k"))
+    # Materialize the histogram once: the lazy DAG references it through
+    # four paths (median, deviation join, MAD, final re-agg) and would
+    # re-scan the corpus for each; the checkpoint pins "one corpus pass"
+    # while everything downstream re-aggregates only (group, cent, count)
+    # rows — thousands, regardless of corpus size.
+    hist = (
+        cents.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
 
     def med2_from_hist(h, val):
         """Doubled median via value-at-rank over the histogram: value v
@@ -478,7 +487,9 @@ def mad_outliers(spark, sf_dir):
         2 + 1) — identical to the corpus-ranked formulation for odd
         (2x middle) and even (sum of the two middles) group sizes."""
         w = Window.partitionBy("event_type").orderBy(val)
-        wn = Window.partitionBy("event_type")
+        # same partitioning AND ordering as ``w`` so both frames ride one
+        # WindowExec sort pass instead of two exchanges
+        wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         r = (
             h.withColumn("_hi", F.sum("k").over(w))
             .withColumn("_lo", F.col("_hi") - F.col("k") + 1)
@@ -505,6 +516,7 @@ def mad_outliers(spark, sf_dir):
         )
         .groupBy("event_type", "med2", "d")
         .agg(F.sum("k").alias("k"))
+        .localCheckpoint()  # referenced twice below (MAD + final re-agg)
     )
     madt = med2_from_hist(dev_hist, "d").withColumnRenamed("med2", "mad4")
     return (
