@@ -295,10 +295,8 @@ def ivfpq_topk(
     from pyspark.sql.window import Window
 
     from ..functions.vectors import norm
-    from .scale import widen
     from .similarity import _probe_cells_driver, collect_query_vectors
 
-    emb = widen(emb)
     q_vecs = collect_query_vectors(emb, n_queries)
     probes = emb.sparkSession.createDataFrame(
         _probe_cells_driver(q_vecs, cents, max(nprobe, 1)),
@@ -322,20 +320,26 @@ def ivfpq_topk(
         .where(F.col("prn") <= k + rescore_margin)
         .select("qid", "nid")
     )
-    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    qv = base.where(F.col("vec_id") < n_queries).select(
+    qv = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qn"),
+        norm("embedding").alias("qn"),
     )
+    # corpus-side norm folds AFTER the candidate join: the broadcast
+    # probe reduces the corpus to margin-rows-per-query first, so the
+    # O(dim) fold runs on survivors only (same expression, same values
+    # — bit-identical to folding before the join)
     rescored = (
-        base.join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "nid",
             F.round(
-                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+                dot("qvec", "embedding")
+                / (F.col("qn") * norm("embedding")),
+                4,
             ).alias("sim"),
         )
     )
@@ -376,10 +380,9 @@ def pq_topk(
     from ..functions.vectors import norm
     from .scale import widen
 
-    emb = widen(emb)
     books = train_pq(emb, n_sub, k_sub, n_iters, sub_dim=sub_dim)
     if codes is None:
-        codes = encode_pq(emb, books, sub_dim=sub_dim)
+        codes = encode_pq(widen(emb), books, sub_dim=sub_dim)
 
     # LUT[q][s][cid] = ||q_s - c||^2, indexed by CODEBOOK-ENTRY ID, not
     # list position: with n_iters>0 a k-means cluster can empty and drop
@@ -405,20 +408,26 @@ def pq_topk(
         .where(F.col("prn") <= k + rescore_margin)
         .select("qid", "nid")
     )
-    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    qv = base.where(F.col("vec_id") < n_queries).select(
+    qv = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qn"),
+        norm("embedding").alias("qn"),
     )
+    # corpus-side norm folds AFTER the candidate join: the broadcast
+    # probe reduces the corpus to margin-rows-per-query first, so the
+    # O(dim) fold runs on survivors only (same expression, same values
+    # — bit-identical to folding before the join)
     rescored = (
-        base.join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "nid",
             F.round(
-                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+                dot("qvec", "embedding")
+                / (F.col("qn") * norm("embedding")),
+                4,
             ).alias("sim"),
         )
     )
@@ -509,10 +518,8 @@ def ivfpq_topk_residual(
     from pyspark.sql.window import Window
 
     from ..functions.vectors import norm
-    from .scale import widen
     from .similarity import _probe_cells_driver, collect_query_vectors
 
-    emb = widen(emb)
     q_vecs = collect_query_vectors(emb, n_queries)
     probe_pairs = _probe_cells_driver(q_vecs, cents, max(nprobe, 1))
     cents_map = {int(cid): [float(x) for x in coords] for cid, coords in cents}
@@ -542,20 +549,26 @@ def ivfpq_topk_residual(
         .where(F.col("prn") <= k + rescore_margin)
         .select("qid", "nid")
     )
-    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    qv = base.where(F.col("vec_id") < n_queries).select(
+    qv = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qn"),
+        norm("embedding").alias("qn"),
     )
+    # corpus-side norm folds AFTER the candidate join: the broadcast
+    # probe reduces the corpus to margin-rows-per-query first, so the
+    # O(dim) fold runs on survivors only (same expression, same values
+    # — bit-identical to folding before the join)
     rescored = (
-        base.join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "nid",
             F.round(
-                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+                dot("qvec", "embedding")
+                / (F.col("qn") * norm("embedding")),
+                4,
             ).alias("sim"),
         )
     )

@@ -36,6 +36,9 @@ def _fold_sq(coords: list[float]) -> float:
     return acc
 
 
+_QV_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
 def collect_query_vectors(
     emb: "DataFrame", n_queries: int
 ) -> list[tuple[int, list[float]]]:
@@ -45,8 +48,24 @@ def collect_query_vectors(
     same ``vec_id < n_queries`` rows — one full Spark job plus plan
     analysis apiece, pure fixed cost at any scale. float32 -> float64
     is exact, so downstream driver-side folds see the same values the
-    in-plan expressions would."""
-    return sorted(
+    in-plan expressions would.
+
+    Cached per (application, plan identity, n): seven ANN/similarity
+    queries collect the same bounded slice — re-running the scan job
+    per query is pure fixed cost. ``semanticHash`` keys on the logical
+    plan (source path + projection), and the applicationId guard keeps
+    a restarted session from serving a stopped context's rows."""
+    try:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(),
+            n_queries,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _QV_CACHE:
+        return _QV_CACHE[key]
+    out = sorted(
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in emb.where(F.col("vec_id") < n_queries)
         .select(
@@ -54,6 +73,9 @@ def collect_query_vectors(
         )
         .collect()
     )
+    if key is not None:
+        _QV_CACHE[key] = out
+    return out
 
 
 def _probe_cells_driver(
@@ -460,7 +482,11 @@ def ivf_topk(
     from ..functions.vectors import norm
     from .scale import widen
 
-    emb = widen(emb)
+    if cents is None or corpus_cells is None:
+        # building quantizer state / the inverted file is a full-corpus
+        # compute pass — parallelize the scan; the serving path below
+        # (prebuilt cents + cells) only probes and never needs it
+        emb = widen(emb)
     if cents is None:
         if n_iters > 0:
             cents = kmeans_centroid_list(emb, n_centroids, n_iters)
@@ -471,14 +497,13 @@ def ivf_topk(
                 .select("vec_id", "embedding")
                 .collect()
             )
-    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
     if corpus_cells is None:
         # the inverted file: each vector's home cell. In production
         # this is materialized once per snapshot (pass corpus_cells).
         corpus_cells = _assign_to_centroids(emb, cents, top=1).select(
             "vec_id", "centroid_id"
         )
-    corpus = base.join(corpus_cells, "vec_id")
+    corpus = emb.select("vec_id", "embedding").join(corpus_cells, "vec_id")
     probe_df = emb.sparkSession.createDataFrame(
         _probe_cells_driver(
             collect_query_vectors(emb, n_queries), cents, max(nprobe, 1)
@@ -486,17 +511,21 @@ def ivf_topk(
         "qid bigint, centroid_id bigint",
     )
     probes = probe_df.join(
-        base.select(
+        emb.where(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
-            F.col("nrm").alias("qn"),
+            norm("embedding").alias("qn"),
         ),
         "qid",
     )
     cands = corpus.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("qid")
     )
-    sim = F.round(dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4)
+    # corpus-side norm folds on probed-cell members only (post-join) —
+    # same expression and values as folding over the whole corpus first
+    sim = F.round(
+        dot("qv", "embedding") / (F.col("qn") * norm("embedding")), 4
+    )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     # no dedup needed: each corpus vector has exactly one home cell, so
     # a (qid, nid) pair arises from at most one probed cell
@@ -687,9 +716,10 @@ def ann_topk_bucketed(
     from ..functions.vectors import norm
     from .scale import widen
 
-    emb = widen(emb)
-    base = emb.select("vec_id", "embedding", norm("embedding").alias("nrm"))
     if bands is None:
+        # signature computation is a full-corpus fold pass — parallelize
+        # the scan; the artifact-served path never touches it
+        emb = widen(emb)
         bands = lsh_bands(emb, nbits, n_tables)
     qb = bands.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), "tbl", "bucket"
@@ -700,19 +730,23 @@ def ann_topk_bucketed(
         .select("qid", F.col("vec_id").alias("nid"))
         .distinct()
     )
-    qv = base.where(F.col("vec_id") < n_queries).select(
+    qv = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qn"),
+        norm("embedding").alias("qn"),
     )
+    # corpus-side norm folds on candidates only (post-join) — same
+    # expression and values as folding over the whole corpus first
     pairs = (
-        base.join(cand, F.col("vec_id") == F.col("nid"))
+        emb.select("vec_id", "embedding")
+        .join(cand, F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "nid",
             F.round(
-                dot("qvec", "embedding") / (F.col("qn") * F.col("nrm")), 4
+                dot("qvec", "embedding") / (F.col("qn") * norm("embedding")),
+                4,
             ).alias("sim"),
         )
     )
