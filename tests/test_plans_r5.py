@@ -1,0 +1,70 @@
+"""Round-5 plan contracts: pin the fixed-cost cuts in the ANN serving
+tiers (operators/pq.py, operators/similarity.py) so they cannot
+silently regress.
+
+Serving a prebuilt index must not repartition the corpus (widen() is
+build-path-only now) and must not fold norms over the whole corpus —
+the exact-rescore norm runs on post-join survivors only."""
+
+from __future__ import annotations
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+    plan_facts,
+)
+
+from conftest import SF_SMOKE
+
+_Q = registry.queries()
+
+_SERVING = [
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_res",
+]
+
+
+def test_ann_serving_never_roundrobins_the_corpus(spark):
+    """widen()'s round-robin repartition belongs to build passes (band
+    signatures, code encoding, quantizer training). A serving query
+    probes prebuilt artifacts through broadcast joins; a
+    RoundRobinPartitioning exchange there is a full-corpus shuffle
+    bought for nothing."""
+    for name in _SERVING:
+        f = plan_facts(_Q[name](spark, SF_SMOKE))
+        assert "RoundRobinPartitioning" not in f.text, (name, f.text)
+
+
+def test_ann_serving_keeps_query_state_broadcast(spark):
+    """Probe lists, LUTs, candidate ids and query vectors are
+    query-sized: they must ride broadcast exchanges, never a
+    sort-merge join of the corpus against itself."""
+    for name in _SERVING:
+        f = plan_facts(_Q[name](spark, SF_SMOKE))
+        assert f.broadcast_joins >= 1, (name, f.text)
+        assert f.sortmerge_joins == 0, (name, f.text)
+
+
+def test_query_vector_slice_collected_once_per_plan(spark):
+    """collect_query_vectors memoizes per (application, plan, n): two
+    calls against the same corpus DataFrame must hit the cache (one
+    Spark job, not two)."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import (
+        load_table,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        _QV_CACHE,
+        collect_query_vectors,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = collect_query_vectors(emb, 5)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    again = collect_query_vectors(load_table(spark, SF_SMOKE, "embeddings"), 5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert again == first
+    assert after == before, "cache miss ran a Spark job"
+    assert any(k[2] == 5 for k in _QV_CACHE), "slice not memoized"
