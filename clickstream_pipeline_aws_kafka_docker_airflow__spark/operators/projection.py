@@ -80,7 +80,13 @@ def rp_project(
         c = _fold_dot_col(F.col(col), p)
         if round_dp is not None:
             c = F.round(c, round_dp)
-        cols.append(c.alias(f"p{i}"))
+        # + 0.0 canonicalizes IEEE negative zero: a projection that
+        # lands exactly on 0 gets -0.0 or +0.0 depending on the
+        # engine's accumulation seed (DuckDB's list_dot_product folds
+        # from the first product, Spark's aggregate() from +0.0), and
+        # a value hasher sees different bits. x + 0.0 == x for every
+        # other double. First observed at sf0.1 (dtype audit).
+        cols.append((c + F.lit(0.0)).alias(f"p{i}"))
     return emb.select("vec_id", *cols)
 
 
@@ -100,7 +106,8 @@ def rp_plane_sql(
         expr = f"list_dot_product({emb_sql}, {arr})"
         if round_dp is not None:
             expr = f"ROUND({expr}, {round_dp})"
-        out.append(expr)
+        # mirror the Spark side's negative-zero canonicalization
+        out.append(f"({expr} + 0.0)")
     return out
 
 
