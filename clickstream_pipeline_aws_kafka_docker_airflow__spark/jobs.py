@@ -339,8 +339,10 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
     counts["inverted_index"] = inverted_index_table(spark, sf_dir).count()
     counts["textrank_keywords"] = keyword_textrank(spark, sf_dir).count()
     from .queries.dedup_q import ngram_pairs_table
+    from .queries.training_q import semantic_dedup_table
 
     counts["ngram_pairs"] = ngram_pairs_table(spark, sf_dir).count()
+    counts["semdedup"] = semantic_dedup_table(spark, sf_dir).count()
     return counts
 
 

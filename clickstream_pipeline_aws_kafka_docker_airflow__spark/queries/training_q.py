@@ -495,6 +495,25 @@ FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
 """
 
 
+def semantic_dedup_table(spark, sf_dir):
+    """Materialized SemDeDup verdict table (vec_id, cell, is_kept) —
+    built once per corpus snapshot like cluster_labels/contamination;
+    curation consumers read the keep/drop set instead of re-running the
+    within-cell pair compare per query."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from .similarity_q import IVF_KMEANS_ITERS
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "semdedup",
+        lambda: _semantic_dedup_build(spark, sf_dir),
+        params=f"tau{SEMDEDUP_TAU}i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}",
+    )
+
+
 @register("semantic_dedup", oracle=_semdedup_oracle())
 def semantic_dedup(spark, sf_dir):
     """Embedding-space deduplication (SemDeDup, Abbas et al. 2023,
@@ -502,14 +521,16 @@ def semantic_dedup(spark, sf_dir):
     coarse quantizer, compare pairs only WITHIN a cell, and drop every
     vector that has a lower-id cell-mate with cosine >= tau. Catches
     paraphrases and re-encodings that text-level MinHash/SimHash
-    (operators/dedup.py) cannot see.
+    (operators/dedup.py) cannot see. Served from the MATERIALIZED
+    verdict table (semantic_dedup_table) — the detector runs once per
+    snapshot, as in production SemDeDup deployments.
 
     Scale shape — identical to IVF search: the self-join shuffles on
     the cell id, per-cell work is quadratic in CELL size (corpus/n_cells
     on average), never corpus^2; vectors travel into exactly one cell.
     Cells come from the SHARED persisted quantizer and materialized
     inverted file (similarity_q) — one quantizer serves search and
-    dedup, as in production SemDeDup deployments.
+    dedup.
     tau={SEMDEDUP_TAU} is a driver-data dial (these synthetic
     embeddings are near-random, max cosine ~0.5); production corpora
     use ~0.9+ with the same plan. Cosine is rounded to 4 dp before the
@@ -518,6 +539,10 @@ def semantic_dedup(spark, sf_dir):
 
     Tier choice: README "Choosing a dedup tier" decision table.
     """
+    return semantic_dedup_table(spark, sf_dir)
+
+
+def _semantic_dedup_build(spark, sf_dir):
     from .similarity_q import ivf_cells_table
 
     emb = load_table(spark, sf_dir, "embeddings")

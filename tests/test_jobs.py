@@ -253,8 +253,11 @@ def test_build_corpus_artifacts_counts(spark):
         "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
         "pq_res_codes", "ivfpq_res_index",
         "ppjoin_pairs", "inverted_index", "textrank_keywords",
-        "ngram_pairs",
+        "ngram_pairs", "semdedup",
     }
+    assert counts["semdedup"] == spark.read.parquet(
+        f"{SF}/embeddings.parquet"
+    ).count()
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert counts["cluster_labels"] == n_docs
