@@ -343,6 +343,9 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
 
     counts["ngram_pairs"] = ngram_pairs_table(spark, sf_dir).count()
     counts["semdedup"] = semantic_dedup_table(spark, sf_dir).count()
+    from .queries.sketch_q import cms_daily_zone_table
+
+    counts["cms_daily_zone"] = cms_daily_zone_table(spark, sf_dir).count()
     return counts
 
 

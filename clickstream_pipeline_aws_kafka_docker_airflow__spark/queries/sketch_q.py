@@ -139,6 +139,47 @@ GROUP BY p.key, p.n
 """
 
 
+def cms_daily_zone_table(spark, sf_dir):
+    """Materialized daily CMS zone (dt, s, b, cnt) — the batch twin of
+    the streaming zone (streaming/cms_zone.py): one {CMSZ_D}x{CMSZ_W}
+    integer sketch per day, built once per snapshot; range queries
+    merge zone cells and never re-scan raw history."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.dedup import token_hash32_sql
+
+    def _build():
+        e = load_table(spark, sf_dir, "events").where(
+            (F.col("ts") >= F.lit(CMSZ_START).cast("timestamp"))
+            & (F.col("ts") < F.lit(CMSZ_END).cast("timestamp"))
+        )
+        ev = e.select(
+            F.to_date("ts").alias("dt"),
+            F.col("user_id").cast("string").alias("key"),
+        )
+        counts = ev.groupBy("dt", "key").agg(F.count(F.lit(1)).alias("n"))
+        rows = counts.select(
+            "dt",
+            F.explode(F.sequence(F.lit(0), F.lit(CMSZ_D - 1))).alias("s"),
+            "key",
+            "n",
+        ).withColumn(
+            "b",
+            F.expr(token_hash32_sql("CONCAT(CAST(s AS STRING), '|', key)"))
+            % CMSZ_W,
+        )
+        return rows.groupBy("dt", "s", "b").agg(F.sum("n").alias("cnt"))
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        "cms_daily_zone",
+        _build,
+        params=f"d{CMSZ_D}w{CMSZ_W}:{CMSZ_START}:{CMSZ_END}",
+    )
+
+
 @register("cms_range_topk", oracle=_cms_range_oracle())
 def cms_range_topk(spark, sf_dir):
     """Range heavy hitters from a mergeable DAILY count-min zone — the
@@ -150,10 +191,13 @@ def cms_range_topk(spark, sf_dir):
     asserted by the oracle.
 
     Scale: serving a range costs O(days * D * W) sketch cells, never a
-    raw re-scan; the zone is integer cells, so the whole chain — build,
-    merge, probe — is bit-deterministic and fully value-hash-checked
-    (unlike the engine-specific HLL registers, which need the
-    error-band contract)."""
+    raw re-scan — the zone is the MATERIALIZED ``cms_daily_zone_table``
+    artifact (built once per snapshot, exactly as the streaming zone
+    persists per-day layers); only the exact-count verification side of
+    the contract touches raw events. Integer cells, so the whole chain
+    — build, merge, probe — is bit-deterministic and fully
+    value-hash-checked (unlike the engine-specific HLL registers,
+    which need the error-band contract)."""
     from ..operators.dedup import token_hash32_sql
 
     e = load_table(spark, sf_dir, "events").where(
@@ -163,17 +207,7 @@ def cms_range_topk(spark, sf_dir):
     ev = e.select(
         F.to_date("ts").alias("dt"), F.col("user_id").cast("string").alias("key")
     )
-    counts = ev.groupBy("dt", "key").agg(F.count(F.lit(1)).alias("n"))
-    rows = counts.select(
-        "dt",
-        F.explode(F.sequence(F.lit(0), F.lit(CMSZ_D - 1))).alias("s"),
-        "key",
-        "n",
-    ).withColumn(
-        "b",
-        F.expr(token_hash32_sql("CONCAT(CAST(s AS STRING), '|', key)")) % CMSZ_W,
-    )
-    daily = rows.groupBy("dt", "s", "b").agg(F.sum("n").alias("cnt"))
+    daily = cms_daily_zone_table(spark, sf_dir)
     merged = daily.groupBy("s", "b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     topk = exact.orderBy(F.col("n").desc(), "key").limit(CMSZ_K)
