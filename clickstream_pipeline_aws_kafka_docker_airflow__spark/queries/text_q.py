@@ -285,35 +285,52 @@ def repetition_score(spark, sf_dir):
     template, or boilerplate padding. Score and flag are pure integer
     arithmetic (permille with integer division, cross-multiplied flag).
 
-    Scale: both aggregations key on doc_id (the second reuses the
-    first's partitioning); gram strings never leave their partition
-    except inside the (doc_id, gram) rollup, whose key cardinality is
-    the document's own vocabulary — no global hot keys, unlike a
-    corpus-wide gram count.
+    Scale: a per-document metric must not shuffle the corpus — the max
+    gram multiplicity is the longest run in the doc's SORTED gram
+    array, computed by a Catalyst fold inside one projection. The
+    whole query is scan + project: zero exchanges, zero explode (an
+    earlier two-groupBy formulation shuffled every gram string twice;
+    at 100 TB that is the difference between embarrassingly parallel
+    and shuffling the corpus — plan pinned in tests/test_plans_r5.py).
+    The "" fold seed can never equal a real gram (tokens from
+    splitting trimmed non-empty text are non-empty).
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).where(F.size("t") >= REP_N)
-    grams = base.select(
-        "doc_id",
-        F.explode(
+    grams = F.expr(
+        f"array_sort(transform(sequence(1, size(t) - {REP_N - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {REP_N}))))"
+    )
+    top = F.expr(
+        "aggregate("
+        "  _grams,"
+        "  named_struct('prev', '', 'run', CAST(0 AS BIGINT),"
+        "               'best', CAST(0 AS BIGINT)),"
+        "  (acc, x) -> named_struct("
+        "    'prev', x,"
+        "    'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),"
+        "    'best', GREATEST(acc.best,"
+        "            IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),"
+        "  acc -> acc.best)"
+    )
+    return (
+        base.select("doc_id", grams.alias("_grams"))
+        .select(
+            "doc_id",
+            F.size("_grams").cast("bigint").alias("n_grams"),
+            top.alias("top_gram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "top_gram_count",
+            F.expr("top_gram_count * 1000 div n_grams").alias("rep_permille"),
             F.expr(
-                f"transform(sequence(1, size(t) - {REP_N - 1}), "
-                f"i -> concat_ws(' ', slice(t, i, {REP_N})))"
-            )
-        ).alias("gram"),
-    )
-    per_gram = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return per_gram.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.max("c").alias("top_gram_count"),
-        F.expr("MAX(c) * 1000 div SUM(c)").alias("rep_permille"),
-        F.expr(f"MAX(c) * 1000 >= {REP_PERMILLE_FLAG} * SUM(c)").alias(
-            "is_repetitive"
-        ),
+                f"top_gram_count * 1000 >= {REP_PERMILLE_FLAG} * n_grams"
+            ).alias("is_repetitive"),
+        )
     )
 
 

@@ -47,6 +47,16 @@ def test_ann_serving_keeps_query_state_broadcast(spark):
         assert f.sortmerge_joins == 0, (name, f.text)
 
 
+def test_repetition_score_is_shuffle_free(spark):
+    """A per-document metric must not shuffle the corpus: the max gram
+    multiplicity comes from a sorted-array run-length fold inside one
+    projection — scan + project, zero exchanges (the earlier
+    two-groupBy spelling shuffled every gram string twice)."""
+    f = plan_facts(_Q["repetition_score"](spark, SF_SMOKE))
+    assert f.exchanges == 0, f.text
+    assert f.python_evals == 0
+
+
 def test_query_vector_slice_collected_once_per_plan(spark):
     """collect_query_vectors memoizes per (application, plan, n): two
     calls against the same corpus DataFrame must hit the cache (one
