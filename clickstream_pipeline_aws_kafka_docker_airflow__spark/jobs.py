@@ -346,6 +346,9 @@ def run_build_corpus_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, in
     from .queries.sketch_q import cms_daily_zone_table
 
     counts["cms_daily_zone"] = cms_daily_zone_table(spark, sf_dir).count()
+    from .queries.dedup_q import simhash_pairs_table
+
+    counts["simhash_pairs"] = simhash_pairs_table(spark, sf_dir).count()
     return counts
 
 

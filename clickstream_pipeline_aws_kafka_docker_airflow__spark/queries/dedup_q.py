@@ -334,20 +334,43 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def simhash_pairs_table(spark, sf_dir):
+    """Materialized SimHash near-dup pair table — the banded-blocking
+    detector's output, built once per snapshot from the fingerprint
+    artifact like its MinHash/exact-Jaccard siblings; consumers read
+    the pair list."""
+    import os
+
+    from ..operators.artifacts import materialized
+    from ..operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_ND_BITS,
+        simhash_near_dup,
+    )
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "simhash_pairs",
+        lambda: simhash_near_dup(
+            load_table(spark, sf_dir, "documents"),
+            fps=simhash_fps_table(spark, sf_dir, SIMHASH_ND_BITS),
+        ),
+        params=f"b{SIMHASH_ND_BITS}x{SIMHASH_BANDS}h{SIMHASH_MAX_HAMMING}",
+    )
+
+
 @register("simhash_near_dup", oracle=_simhash_near_dup_oracle())
 def simhash_near_dup_q(spark, sf_dir):
     """ext_dedup_near (SimHash variant): banded fingerprint blocking —
     with n_bands > max_hamming any within-distance pair collides on at
     least one band (pigeonhole), so candidates have full recall and the
     exact popcount verify has zero false positives. Completes the
-    SimHash path from fingerprint-only to end-to-end pairing. Reads
-    the materialized wide-fingerprint artifact (simhash_fps_table)."""
-    from ..operators.dedup import SIMHASH_ND_BITS, simhash_near_dup
-
-    return simhash_near_dup(
-        load_table(spark, sf_dir, "documents"),
-        fps=simhash_fps_table(spark, sf_dir, SIMHASH_ND_BITS),
-    )
+    SimHash path from fingerprint-only to end-to-end pairing. Served
+    from the MATERIALIZED pair table (simhash_pairs_table), itself
+    built from the wide-fingerprint artifact (simhash_fps_table)."""
+    return simhash_pairs_table(spark, sf_dir)
 
 
 def _ngram_jaccard_oracle() -> str:

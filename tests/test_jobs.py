@@ -253,7 +253,7 @@ def test_build_corpus_artifacts_counts(spark):
         "pq_codes", "ivf_centroids", "ivf_cells", "ivfpq_index",
         "pq_res_codes", "ivfpq_res_index",
         "ppjoin_pairs", "inverted_index", "textrank_keywords",
-        "ngram_pairs", "semdedup", "cms_daily_zone",
+        "ngram_pairs", "semdedup", "cms_daily_zone", "simhash_pairs",
     }
     assert counts["semdedup"] == spark.read.parquet(
         f"{SF}/embeddings.parquet"
