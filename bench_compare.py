@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -66,8 +67,19 @@ def main() -> None:
     # engines (measured: time_arith_suite 6.1 s late-run vs 0.17 s
     # isolated, DuckDB side 1.6 s vs 0.12 s). Capping DuckDB keeps
     # per-query numbers position-independent — the honest-methodology
-    # fix for the compare-vs-driver-bench gap.
-    con.sql("SET memory_limit='16GB'")
+    # fix for the compare-vs-driver-bench gap. The cap is RAM-relative
+    # (min(16GB, 25% of host RAM), env-overridable) so on small hosts
+    # it never RAISES DuckDB's own 80%-of-RAM default.
+    cap = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if cap is None:
+        try:
+            ram_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) / (1 << 30)
+            cap = f"{max(1, min(16, int(ram_gb * 0.25)))}GB"
+        except (ValueError, OSError):
+            cap = "4GB"
+    con.sql(f"SET memory_limit='{cap}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -96,6 +108,32 @@ def main() -> None:
     # — measured as an alphabetically-contiguous 2-3x band that moved
     # between runs. Interleaving puts each query's samples minutes
     # apart, and the min shakes the window out.
+    # COLD pass first: wipe the artifact root once, run every query in
+    # order, and record which queries trigger artifact BUILDS plus the
+    # build-inclusive wall. The warm passes below then measure the
+    # serve path (min across passes); reporting both makes the JSON
+    # self-describing — an artifact-served query's warm ratio compares
+    # a table read against the oracle's full recompute, and the cold
+    # number is what a first run actually costs.
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators import (
+        artifacts,
+    )
+
+    shutil.rmtree(artifacts.ARTIFACT_ROOT, ignore_errors=True)
+    shutil.rmtree("/tmp/spark_graft_quantizers", ignore_errors=True)
+    s_cold: dict[str, float] = {}
+    build_sec: dict[str, dict[str, float]] = {}
+    for name in names:
+        artifacts.BUILD_WALLS.clear()
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        wall = time.perf_counter() - t0
+        if artifacts.BUILD_WALLS:
+            s_cold[name] = wall
+            build_sec[name] = {
+                k: round(v, 4) for k, v in artifacts.BUILD_WALLS.items()
+            }
+
     s_best = {n: float("inf") for n in names}
     d_best = {n: float("inf") for n in names}
     for _ in range(N_RUNS):
@@ -107,14 +145,20 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(osql[name]).fetchall()
             d_best[name] = min(d_best[name], time.perf_counter() - t0)
-    rows = {
-        name: {
+    rows = {}
+    for name in names:
+        row = {
             "spark": round(s_best[name], 4),
             "duckdb": round(d_best[name], 4),
             "ratio": round(s_best[name] / d_best[name], 3),
         }
-        for name in names
-    }
+        if name in s_cold:
+            # build-inclusive first-run wall + per-artifact build cost;
+            # "spark"/"ratio" above are the warm serve path
+            row["spark_cold"] = round(s_cold[name], 4)
+            row["artifact_build_sec"] = build_sec[name]
+            row["ratio_cold"] = round(s_cold[name] / d_best[name], 3)
+        rows[name] = row
 
     s_total = round(sum(r["spark"] for r in rows.values()), 4)
     d_total = round(sum(r["duckdb"] for r in rows.values()), 4)

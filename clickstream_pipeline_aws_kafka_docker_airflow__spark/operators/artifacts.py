@@ -21,8 +21,15 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Seconds spent BUILDING artifacts since last reset, keyed by artifact
+#: name. bench_compare reads this to report build-inclusive walls for
+#: artifact-served queries (a warm read vs the oracle's full recompute
+#: is otherwise an apples-to-oranges per-query ratio).
+BUILD_WALLS: dict[str, float] = {}
 
 # Per-user root, created 0o700: a predictable world-writable /tmp path
 # would let any local user pre-plant a directory that the reader below
@@ -69,6 +76,7 @@ def materialized(
     os.makedirs(ARTIFACT_ROOT, mode=0o700, exist_ok=True)
     path = os.path.join(ARTIFACT_ROOT, artifact_key(src_path, name, params))
     if not _complete(path):
+        t0 = time.perf_counter()
         tmp = f"{path}.tmp-{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)
         try:
@@ -89,4 +97,7 @@ def materialized(
                             "complete nor replaceable"
                         )
             shutil.rmtree(tmp, ignore_errors=True)
+        BUILD_WALLS[name] = BUILD_WALLS.get(name, 0.0) + (
+            time.perf_counter() - t0
+        )
     return spark.read.parquet(path)

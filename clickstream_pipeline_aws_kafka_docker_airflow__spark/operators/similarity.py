@@ -37,6 +37,33 @@ def _fold_sq(coords: list[float]) -> float:
 
 
 _QV_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+_QV_CACHE_MAX = 32
+
+
+def _source_fingerprint(df: "DataFrame") -> tuple:
+    """Identity of the DATA behind a plan, not just the plan.
+
+    ``semanticHash`` covers the logical plan (source path + projection)
+    but not the bytes at that path — parquet rewritten in place within
+    one Spark application would otherwise serve stale cached vectors.
+    Fold in (path, mtime_ns, size) per input file, the same identity
+    ``artifacts.artifact_key`` uses for on-disk artifacts."""
+    import os
+
+    out = []
+    for f in sorted(df.inputFiles()):
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
+def clear_query_vector_cache() -> None:
+    """Drop every cached query-vector slice (test / invalidation hook)."""
+    _QV_CACHE.clear()
 
 
 def collect_query_vectors(
@@ -50,15 +77,19 @@ def collect_query_vectors(
     is exact, so downstream driver-side folds see the same values the
     in-plan expressions would.
 
-    Cached per (application, plan identity, n): seven ANN/similarity
-    queries collect the same bounded slice — re-running the scan job
-    per query is pure fixed cost. ``semanticHash`` keys on the logical
-    plan (source path + projection), and the applicationId guard keeps
-    a restarted session from serving a stopped context's rows."""
+    Cached per (application, plan identity, source-file identity, n):
+    seven ANN/similarity queries collect the same bounded slice —
+    re-running the scan job per query is pure fixed cost.
+    ``semanticHash`` keys on the logical plan (source path +
+    projection); ``_source_fingerprint`` adds per-file (mtime, size) so
+    parquet rewritten at the same path invalidates; the applicationId
+    guard keeps a restarted session from serving a stopped context's
+    rows. Bounded FIFO (``_QV_CACHE_MAX``) for long-lived sessions."""
     try:
         key = (
             emb.sparkSession.sparkContext.applicationId,
             emb.semanticHash(),
+            _source_fingerprint(emb),
             n_queries,
         )
     except Exception:
@@ -74,6 +105,8 @@ def collect_query_vectors(
         .collect()
     )
     if key is not None:
+        while len(_QV_CACHE) >= _QV_CACHE_MAX:
+            _QV_CACHE.pop(next(iter(_QV_CACHE)))
         _QV_CACHE[key] = out
     return out
 

@@ -478,7 +478,9 @@ def mad_outliers(spark, sf_dir):
     hist = (
         cents.groupBy("event_type", "c")
         .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint()
+        # eager=False: plan-only callers (explain contracts, dtype-audit
+        # plan walks) pay nothing; the first ACTION materializes it.
+        .localCheckpoint(eager=False)
     )
 
     def med2_from_hist(h, val):
@@ -516,7 +518,7 @@ def mad_outliers(spark, sf_dir):
         )
         .groupBy("event_type", "med2", "d")
         .agg(F.sum("k").alias("k"))
-        .localCheckpoint()  # referenced twice below (MAD + final re-agg)
+        .localCheckpoint(eager=False)  # referenced twice below (MAD + final re-agg)
     )
     madt = med2_from_hist(dev_hist, "d").withColumnRenamed("med2", "mad4")
     return (

@@ -207,8 +207,17 @@ def ff_schedule(
     if n_target > 0:
         step_us = _div_round_half_even(duration_us, n_target)
     else:
+        import datetime as dt
+
         r = rate if rate and rate > 0 else 1.0
-        step_us = round(1_000_000 / r)  # timedelta(seconds=1/r) rounding
+        # Literally the reference's rounding path: construct
+        # timedelta(seconds=1/r) (which rounds the float seconds to
+        # whole microseconds internally, round-half-even) and read the
+        # microsecond count back out — bit-exact for ANY rate, where
+        # round(1_000_000 / r) could differ by 1 µs in last-ulp cases.
+        step_us = dt.timedelta(seconds=1.0 / r) // dt.timedelta(
+            microseconds=1
+        )
     step_us = max(step_us, 1)
     n_events = -(-duration_us // step_us)  # ceil: `while t < end`
     return step_us, n_events

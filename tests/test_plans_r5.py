@@ -77,4 +77,60 @@ def test_query_vector_slice_collected_once_per_plan(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert again == first
     assert after == before, "cache miss ran a Spark job"
-    assert any(k[2] == 5 for k in _QV_CACHE), "slice not memoized"
+    assert any(k[-1] == 5 for k in _QV_CACHE), "slice not memoized"
+
+
+def test_query_vector_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting the parquet at the SAME path within one application
+    must not serve stale vectors: the cache key folds in per-file
+    (mtime_ns, size), so a rewrite is a different key (r5 advisor)."""
+    import shutil as _sh
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import (
+        load_table,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.similarity import (
+        _QV_CACHE,
+        clear_query_vector_cache,
+        collect_query_vectors,
+    )
+
+    src = f"{SF_SMOKE}/embeddings.parquet"
+    dst = str(tmp_path / "embeddings.parquet")
+    _sh.copytree(src, dst) if __import__("os").path.isdir(src) else _sh.copy(
+        src, dst
+    )
+    clear_query_vector_cache()
+    first = collect_query_vectors(spark.read.parquet(dst), 3)
+    n_keys = len(_QV_CACHE)
+
+    # rewrite in place: drop the first vector so the slice changes
+    rewritten = (
+        spark.read.parquet(dst).where("vec_id >= 1").toPandas()
+    )
+    import pandas as pd  # noqa: F401
+
+    spark.createDataFrame(rewritten).write.mode("overwrite").parquet(dst)
+
+    second = collect_query_vectors(spark.read.parquet(dst), 3)
+    assert len(_QV_CACHE) > n_keys, "rewrite did not change the cache key"
+    assert [i for i, _ in second] == [1, 2], second
+    assert [i for i, _ in first] == [0, 1, 2], first
+    clear_query_vector_cache()
+
+
+def test_query_vector_cache_is_bounded(spark):
+    """FIFO bound: the cache never grows past _QV_CACHE_MAX entries."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import (
+        load_table,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators import (
+        similarity as sim,
+    )
+
+    sim.clear_query_vector_cache()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for n in range(1, sim._QV_CACHE_MAX + 5):
+        sim.collect_query_vectors(emb, n)
+    assert len(sim._QV_CACHE) <= sim._QV_CACHE_MAX
+    sim.clear_query_vector_cache()
