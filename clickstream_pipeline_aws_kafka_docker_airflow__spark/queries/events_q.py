@@ -86,29 +86,20 @@ GROUP BY user_id, session_idx
 """,
 )
 def sessionize_30min(spark, sf_dir):
-    """Gap-based sessionization (ext_sessionize): lag + cumulative-sum of
-    gap flags. Scale note: one shuffle on user_id; the two analytic
-    functions and the final groupBy(user_id, session_idx) all reuse the
-    same hash partitioning, so Catalyst plans a single exchange."""
+    """Gap-based sessionization (ext_sessionize): lag + cumulative-sum
+    of gap flags (operators/sessionize.py). Default ``direct`` mode is
+    one shuffle on user_id with the analytic functions and the final
+    groupBy reusing the same hash partitioning (single exchange);
+    SPARK_GRAFT_SESSIONIZE_MODE=two_phase flips to the skew-proof
+    bucketed variant (identical values — same oracle, see
+    docs/SKEW_PROBE.json for the hot-key evidence)."""
+    import os
+
+    from ..operators.sessionize import sessionize
+
     e = load_table(spark, sf_dir, "events")
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(order)
-    new_s = F.when(
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
-    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        e.withColumn("new_s", new_s)
-        .withColumn("session_idx", F.sum("new_s").over(cum))
-        .groupBy("user_id", "session_idx")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-    )
+    mode = os.environ.get("SPARK_GRAFT_SESSIONIZE_MODE", "direct")
+    return sessionize(e, SESSION_GAP_US, mode=mode)
 
 
 @register(

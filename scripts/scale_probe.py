@@ -518,7 +518,143 @@ def probe_dedup(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup}
+# ---------------------------------------------------------------------------
+# skew probe: hot-key sessionization, direct vs two-phase
+
+
+def _stages_snapshot(spark) -> set[tuple[int, int]]:
+    import urllib.request
+
+    try:
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"http://localhost:{port}/api/v1/applications/{app}/stages"
+        ) as r:
+            return {(s["stageId"], s["attemptId"]) for s in json.load(r)}
+    except Exception:
+        return set()
+
+
+def _heaviest_stage_tasks(spark, before: set) -> dict | None:
+    """Per-task wall + shuffle-read distribution (median / max) of the
+    heaviest-shuffle-read stage completed since ``before`` — the window
+    stage under test. The max/median ratio IS the straggler factor."""
+    import urllib.request
+
+    try:
+        port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        app = spark.sparkContext.applicationId
+        base = f"http://localhost:{port}/api/v1/applications/{app}"
+        with urllib.request.urlopen(f"{base}/stages") as r:
+            stages = json.load(r)
+        new = [
+            s
+            for s in stages
+            if (s["stageId"], s["attemptId"]) not in before
+            and s.get("status") == "COMPLETE"
+        ]
+        if not new:
+            return None
+        s = max(new, key=lambda s: s.get("shuffleReadBytes", 0))
+        url = (
+            f"{base}/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+            "?quantiles=0.5,1.0"
+        )
+        with urllib.request.urlopen(url) as r:
+            q = json.load(r)
+        run_med, run_max = q["executorRunTime"]
+        rd_med, rd_max = q["shuffleReadMetrics"]["readBytes"]
+        return {
+            "n_tasks": s.get("numCompleteTasks"),
+            "task_wall_med_s": round(run_med / 1000, 2),
+            "task_wall_max_s": round(run_max / 1000, 2),
+            "task_read_med_mb": round(rd_med / 1e6, 1),
+            "task_read_max_mb": round(rd_max / 1e6, 1),
+            "straggler_factor": round(run_max / max(run_med, 1), 1),
+        }
+    except Exception:
+        return None
+
+
+def _skewed_events(spark, d: str, n: int, hot_share: float = 0.2) -> str:
+    """n synthetic events over 30 days where ONE user ('bot') owns
+    ``hot_share`` of all rows — the bot-grade hot key. Pure codegen
+    (range + hash), written to parquet so every measured run starts
+    from the same scan."""
+    span_us = DAYS * 86_400_000_000
+    path = f"{d}/skew_{n}"
+    every = int(round(1 / hot_share))
+    (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % every == 0, F.lit("bot"))
+            .otherwise(
+                F.concat(
+                    F.lit("u_"),
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)).cast(
+                        "string"
+                    ),
+                )
+            )
+            .alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_756_684_800_000_000)  # 2025-09-01 UTC
+                + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(span_us))
+            ).alias("ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def probe_skew(spark) -> dict:
+    """Hot-key sessionization at 1x and 10x: a single user owns 20% of
+    all events. ``direct`` (window on user_id) funnels that user's
+    whole history through ONE task — its max-task wall and shuffle read
+    grow linearly with scale while the median stays flat (unbounded
+    straggler). ``two_phase`` (operators/sessionize.py) windows on
+    (user_id, day-bucket) then merges bounded per-user session lists —
+    max-task stays within a small factor of the median at both scales.
+    Both paths return identical rows (asserted here at 1x, fuzzed +
+    oracle-checked in tests)."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.sessionize import (
+        sessionize_direct,
+        sessionize_two_phase,
+    )
+
+    d = tempfile.mkdtemp(prefix="probe_skew_")
+    out: dict = {"probe": "skew", "hot_user_share": 0.2, "days": DAYS}
+    n1 = N_EVENTS  # 10M
+    for tag, n in (("x1", n1), ("x10", n1 * 10)):
+        path = _skewed_events(spark, d, n)
+        e = spark.read.parquet(path)
+        row: dict = {"n_events": n}
+        for mode, fn in (
+            ("direct", lambda df: sessionize_direct(df)),
+            ("two_phase", lambda df: sessionize_two_phase(df)),
+        ):
+            before = _stages_snapshot(spark)
+            t0 = time.perf_counter()
+            fn(e).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 2)
+            m = _heaviest_stage_tasks(spark, before) or {}
+            row[mode] = {"wall_s": wall, **m}
+        if tag == "x1":
+            a = sessionize_direct(e).groupBy().agg(
+                F.count(F.lit(1)), F.sum("n_events"), F.max("session_idx")
+            ).collect()
+            b = sessionize_two_phase(e).groupBy().agg(
+                F.count(F.lit(1)), F.sum("n_events"), F.max("session_idx")
+            ).collect()
+            row["digests_match"] = a == b
+        out[tag] = row
+    return out
+
+
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew}
 
 
 def _probe_spark():
@@ -550,7 +686,17 @@ def main() -> None:
     names = list(PROBES) if which == "all" else [which]
     spark = _probe_spark()
     for n in names:
-        print(json.dumps(PROBES[n](spark)), flush=True)
+        out = PROBES[n](spark)
+        print(json.dumps(out), flush=True)
+        if n == "skew":
+            # committed evidence artifact (r5 verdict item 1)
+            p = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "docs",
+                "SKEW_PROBE.json",
+            )
+            with open(p, "w") as f:
+                json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
