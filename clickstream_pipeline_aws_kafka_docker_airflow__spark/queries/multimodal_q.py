@@ -12,7 +12,8 @@ from ..io import load_table
 from ..operators.multimodal import (
     HIST_BUCKETS,
     attach_fake_media,
-    extract_media_meta,
+    attach_forged_media,
+    extract_decoded_meta,
     frame_sample_stub,
     media_byte_histogram,
 )
@@ -26,28 +27,54 @@ SELECT media_type,
        COUNT(*) AS n_assets,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        {dec_avg_trunc4_sql("width", "//")} AS avg_width,
-       {dec_avg_trunc4_sql("height", "//")} AS avg_height
+       {dec_avg_trunc4_sql("height", "//")} AS avg_height,
+       {dec_avg_trunc4_sql("sample_rate", "//")} AS avg_sample_rate,
+       CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames
 FROM (
+    -- closed form of the forged containers (operators/multimodal.py):
+    -- BMP: 54-byte headers + h rows padded to 4 bytes; WAV: 44-byte
+    -- headers + text bytes padded to even; VID0: 12-byte header +
+    -- f identical BMP frames
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                            ELSE 'video' END AS media_type,
-           strlen(text) AS n_bytes,
-           64 + (strlen(text) % 577) AS width,
-           64 + (strlen(text) * 31) % 391 AS height
+           CASE doc_id % 3
+             WHEN 0 THEN 54 + (3 + doc_id % 17)
+                         * (((3 * (4 + doc_id % 29) + 3) // 4) * 4)
+             WHEN 1 THEN 44 + strlen(text) + strlen(text) % 2
+             ELSE 12 + (1 + doc_id % 4)
+                  * (54 + (3 + doc_id % 17)
+                     * (((3 * (4 + doc_id % 29) + 3) // 4) * 4))
+           END AS n_bytes,
+           CASE WHEN doc_id % 3 <> 1 THEN 4 + doc_id % 29 END AS width,
+           CASE WHEN doc_id % 3 <> 1 THEN 3 + doc_id % 17 END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1
+                THEN (strlen(text) + strlen(text) % 2) // 2 END AS n_samples,
+           CASE doc_id % 3 WHEN 0 THEN 1
+                           WHEN 2 THEN 1 + doc_id % 4 END AS n_frames
     FROM documents
 )
 GROUP BY media_type
 """,
 )
 def multimodal_meta(spark, sf_dir):
-    """documents -> forged binary media -> mapInPandas metadata ->
-    per-type aggregate."""
-    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
-    meta = extract_media_meta(media)
+    """documents -> forge VALID BMP/WAV/VID0 payloads -> REAL header
+    decode (mapInPandas) -> per-type aggregate. The Spark side round
+    trips through the actual container bytes; the oracle recomputes
+    every decoded field in closed form from (doc_id, strlen) — a
+    one-byte forger/parser disagreement breaks the hash match."""
+    media = attach_forged_media(load_table(spark, sf_dir, "documents"))
+    meta = extract_decoded_meta(media)
     return meta.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("n_bytes").alias("total_bytes"),
         dec_avg_trunc4("width").alias("avg_width"),
         dec_avg_trunc4("height").alias("avg_height"),
+        dec_avg_trunc4("sample_rate").alias("avg_sample_rate"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("n_frames").alias("total_frames"),
     )
 
 

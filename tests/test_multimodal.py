@@ -44,3 +44,72 @@ def test_histogram_counts_sum_to_length(spark):
     assert rows
     for r in rows:
         assert sum(r[f"c{j}"] for j in range(16)) == r["n_bytes"]
+
+
+def test_decode_real_round_trips_forged_containers(spark):
+    """The decoder reads back EXACTLY the geometry the forger encoded —
+    over every doc in the smoke table, all three container types."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        attach_forged_media,
+        decode_real,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    media = attach_forged_media(docs).collect()
+    assert len(media) == docs.count()
+    seen = set()
+    for r in media:
+        d = r["doc_id"]
+        got = decode_real(bytes(r["media"]), r["media_type"])
+        seen.add(r["media_type"])
+        if r["media_type"] == "image":
+            assert got == {
+                "width": 4 + d % 29, "height": 3 + d % 17, "n_frames": 1
+            }
+        elif r["media_type"] == "audio":
+            assert got["sample_rate"] == 8000 + (d % 8) * 1000
+        else:
+            assert got["n_frames"] == 1 + d % 4
+            assert (got["width"], got["height"]) == (4 + d % 29, 3 + d % 17)
+    assert seen == {"image", "audio", "video"}
+
+
+def test_decode_real_rejects_garbage():
+    import pytest
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        decode_real,
+    )
+
+    for t in ("image", "audio", "video"):
+        with pytest.raises(ValueError):
+            decode_real(b"\x00" * 64, t)
+
+
+def test_forged_bmp_is_spec_valid():
+    """Byte-level BMP invariants a third-party viewer relies on: magic,
+    pixel offset 54, declared file size == len, row padding to 4."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        _bmp_bytes,
+    )
+
+    for w, h, fill in ((5, 3, b"abcdef"), (4, 17, b""), (32, 1, b"\xff")):
+        b = _bmp_bytes(w, h, fill)
+        assert b[:2] == b"BM"
+        assert int.from_bytes(b[2:6], "little") == len(b)
+        assert int.from_bytes(b[10:14], "little") == 54
+        rowsize = ((3 * w + 3) // 4) * 4
+        assert len(b) == 54 + h * rowsize
+        assert rowsize % 4 == 0
+
+
+def test_forged_wav_is_spec_valid():
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        _wav_bytes,
+        decode_real,
+    )
+
+    b = _wav_bytes(11000, b"abc")  # odd payload -> padded to 4
+    assert int.from_bytes(b[4:8], "little") == len(b) - 8  # RIFF size
+    got = decode_real(b, "audio")
+    assert got == {"sample_rate": 11000, "n_samples": 2}
