@@ -18,8 +18,77 @@ classpath in a real deployment (--packages org.apache.spark:spark-sql-kafka-0-10
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 DEFAULT_TOPIC = "clickstream.events"  # produce_events.py:10
+
+#: The EXACT frame `spark.read/readStream.format("kafka").load()`
+#: emits (KafkaRecordToRowConverter in spark-sql-kafka-0-10): field
+#: names, types, and order are fixed by the connector, not by us.
+#: Everything downstream (consume_projection, the recorded-segment
+#: fixture, the ingest tests) is pinned to this schema so a stand-in
+#: frame cannot drift from what a real broker read would deliver.
+KAFKA_SOURCE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+#: Same with `includeHeaders=true` — headers append as the 8th field.
+KAFKA_SOURCE_SCHEMA_HEADERS = StructType(
+    KAFKA_SOURCE_SCHEMA.fields
+    + [
+        StructField(
+            "headers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("key", StringType()),
+                        StructField("value", BinaryType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def consume_projection(raw: DataFrame) -> DataFrame:
+    """First projection over the Kafka source frame: utf-8 decode the
+    value bytes, keep the event metadata (topic/partition/offset/
+    broker timestamp) the downstream ingest partitions and audits by.
+    Raises AnalysisException immediately if ``raw`` does not carry the
+    connector's frame — the guard that keeps file-source stand-ins
+    honest."""
+    got = {f.name: f.dataType for f in raw.schema.fields}
+    for f in KAFKA_SOURCE_SCHEMA.fields:
+        if got.get(f.name) != f.dataType:
+            raise TypeError(
+                f"not a Kafka source frame: field {f.name!r} is "
+                f"{got.get(f.name)}, connector emits {f.dataType}"
+            )
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
 
 
 def kafka_source_options(
