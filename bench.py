@@ -46,11 +46,16 @@ def main() -> None:
     # back-to-back repeats can both land in one; interleaving puts a
     # query's samples minutes apart and the min shakes the window out.
     times: dict[str, float] = {}
+    jobs: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for _ in range(N_RUNS):
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for i in range(N_RUNS):
         for name in sorted(qs):
             if name in errors:
                 continue
+            group = f"bench:{name}:{i}"
+            sc.setJobGroup(group, name)
             try:
                 t0 = time.perf_counter()
                 _force(qs[name](spark, sf_dir))
@@ -58,8 +63,17 @@ def main() -> None:
             except Exception as ex:  # noqa: BLE001 — isolate, record, continue
                 errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
                 times.pop(name, None)
+                jobs.pop(name, None)
                 continue
+            finally:
+                sc._jsc.sc().clearJobGroup()
             times[name] = round(min(times.get(name, float("inf")), t), 4)
+            # warm-path job count (min across passes): with a ~0.2 s
+            # fixed cost per local job, job count IS the local cost
+            # model — recorded so regressions show up as integers, not
+            # as noise-prone wall-clock drift
+            n_jobs = len(tracker.getJobIdsForGroup(group) or [])
+            jobs[name] = min(jobs.get(name, 1 << 30), n_jobs)
 
     total = round(sum(times.values()), 4)
     out = {
@@ -72,6 +86,23 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+    # Self-reported per-round artifact: the same numbers plus per-query
+    # job counts, written where the driver's truncated stdout tail
+    # can't lose them. Round index = next after the committed BENCH_r*.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = f"{(max(prior) + 1) if prior else 1:02d}"
+    self_path = os.path.join(here, f"BENCH_SELF_r{rnd}.json")
+    with open(self_path, "w") as f:
+        json.dump({**out, "jobs": jobs, "n_runs": N_RUNS}, f, indent=1)
+    print(f"wrote {self_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -391,6 +391,22 @@ def run_healthcheck(spark: SparkSession, raw_path: str, lookback_minutes: int = 
         )
 
 
+def _delete_partition_dirs(
+    spark: SparkSession,
+    zone_path: str,
+    tuples: list[tuple],
+    partition_cols: tuple[str, ...],
+) -> None:
+    """Delete partition directories by tuple — the GC tail of
+    :func:`run_user_erasure`, a seam the crash-injection tests patch."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for tup in tuples:
+        seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, tup))
+        p = jvm.org.apache.hadoop.fs.Path(f"{zone_path}/{seg}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def run_user_erasure(
     spark: SparkSession,
     zone_path: str,
@@ -464,12 +480,12 @@ def run_user_erasure(
     cleared = [
         tup for tup in affected if tuple(str(v) for v in tup) not in surviving_parts
     ]
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for tup in cleared:
-        seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, tup))
-        p = jvm.org.apache.hadoop.fs.Path(f"{zone_path}/{seg}")
-        p.getFileSystem(hconf).delete(p, True)
+    # ---- commit point passed (dynamic overwrite replaced every
+    # partition with survivors); clearing the all-erased dirs below is
+    # re-runnable cleanup — a crash in this window leaves those
+    # partitions' old files visible, and a re-run's probe finds the
+    # same users again and converges (tests/test_lifecycle.py).
+    _delete_partition_dirs(spark, zone_path, cleared, partition_cols)
     return {
         "rows_erased": n_before - n_after,
         "partitions_rewritten": len(affected) - len(cleared),

@@ -1,0 +1,51 @@
+"""Job-count regression pins for the most expensive bench queries.
+
+Locally every Spark job costs a fixed ~0.2 s of scheduling + commit
+before any data moves, so JOB COUNT is the local cost model: a
+regression that adds a driver collect, an eager checkpoint, or a lost
+cache shows up here as an integer, immune to the ±10% wall-clock noise
+that makes bench deltas unreadable. Ceilings are the measured warm
+(second-run) counts; doing BETTER is always allowed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+
+from conftest import SF_SMOKE
+
+# measured warm-path counts (second run, artifacts/caches hot), r6
+CEILINGS = {
+    "q1_pricing_summary": 2,
+    "q8_market_share": 6,
+    "q21_waiting_supplier": 8,
+    "q2_min_cost_supplier": 10,
+    "snapshot_diff": 3,
+    "session_trigrams": 3,
+    "mad_outliers": 6,
+    "incremental_dedup_batch": 16,
+    "ann_topk_ivfpq_res": 15,
+    "corpus_curation": 7,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CEILINGS))
+def test_warm_job_count_within_ceiling(spark, name):
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    q = registry.queries()[name]
+    for i in range(2):  # first run may build artifacts; pin the second
+        group = f"jobcount:{name}:{i}"
+        sc.setJobGroup(group, name)
+        try:
+            q(spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+        finally:
+            sc._jsc.sc().clearJobGroup()
+    warm = len(tracker.getJobIdsForGroup(f"jobcount:{name}:1") or [])
+    assert warm <= CEILINGS[name], (
+        f"{name}: warm run launched {warm} Spark jobs "
+        f"(ceiling {CEILINGS[name]}) — a collect/eager-checkpoint/"
+        "cache-loss regression"
+    )

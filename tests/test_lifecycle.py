@@ -103,3 +103,55 @@ def test_run_user_erasure_no_match_is_noop(spark, tmp_path):
         "partitions_cleared": 0,
     }
     assert sorted(glob.glob(f"{zone}/date=*/part-*")) == files_before
+
+
+def test_run_user_erasure_crash_between_overwrite_and_clear(spark, tmp_path):
+    """Crash window: survivors overwritten and committed, the
+    fully-erased partition dirs NOT yet deleted. No survivor row may be
+    lost, and a re-run must converge to the same final state a
+    crash-free run produces (r5 verdict item 4)."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark import jobs
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(_zone_rows()).write.partitionBy("date").parquet(zone)
+    untouched_before = sorted(glob.glob(f"{zone}/date=2024-01-03/part-*"))
+
+    real_delete = jobs._delete_partition_dirs
+
+    def _crash(*a, **k):
+        raise RuntimeError("injected crash before partition clear")
+
+    jobs._delete_partition_dirs = _crash
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_user_erasure(spark, zone, [5, 99, 777], partition_cols=("date",))
+    finally:
+        jobs._delete_partition_dirs = real_delete
+
+    # commit point passed: survivors rewritten, doomed-dir still present
+    assert os.path.exists(f"{zone}/date=2024-01-02")
+    mid = spark.read.parquet(zone)
+    # no survivor lost, no survivor duplicated
+    assert {(str(r["date"]), r["user_id"]) for r in mid.where(
+        ~F.col("user_id").isin(5, 99, 777)
+    ).collect()} == {
+        ("2024-01-01", 1), ("2024-01-01", 2),
+        ("2024-01-03", 3), ("2024-01-03", 4),
+    }
+    assert mid.count() == 5  # the stale all-doomed partition still reads
+
+    # re-run converges: finds user 99 again, clears its partition
+    res = run_user_erasure(spark, zone, [5, 99, 777], partition_cols=("date",))
+    assert res == {
+        "rows_erased": 1,  # only 99's row remained
+        "partitions_rewritten": 0,
+        "partitions_cleared": 1,
+    }
+    assert not os.path.exists(f"{zone}/date=2024-01-02")
+    final = spark.read.parquet(zone)
+    assert final.where(F.col("user_id").isin(5, 99, 777)).count() == 0
+    assert final.count() == 4
+    # untouched partition never rewritten through both runs
+    assert sorted(glob.glob(f"{zone}/date=2024-01-03/part-*")) == untouched_before
