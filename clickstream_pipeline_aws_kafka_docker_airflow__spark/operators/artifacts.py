@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 #: is otherwise an apples-to-oranges per-query ratio).
 BUILD_WALLS: dict[str, float] = {}
 
+#: Reader memo — the same (application, path, snapshot) returns the
+#: same DataFrame object, so the parquet footer/schema job runs once
+#: per artifact per session instead of once per consuming query (the
+#: io.load_table _DF_CACHE pattern, applied to artifacts).
+_READ_CACHE: dict[tuple, DataFrame] = {}
+_READ_CACHE_MAX = 64
+
 # Per-user root, created 0o700: a predictable world-writable /tmp path
 # would let any local user pre-plant a directory that the reader below
 # would serve as a trusted artifact.
@@ -100,4 +107,16 @@ def materialized(
         BUILD_WALLS[name] = BUILD_WALLS.get(name, 0.0) + (
             time.perf_counter() - t0
         )
-    return spark.read.parquet(path)
+    try:
+        st = os.stat(os.path.join(path, "_SUCCESS"))
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _READ_CACHE:
+        return _READ_CACHE[key]
+    df = spark.read.parquet(path)
+    if key is not None:
+        while len(_READ_CACHE) >= _READ_CACHE_MAX:
+            _READ_CACHE.pop(next(iter(_READ_CACHE)))
+        _READ_CACHE[key] = df
+    return df

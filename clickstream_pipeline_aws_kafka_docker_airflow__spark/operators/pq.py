@@ -69,13 +69,12 @@ def train_pq(
             for s in range(n_sub)
         ]
     # seed codebooks: ONE collect of the k_sub seed vectors, sliced
-    # driver-side — not one scan job per subspace
-    seeds = sorted(
-        (r["vec_id"], [float(x) for x in r["v"]])
-        for r in emb.where(F.col("vec_id") < k_sub)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .collect()
-    )
+    # driver-side — not one scan job per subspace. The slice is exactly
+    # collect_query_vectors' shape, so the pq/ivfpq/residual tiers all
+    # share one memoized collect instead of re-scanning per query.
+    from .similarity import collect_query_vectors
+
+    seeds = collect_query_vectors(emb, k_sub)
     return [
         [
             (cid, v[s * sub_dim : (s + 1) * sub_dim])

@@ -456,11 +456,31 @@ def save_quantizer(
 def load_quantizer(spark, path: str) -> list[tuple[int, list[float]]]:
     """Inverse of :func:`save_quantizer`; float64 round-trips through
     parquet exactly, so a loaded quantizer reproduces assignments
-    bit-for-bit."""
-    return sorted(
+    bit-for-bit. Memoized per (application, path, _SUCCESS mtime):
+    every IVF-family query loads the same few-hundred-row table — one
+    collect job per snapshot, not one per query."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(path, "_SUCCESS"))
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _QV_CACHE:
+        return _QV_CACHE[key]
+    out = sorted(
         (r["centroid_id"], [float(x) for x in r["cvec"]])
         for r in spark.read.parquet(path).collect()
     )
+    if key is not None:
+        while len(_QV_CACHE) >= _QV_CACHE_MAX:
+            _QV_CACHE.pop(next(iter(_QV_CACHE)))
+        _QV_CACHE[key] = out
+    return out
 
 
 def ivf_assignments(

@@ -26,7 +26,7 @@ CEILINGS = {
     "session_trigrams": 3,
     "mad_outliers": 6,
     "incremental_dedup_batch": 16,
-    "ann_topk_ivfpq_res": 15,
+    "ann_topk_ivfpq_res": 9,
     "corpus_curation": 7,
 }
 
