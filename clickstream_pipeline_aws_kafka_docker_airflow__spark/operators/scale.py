@@ -133,9 +133,14 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     between a plain shuffle, :func:`salted_agg`, or
     :func:`salted_broadcast_join` BEFORE a 100 TB shuffle is launched.
 
-    One scan (map-side partial counts on the key), then the totals
-    cross-join and rank run over the per-key aggregate. All integer
-    math; ties rank by key string for determinism."""
+    One scan (map-side partial counts on the key), then the top-k is
+    taken with a distributed ``orderBy(...).limit(k)`` (TakeOrdered:
+    each partition contributes its local top-k, the driver merges k*p
+    rows) — NOT a global row_number window, which would sort every
+    distinct key in a single partition; at 1B+ keys that window is the
+    exact straggler this report exists to prevent. The rank window then
+    runs over the <=k survivors only. All integer math; ties rank by
+    key string for determinism."""
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
@@ -144,11 +149,11 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     totals = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
     w = Window.orderBy(F.desc("cnt"), F.asc("key"))
     return (
-        counts.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
         .select(
             F.col("rank").cast("bigint").alias("rank"),
             "key",
