@@ -325,15 +325,19 @@ THUMB_SCHEMA = StructType(
 )
 
 
-def resize_thumb_stub(
+def resize_thumb(
     media: DataFrame, tw: int = THUMB_W, th: int = THUMB_H
 ) -> DataFrame:
-    """Batched "resize" plumbing: every payload maps to a fixed-budget
-    thumbnail of at most ``tw*th`` bytes (an evenly-strided byte
-    subsample stands in for the pixel kernel). The contract a real
-    resizer shares — bounded output size, binary-in/binary-out through
-    Arrow, per-batch vectorized work, no driver round-trip — is what
-    the test pins; the kernel body is the swappable part.
+    """Batched thumbnailing through Arrow, no driver round-trip.
+
+    BMP payloads (magic ``BM``) get a REAL nearest-neighbor resize:
+    parse the 24bpp pixel grid out of the container (bottom-up rows,
+    4-byte padding), numpy fancy-index the sample grid, emit exactly
+    ``3*tw*th`` bytes of top-down RGB. Non-BMP payloads (audio/opaque)
+    fall back to the evenly-strided byte subsample — bounded output
+    either way. The contract the test pins — bounded size,
+    binary-in/binary-out, per-batch vectorized work — plus, now, pixel
+    fidelity for the decodable type.
     """
     target = int(tw) * int(th)
     _tw, _th = int(tw), int(th)
@@ -341,15 +345,50 @@ def resize_thumb_stub(
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def u(b):
+            return int.from_bytes(b, "little")
+
+        def is_bmp(b: bytes) -> bool:
+            """Structural check, not just magic: text bytes can start
+            with 'BM' by accident — require a coherent 24bpp
+            BITMAPINFOHEADER whose pixel block fits the payload."""
+            if len(b) < 54 or b[:2] != b"BM" or u(b[14:18]) != 40:
+                return False
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            off = u(b[10:14])
+            if w <= 0 or h <= 0 or u(b[28:30]) != 24 or off < 54:
+                return False
+            return off + h * (((3 * w + 3) // 4) * 4) <= len(b)
+
+        def bmp_thumb(b: bytes) -> bytes:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            off, rowsize = u(b[10:14]), ((3 * w + 3) // 4) * 4
+            pix = np.frombuffer(b, np.uint8, count=h * rowsize, offset=off)
+            # bottom-up padded rows -> top-down (h, w, 3)
+            img = pix.reshape(h, rowsize)[::-1, : 3 * w].reshape(h, w, 3)
+            ys = (np.arange(_th) * h) // _th
+            xs = (np.arange(_tw) * w) // _tw
+            return img[np.ix_(ys, xs)].tobytes()
+
         for pdf in batches:
             thumbs = []
             for b in pdf["media"]:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                if arr.size <= target:
-                    thumbs.append(arr.tobytes())
+                b = bytes(b)
+                if is_bmp(b):
+                    thumbs.append(bmp_thumb(b))
+                elif b[:4] == b"VID0" and is_bmp(b[12:]):
+                    thumbs.append(bmp_thumb(b[12:]))  # first frame
                 else:
-                    idx = np.linspace(0, arr.size - 1, target).astype(np.int64)
-                    thumbs.append(arr[idx].tobytes())
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if arr.size <= target:
+                        thumbs.append(arr.tobytes())
+                    else:
+                        idx = np.linspace(0, arr.size - 1, target).astype(
+                            np.int64
+                        )
+                        thumbs.append(arr[idx].tobytes())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -361,6 +400,10 @@ def resize_thumb_stub(
             )
 
     return media.mapInPandas(_resize, THUMB_SCHEMA)
+
+
+#: Back-compat alias (the kernel stopped being a stub in round 6).
+resize_thumb_stub = resize_thumb
 
 
 HIST_BUCKETS = 16

@@ -113,3 +113,66 @@ def test_forged_wav_is_spec_valid():
     assert int.from_bytes(b[4:8], "little") == len(b) - 8  # RIFF size
     got = decode_real(b, "audio")
     assert got == {"sample_rate": 11000, "n_samples": 2}
+
+
+def test_resize_thumb_real_bmp_pixels(spark):
+    """Pixel fidelity of the real nearest-neighbor kernel: a BMP whose
+    left half is red and right half is blue must thumbnail to a left-
+    red/right-blue 16x16 RGB block (top-down), not a byte subsample."""
+    import numpy as np
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        resize_thumb,
+    )
+
+    w, h = 32, 8
+    rowsize = ((3 * w + 3) // 4) * 4
+    import struct
+
+    rows = b""
+    for _ in range(h):
+        row = b"\x00\x00\xff" * (w // 2) + b"\xff\x00\x00" * (w // 2)  # BGR!
+        rows += row + b"\x00" * (rowsize - 3 * w)
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 54 + h * rowsize, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * rowsize,
+                      2835, 2835, 0, 0)
+        + rows
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), "image")], "doc_id long, media binary, media_type string"
+    )
+    out = resize_thumb(df).collect()[0]
+    arr = np.frombuffer(bytes(out["thumb"]), np.uint8).reshape(
+        THUMB_H, THUMB_W, 3
+    )
+    assert arr.shape == (16, 16, 3)
+    # left half BGR red (0,0,255), right half BGR blue (255,0,0)
+    assert (arr[:, :8] == [0, 0, 255]).all()
+    assert (arr[:, 8:] == [255, 0, 0]).all()
+
+
+def test_bmp_forge_decode_fuzz():
+    """Hypothesis: forge->decode round-trips any geometry; the thumb
+    kernel's structural validator accepts every forged BMP."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        _bmp_bytes,
+        decode_real,
+    )
+
+    @given(
+        st.integers(1, 64), st.integers(1, 64),
+        st.binary(min_size=0, max_size=64),
+    )
+    @settings(max_examples=100, deadline=None)
+    def _roundtrip(w, h, fill):
+        b = _bmp_bytes(w, h, fill)
+        assert int.from_bytes(b[2:6], "little") == len(b)
+        got = decode_real(b, "image")
+        assert (got["width"], got["height"]) == (w, h)
+
+    _roundtrip()
