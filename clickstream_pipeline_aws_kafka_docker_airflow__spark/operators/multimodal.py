@@ -402,9 +402,6 @@ def resize_thumb(
     return media.mapInPandas(_resize, THUMB_SCHEMA)
 
 
-#: Back-compat alias (the kernel stopped being a stub in round 6).
-resize_thumb_stub = resize_thumb
-
 
 HIST_BUCKETS = 16
 

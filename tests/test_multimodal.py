@@ -12,7 +12,7 @@ from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal i
     THUMB_W,
     attach_fake_media,
     media_byte_histogram,
-    resize_thumb_stub,
+    resize_thumb,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -20,7 +20,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_resize_thumb_bounded_and_deterministic(spark):
     media = attach_fake_media(load_table(spark, SF_DIR, "documents"))
-    out = resize_thumb_stub(media).collect()
+    out = resize_thumb(media).collect()
     src_len = {
         r["doc_id"]: r["n"]
         for r in media.select(
@@ -34,7 +34,7 @@ def test_resize_thumb_bounded_and_deterministic(spark):
         assert len(r["thumb"]) == expect
         assert (r["t_width"], r["t_height"]) == (THUMB_W, THUMB_H)
     # determinism: identical bytes on a re-run
-    again = {r["doc_id"]: bytes(r["thumb"]) for r in resize_thumb_stub(media).collect()}
+    again = {r["doc_id"]: bytes(r["thumb"]) for r in resize_thumb(media).collect()}
     assert {r["doc_id"]: bytes(r["thumb"]) for r in out} == again
 
 
