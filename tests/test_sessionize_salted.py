@@ -25,13 +25,16 @@ GAP_US = 30 * 60 * 1_000_000
 def _rows(df):
     return sorted(
         (
-            r["user_id"],
-            r["session_idx"],
-            r["n_events"],
-            r["session_start"],
-            r["session_end"],
-        )
-        for r in df.collect()
+            (
+                r["user_id"],
+                r["session_idx"],
+                r["n_events"],
+                r["session_start"],
+                r["session_end"],
+            )
+            for r in df.collect()
+        ),
+        key=lambda t: (t[0] is None, str(t[0]), t[1]),
     )
 
 
@@ -137,3 +140,25 @@ def test_registered_query_env_dispatch(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SESSIONIZE_MODE", "two_phase")
     two = _rows(q(spark, SF_SMOKE))
     assert direct == two
+
+
+def test_two_phase_null_user_and_ties(spark):
+    """NULL user_id forms one window partition in both engines and both
+    strategies; identical timestamps stay one session. Testdata carries
+    no NULL users, so pin the edge explicitly."""
+    t0 = _EPOCH
+    rows = [
+        (None, 1, t0),
+        (None, 2, t0),  # tie with row 1
+        (None, 3, t0 + dt.timedelta(minutes=31)),  # new session
+        ("u", 4, t0),
+        ("u", 5, t0 + dt.timedelta(minutes=30)),  # exactly the gap: same
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp"
+    )
+    d = _rows(sessionize_direct(e, GAP_US))
+    t = _rows(sessionize_two_phase(e, GAP_US, bucket_us=GAP_US))
+    assert d == t
+    by_user = {(u, i): n for u, i, n, _, _ in d}
+    assert by_user == {(None, 1): 2, (None, 2): 1, ("u", 1): 2}
