@@ -123,10 +123,18 @@ def main() -> None:
     shutil.rmtree("/tmp/spark_graft_quantizers", ignore_errors=True)
     s_cold: dict[str, float] = {}
     build_sec: dict[str, dict[str, float]] = {}
+    cold_errors: dict[str, str] = {}
     for name in names:
         artifacts.BUILD_WALLS.clear()
         t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
+        try:
+            _force(qs[name](spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — isolate: a cold-build
+            # failure must not void the whole compare run
+            cold_errors[name] = (
+                f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            )
+            continue
         wall = time.perf_counter() - t0
         if artifacts.BUILD_WALLS:
             s_cold[name] = wall
@@ -162,19 +170,18 @@ def main() -> None:
 
     s_total = round(sum(r["spark"] for r in rows.values()), 4)
     d_total = round(sum(r["duckdb"] for r in rows.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "spark_vs_duckdb",
-                "sf": sf,
-                "spark_floor_sec": round(floor, 4),
-                "spark_total_sec": s_total,
-                "duckdb_total_sec": d_total,
-                "ratio": round(s_total / d_total, 3),
-                "queries": rows,
-            }
-        )
-    )
+    out = {
+        "metric": "spark_vs_duckdb",
+        "sf": sf,
+        "spark_floor_sec": round(floor, 4),
+        "spark_total_sec": s_total,
+        "duckdb_total_sec": d_total,
+        "ratio": round(s_total / d_total, 3),
+        "queries": rows,
+    }
+    if cold_errors:
+        out["cold_errors"] = cold_errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

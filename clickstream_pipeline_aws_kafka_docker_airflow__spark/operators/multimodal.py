@@ -159,7 +159,7 @@ def attach_forged_media(docs: DataFrame) -> DataFrame:
         ]
     )
 
-    # self-contained closure (see NOTE in extract_media_meta)
+    # self-contained closure (see NOTE above THUMB_W)
     def _forge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
@@ -236,9 +236,10 @@ DECODED_META_SCHEMA = StructType(
 def extract_decoded_meta(media: DataFrame) -> DataFrame:
     """REAL decode over the binary column: parse each payload's
     container header (BMP/WAV/VID0) inside mapInPandas and emit typed
-    metadata; fields that don't apply to a type are NULL. Same Arrow
-    iterator-of-batches shape as extract_media_meta — the kernel is now
-    a parser instead of a stand-in."""
+    metadata; fields that don't apply to a type are NULL. The Arrow
+    iterator-of-batches shape is the 100 TB pattern: each pandas batch
+    is one Arrow chunk, nothing collects to the driver — and the
+    kernel is a real parser, not a stand-in."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def u(b):
@@ -283,33 +284,13 @@ def extract_decoded_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, DECODED_META_SCHEMA)
 
 
-def extract_media_meta(media: DataFrame) -> DataFrame:
-    """Arrow-batched metadata extraction over binary payloads.
-
-    The iterator-of-batches shape is the 100 TB pattern: each pandas
-    batch is one Arrow chunk, the decode loop is vectorized per batch,
-    and nothing ever collects to the driver.
-    """
-
-    # NOTE: the closure must be self-contained. Calling a module-level
-    # helper here would make cloudpickle serialize it BY REFERENCE to
-    # this package, and executors that can't import the package would
-    # fail with ModuleNotFoundError. Everything is inlined by value.
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = pdf["media"].map(len).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": n,
-                    "width": (64 + (n % 577)).astype("int64"),
-                    "height": (64 + (n * 31) % 391).astype("int64"),
-                }
-            )
-
-    return media.mapInPandas(_extract, MEDIA_META_SCHEMA)
-
+# NOTE on closures in this module: each mapInPandas closure must be
+# self-contained. Calling a module-level helper from one would make
+# cloudpickle serialize it BY REFERENCE to this package, and executors
+# that can't import the package would fail with ModuleNotFoundError —
+# so the forge/parse kernels inline their logic by value, and
+# tests/test_multimodal.py pins the inlined copies byte-for-byte
+# against the module-level _bmp_bytes/_wav_bytes helpers.
 
 THUMB_W = 16
 THUMB_H = 16
@@ -320,6 +301,7 @@ THUMB_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("t_width", LongType()),
         StructField("t_height", LongType()),
+        StructField("pixfmt", StringType()),
         StructField("thumb", BinaryType()),
     ]
 )
@@ -335,9 +317,11 @@ def resize_thumb(
     4-byte padding), numpy fancy-index the sample grid, emit exactly
     ``3*tw*th`` bytes of top-down RGB. Non-BMP payloads (audio/opaque)
     fall back to the evenly-strided byte subsample — bounded output
-    either way. The contract the test pins — bounded size,
-    binary-in/binary-out, per-batch vectorized work — plus, now, pixel
-    fidelity for the decodable type.
+    either way. ``pixfmt`` names the per-row contract a buffer-sizing
+    consumer needs: ``rgb24`` thumbs are exactly ``3*tw*th`` bytes,
+    ``bytes`` thumbs at most ``tw*th``. The contract the test pins —
+    bounded size, binary-in/binary-out, per-batch vectorized work —
+    plus pixel fidelity for the decodable type.
     """
     target = int(tw) * int(th)
     _tw, _th = int(tw), int(th)
@@ -373,13 +357,15 @@ def resize_thumb(
             return img[np.ix_(ys, xs)].tobytes()
 
         for pdf in batches:
-            thumbs = []
+            thumbs, fmts = [], []
             for b in pdf["media"]:
                 b = bytes(b)
                 if is_bmp(b):
                     thumbs.append(bmp_thumb(b))
+                    fmts.append("rgb24")
                 elif b[:4] == b"VID0" and is_bmp(b[12:]):
                     thumbs.append(bmp_thumb(b[12:]))  # first frame
+                    fmts.append("rgb24")
                 else:
                     arr = np.frombuffer(b, dtype=np.uint8)
                     if arr.size <= target:
@@ -389,18 +375,19 @@ def resize_thumb(
                             np.int64
                         )
                         thumbs.append(arr[idx].tobytes())
+                    fmts.append("bytes")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "t_width": pd.Series([_tw] * len(pdf), dtype="int64"),
                     "t_height": pd.Series([_th] * len(pdf), dtype="int64"),
+                    "pixfmt": fmts,
                     "thumb": thumbs,
                 }
             )
 
     return media.mapInPandas(_resize, THUMB_SCHEMA)
-
 
 
 HIST_BUCKETS = 16

@@ -40,24 +40,35 @@ _QV_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 _QV_CACHE_MAX = 32
 
 
-def _source_fingerprint(df: "DataFrame") -> tuple:
+def _source_fingerprint(df: "DataFrame") -> tuple | None:
     """Identity of the DATA behind a plan, not just the plan.
 
     ``semanticHash`` covers the logical plan (source path + projection)
     but not the bytes at that path — parquet rewritten in place within
     one Spark application would otherwise serve stale cached vectors.
     Fold in (path, mtime_ns, size) per input file, the same identity
-    ``artifacts.artifact_key`` uses for on-disk artifacts."""
+    ``artifacts.artifact_key`` uses for on-disk artifacts.
+
+    ``inputFiles`` yields Hadoop-style URIs (``file:/p``,
+    ``file:///p``, ``s3a://b/p``); only local files are stat-able.
+    Returns None — meaning DON'T CACHE — if any file cannot be
+    stat'ed: a constant sentinel there would make two different
+    snapshots fingerprint-equal, which is exactly the staleness this
+    key exists to prevent."""
     import os
+    from urllib.parse import urlparse
 
     out = []
     for f in sorted(df.inputFiles()):
-        p = f[7:] if f.startswith("file://") else f
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # remote store: no local identity to key on
+        p = u.path or f
         try:
             st = os.stat(p)
-            out.append((p, st.st_mtime_ns, st.st_size))
         except OSError:
-            out.append((p, -1, -1))
+            return None
+        out.append((p, st.st_mtime_ns, st.st_size))
     return tuple(out)
 
 
@@ -86,11 +97,16 @@ def collect_query_vectors(
     guard keeps a restarted session from serving a stopped context's
     rows. Bounded FIFO (``_QV_CACHE_MAX``) for long-lived sessions."""
     try:
+        fp = _source_fingerprint(emb)
         key = (
-            emb.sparkSession.sparkContext.applicationId,
-            emb.semanticHash(),
-            _source_fingerprint(emb),
-            n_queries,
+            (
+                emb.sparkSession.sparkContext.applicationId,
+                emb.semanticHash(),
+                fp,
+                n_queries,
+            )
+            if fp is not None
+            else None
         )
     except Exception:
         key = None

@@ -216,8 +216,18 @@ def _quantizer_cached(spark, sf_dir):
     path = os.path.join("/tmp/spark_graft_quantizers", key)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return load_quantizer(spark, path)
+    import time
+
+    from ..operators.artifacts import BUILD_WALLS
+
+    t0 = time.perf_counter()
     cents = kmeans_centroid_list(load_table(spark, sf_dir, "embeddings"))
     save_quantizer(cents, spark, path)
+    # k-means training is a build cost like any artifact's — recorded
+    # so bench_compare's cold pass can report build-inclusive walls
+    BUILD_WALLS["quantizer"] = BUILD_WALLS.get("quantizer", 0.0) + (
+        time.perf_counter() - t0
+    )
     return cents
 
 

@@ -72,7 +72,7 @@ def consume_projection(raw: DataFrame) -> DataFrame:
     """First projection over the Kafka source frame: utf-8 decode the
     value bytes, keep the event metadata (topic/partition/offset/
     broker timestamp) the downstream ingest partitions and audits by.
-    Raises AnalysisException immediately if ``raw`` does not carry the
+    Raises TypeError immediately if ``raw`` does not carry the
     connector's frame — the guard that keeps file-source stand-ins
     honest."""
     got = {f.name: f.dataType for f in raw.schema.fields}

@@ -176,3 +176,61 @@ def test_bmp_forge_decode_fuzz():
         assert (got["width"], got["height"]) == (w, h)
 
     _roundtrip()
+
+
+def test_forge_closure_matches_module_helpers(spark):
+    """The mapInPandas forge closure inlines the BMP/WAV builders by
+    value (cloudpickle self-containment); this pins the inlined copies
+    BYTE-FOR-BYTE to the module-level _bmp_bytes/_wav_bytes the spec
+    and fuzz tests exercise — a one-byte drift between the copies
+    fails here, not silently in production."""
+    import struct
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        _bmp_bytes,
+        _wav_bytes,
+        attach_forged_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"payload-{d}" * (d % 5 + 1)) for d in range(12)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: bytes(r["media"]) for r in attach_forged_media(docs).collect()}
+    for d in range(12):
+        data = f"payload-{d}".encode() * (d % 5 + 1)
+        w, h = 4 + d % 29, 3 + d % 17
+        if d % 3 == 0:
+            want = _bmp_bytes(w, h, data)
+        elif d % 3 == 1:
+            want = _wav_bytes(8000 + (d % 8) * 1000, data)
+        else:
+            f = 1 + d % 4
+            want = b"VID0" + struct.pack("<II", f, 0) + _bmp_bytes(w, h, data) * f
+        assert got[d] == want, d
+
+
+def test_resize_thumb_pixfmt_contract(spark):
+    """pixfmt names the per-row size contract: rgb24 rows are exactly
+    3*tw*th bytes, bytes rows at most tw*th."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        attach_forged_media,
+        resize_thumb,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "x" * 400) for d in range(9)], "doc_id long, text string"
+    )
+    rows = resize_thumb(attach_forged_media(docs)).collect()
+    fmts = set()
+    for r in rows:
+        fmts.add(r["pixfmt"])
+        if r["pixfmt"] == "rgb24":
+            assert len(r["thumb"]) == 3 * THUMB_W * THUMB_H
+            assert r["media_type"] in ("image", "video")
+        else:
+            assert len(r["thumb"]) <= THUMB_W * THUMB_H
+            assert r["media_type"] == "audio"
+    assert fmts == {"rgb24", "bytes"}
