@@ -373,7 +373,13 @@ def session_trigrams(spark, sf_dir):
     shuffle shared by the sessionizer window and the per-session
     collect (session arrays are bounded by session length, not corpus
     size); trigram counting is map-side explode + partial agg; top-k
-    is TakeOrdered with the rank window over k rows only."""
+    is TakeOrdered with the rank window over k rows only.
+    Hot-key note: like every user_id-windowed query, a bot-grade user
+    concentrates this plan's shuffle into one task; the bounded-state
+    remedy (bucket phase 1 by time, merge bounded per-user lists) is
+    implemented and probe-measured in operators/sessionize.py +
+    docs/SKEW_PROBE.json and applies to this shape unchanged.
+    """
     e = load_table(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(order)

@@ -253,7 +253,13 @@ def first_touch_attribution(spark, sf_dir):
     the corpus, so it is deliberately NOT broadcast; the purchase side
     is filtered before the shuffle and both sides hash-partition on
     user_id (AQE picks SMJ/shuffled-hash and handles skew). Revenue
-    accumulates in DECIMAL."""
+    accumulates in DECIMAL.
+    Hot-key note: like every user_id-windowed query, a bot-grade user
+    concentrates this plan's shuffle into one task; the bounded-state
+    remedy (bucket phase 1 by time, merge bounded per-user lists) is
+    implemented and probe-measured in operators/sessionize.py +
+    docs/SKEW_PROBE.json and applies to this shape unchanged.
+    """
     from pyspark.sql import Window
 
     from ..functions.scalars import dec_sum_round2, props_int

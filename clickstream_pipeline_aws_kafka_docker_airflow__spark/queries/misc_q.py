@@ -71,7 +71,13 @@ def user_journeys(spark, sf_dir):
     event order. collect_list has no ordering guarantee after a
     shuffle, so the deterministic construction is collect structs ->
     array_sort (lexicographic on (ts, event_id)) -> project the field.
-    Serialized '->'-joined for a scalar-typed output column."""
+    Serialized '->'-joined for a scalar-typed output column.
+    Hot-key note: like every user_id-windowed query, a bot-grade user
+    concentrates this plan's shuffle into one task; the bounded-state
+    remedy (bucket phase 1 by time, merge bounded per-user lists) is
+    implemented and probe-measured in operators/sessionize.py +
+    docs/SKEW_PROBE.json and applies to this shape unchanged.
+    """
     e = load_table(spark, sf_dir, "events")
     journey = F.array_join(
         F.transform(

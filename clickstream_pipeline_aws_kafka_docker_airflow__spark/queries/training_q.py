@@ -201,6 +201,12 @@ def session_transitions(spark, sf_dir):
     uniform); everything after operates on the |event_types|^2 bigram
     table, which is tiny by construction. Permille is integer-exact —
     no float division under the oracle hash.
+    
+    Hot-key note: like every user_id-windowed query, a bot-grade user
+    concentrates this plan's shuffle into one task; the bounded-state
+    remedy (bucket phase 1 by time, merge bounded per-user lists) is
+    implemented and probe-measured in operators/sessionize.py +
+    docs/SKEW_PROBE.json and applies to this shape unchanged.
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
