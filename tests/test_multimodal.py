@@ -234,3 +234,25 @@ def test_resize_thumb_pixfmt_contract(spark):
             assert len(r["thumb"]) <= THUMB_W * THUMB_H
             assert r["media_type"] == "audio"
     assert fmts == {"rgb24", "bytes"}
+
+
+def test_wav_forge_decode_fuzz():
+    """WAV twin of the BMP fuzz: any (rate, payload) round-trips, odd
+    payloads pad to even, declared RIFF size always matches."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        _wav_bytes,
+        decode_real,
+    )
+
+    @given(st.integers(1, 192_000), st.binary(min_size=0, max_size=64))
+    @settings(max_examples=100, deadline=None)
+    def _roundtrip(rate, data):
+        b = _wav_bytes(rate, data)
+        assert int.from_bytes(b[4:8], "little") == len(b) - 8
+        got = decode_real(b, "audio")
+        assert got["sample_rate"] == rate
+        assert got["n_samples"] == (len(data) + len(data) % 2) // 2
+
+    _roundtrip()
