@@ -94,9 +94,21 @@ def run_daily_kpis(
     (daily_kpis.py:157-159)."""
     day = resolve_run_date(run_date)
     try:
-        events = read_jsonl_drop_malformed(spark, f"{raw_path}/date={day}")
+        # Read the ZONE ROOT, not the day subdirectory: when the raw
+        # zone is a Structured Streaming file sink, the root carries a
+        # _spark_metadata commit log and the batch read lists COMMITTED
+        # files from it — orphaned data files from a micro-batch that
+        # crashed before its manifest commit are invisible, preserving
+        # the sink's exactly-once guarantee end-to-end. A subdirectory
+        # read would bypass the log (plain file listing) and
+        # double-count replayed batches. The partition filter prunes
+        # the scan to the day either way; on a non-sink layout (no
+        # log) this is an ordinary partitioned read.
+        events = read_jsonl_drop_malformed(spark, raw_path).where(
+            F.col("date") == day
+        )
     except AnalysisException as e:
-        # only a missing day-partition is NO_INPUT (the reference's
+        # only a missing zone root is NO_INPUT (the reference's
         # empty-listing guard, daily_kpis.py:155-159); corrupt files,
         # permission errors etc. must propagate, not masquerade as an
         # empty day
@@ -137,28 +149,26 @@ def run_kpi_backfill(
     simply contribute no rows (same NO_INPUT semantics per day as
     :func:`run_daily_kpis`); a fully-empty range writes nothing.
 
-    Plan hygiene: day-partition existence is probed with one cheap
-    FileSystem.exists per day (driver-side listing, not a datasource
-    resolution), the surviving paths go into ONE multi-path read (an
-    O(1) plan, not an O(days) union chain), and the aggregated frame
-    is locally checkpointed so the empty-check, the write, and the
-    day count all read the materialized rows — the scan and shuffle
-    run exactly once.
+    Plan hygiene: ONE read of the zone ROOT with a partition-pruning
+    ``date IN (...)`` filter (absent days prune to nothing — no
+    per-day existence probes, no O(days) union chain), and the
+    aggregated frame is locally checkpointed so the empty-check, the
+    write, and the day count all read the materialized rows — the
+    scan and shuffle run exactly once. Reading the root (not the
+    partition subdirs) also engages the file sink's _spark_metadata
+    commit log when the zone was written by Structured Streaming, so
+    orphaned files from a crashed micro-batch never double-count
+    (see run_daily_kpis).
     """
     days = _date_seq(start_date, end_date)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _exists(p: str) -> bool:
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        return hp.getFileSystem(hconf).exists(hp)
-
-    present = [
-        p for d in days if _exists(p := f"{raw_path}/date={d}")
-    ]
-    if not present:
-        return {"days_written": 0}
-    events = read_jsonl_drop_malformed(spark, present, base_path=raw_path)
+    try:
+        events = read_jsonl_drop_malformed(spark, raw_path).where(
+            F.col("date").isin(days)
+        )
+    except AnalysisException as e:
+        if (e.getCondition() or "") == "PATH_NOT_FOUND":
+            return {"days_written": 0}
+        raise
     parsed = events.withColumn("ts", F.to_timestamp("event_ts"))
     kpis = (
         daily_kpis(
@@ -186,8 +196,8 @@ def run_sketch_backfill(
     """Rebuild the daily-sketch zone for a date RANGE from raw — the
     repair path for data later than the streaming watermark (the
     streaming maintainer correctly drops it; this job folds it back
-    in). Same one-scan shape as :func:`run_kpi_backfill`: one
-    multi-path read over the present day partitions, one groupBy(dt)
+    in). Same one-scan shape as :func:`run_kpi_backfill`: one root
+    read pruned to the requested days, one groupBy(dt)
     building exact full-day sketches, dynamic overwrite of exactly
     those day partitions. A rebuilt day's registers equal what an
     unbounded-watermark stream would have produced (HLL is
@@ -196,19 +206,14 @@ def run_sketch_backfill(
     from .streaming.sketch_zone import SKETCH_LG_K
 
     days = _date_seq(start_date, end_date)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _exists(p: str) -> bool:
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        return hp.getFileSystem(hconf).exists(hp)
-
-    present = [
-        p for d in days if _exists(p := f"{raw_path}/date={d}")
-    ]
-    if not present:
-        return {"days_written": 0}
-    events = read_jsonl_drop_malformed(spark, present, base_path=raw_path)
+    try:
+        events = read_jsonl_drop_malformed(spark, raw_path).where(
+            F.col("date").isin(days)
+        )
+    except AnalysisException as e:
+        if (e.getCondition() or "") == "PATH_NOT_FOUND":
+            return {"days_written": 0}
+        raise
     daily = (
         events.withColumn("ts", F.to_timestamp("event_ts"))
         .where(F.col("ts").isNotNull())

@@ -82,7 +82,14 @@ def _dedup_one_batch(
     losers = comp.where(F.col("id") != F.col("label")).select(
         F.col("id").alias("doc_id")
     )
-    keep = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    # checkpoint the survivors: the whole shingle -> minhash -> band
+    # self-join -> verify -> CC chain sits under BOTH zone writes (docs
+    # directly, signatures via minhash_signatures(keep)); without the
+    # pin every micro-batch would pay the dominant dedup cost twice.
+    # eager=False — the first write materializes it.
+    keep = docs.join(F.broadcast(losers), "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
 
     # 2) cross-batch: band-join the survivors' signatures against the
     # signature zone; reject on minhash agreement. Only EARLIER batches
@@ -93,7 +100,7 @@ def _dedup_one_batch(
     # idempotent, not accidentally so). Only the first-batch missing
     # zone is "no history"; real read failures must propagate, not
     # silently disable the dedup screen.
-    sigs = minhash_signatures(shingle_table(keep))
+    sigs = minhash_signatures(shingle_table(keep)).localCheckpoint(eager=False)
     try:
         old = (
             spark.read.parquet(_sigs_zone(corpus_dir))
@@ -126,6 +133,9 @@ def _dedup_one_batch(
             .where(n_eq >= SIG_EQUAL_REJECT)
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
+            # broadcast twice below (keep + sigs anti-joins); each
+            # broadcast materializes independently without the pin
+            .localCheckpoint(eager=False)
         )
         keep = keep.join(F.broadcast(rejected), "doc_id", "left_anti")
         sigs = sigs.join(F.broadcast(rejected), "doc_id", "left_anti")

@@ -23,15 +23,26 @@ def check_freshness(
     fmt: str = "json",
 ) -> bool:
     """True iff >=1 file under ``raw_path/date=<day>/`` was modified in
-    the lookback window. Raises FileNotFoundError-like AnalysisException
-    only if the whole root is missing; an empty/missing day partition is
-    simply stale (False), matching the reference's fail path."""
+    the lookback window. Raises (AnalysisException) if the whole ROOT
+    is missing — a misconfigured path must page differently than
+    staleness; an empty/missing day partition is simply stale (False),
+    matching the reference's fail path.
+
+    The read passes a trivial one-column schema: a schema-LESS json
+    read would run full schema inference over the day partition at
+    analysis time — a whole-day data scan for what the docstring
+    promises is a metadata peek. With a schema, only the file LISTING
+    happens before ``_metadata``+``limit(1)`` short-circuits."""
+    import os
+
     day = day or dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
     path = f"{raw_path}/date={day}"
+    if not os.path.isdir(raw_path) and "://" not in raw_path:
+        raise FileNotFoundError(f"raw zone root missing: {raw_path}")
     try:
-        df = spark.read.format(fmt).load(path)
+        df = spark.read.format(fmt).schema("value STRING").load(path)
     except Exception:
-        return False
+        return False  # day partition absent -> stale, not an error
     cutoff = F.current_timestamp() - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
     fresh = (
         df.select(F.col("_metadata.file_modification_time").alias("mtime"))

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.scalars import is_pageview, is_purchase, price_or_zero, round2
+from ..functions.scalars import (
+    dec_sum_round2,
+    is_pageview,
+    is_purchase,
+    price_or_zero,
+)
 
 
 def windowed_kpis(
@@ -42,8 +47,14 @@ def windowed_kpis(
     aggs += [
         F.count(F.when(is_pageview(etype), 1)).alias("pageviews"),
         F.count(F.when(is_purchase(etype), 1)).alias("purchases"),
-        round2(
-            F.sum(F.when(is_purchase(etype), price_or_zero(price)).otherwise(0.0))
+        # decimal accumulation, NOT round2(sum(double)): partial-agg
+        # summation order differs between micro-batch replays, and a
+        # sum within an ulp of a .005 boundary would round differently
+        # — the same instability the batch tier fixed in
+        # functions/scalars.py::dec_sum_round2. Stream and batch
+        # revenue now agree exactly.
+        dec_sum_round2(
+            F.when(is_purchase(etype), price_or_zero(price)).otherwise(0.0)
         ).alias("revenue_usd"),
     ]
     out_cols = (

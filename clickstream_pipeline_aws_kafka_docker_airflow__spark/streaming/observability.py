@@ -29,9 +29,18 @@ class ProgressLog(StreamingQueryListener):
     thread while the driver thread reads ``snapshot()``.
     """
 
+    #: In-memory window: a long-running query at the reference's 60 s
+    #: cadence gains ~1.4k rows/day — unbounded, the driver-side list
+    #: is a slow leak over months. The JSONL file (when configured)
+    #: persists EVERY row; the deque keeps only the recent window for
+    #: snapshot()/totals().
+    MAX_ROWS = 10_000
+
     def __init__(self, jsonl_path: str | None = None):
+        import collections
+
         self._lock = threading.Lock()
-        self._rows: list[dict] = []
+        self._rows: collections.deque = collections.deque(maxlen=self.MAX_ROWS)
         self._path = jsonl_path
 
     # -- listener callbacks -------------------------------------------------

@@ -45,6 +45,20 @@ def _event_checks() -> dict[str, Column]:
     }
 
 
+def _check_scopes() -> dict[str, Column]:
+    """check name -> CHECKED-population predicate, the denominator the
+    metrics zone reports. Must mirror the batch expectations_audit
+    (queries/misc_q.py): purchase_value_positive checks PURCHASE rows,
+    not the whole batch — a total-rows denominator would dilute the
+    violation rate ~100x relative to the batch tier and any promotion
+    gate comparing the two would misread it."""
+    return {
+        "ts_present": F.lit(True),
+        "known_type": F.lit(True),
+        "purchase_value_positive": F.col("event_type") == "purchase",
+    }
+
+
 def accepted_zone(gate_dir: str) -> str:
     return f"{gate_dir}/accepted"
 
@@ -71,19 +85,23 @@ def _gate_one_batch(batch_df: DataFrame, batch_id: int, gate_dir: str) -> None:
     flagged = batch_df.withColumn("violations", viol)
     accepted = flagged.where(F.size("violations") == 0).drop("violations")
     quarantined = flagged.where(F.size("violations") > 0)
+    scopes = _check_scopes()
     metrics = batch_df.agg(
         *[
             F.count(F.when(pred, 1)).alias(name)
             for name, pred in checks.items()
         ],
-        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.count(F.when(scopes[name], 1)).alias(f"_n_{name}")
+            for name in checks
+        ],
     ).select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(name).alias("check_name"),
-                        F.col("n_checked").cast("bigint").alias("n_checked"),
+                        F.col(f"_n_{name}").cast("bigint").alias("n_checked"),
                         F.col(name).cast("bigint").alias("n_violations"),
                     )
                     for name in checks

@@ -76,10 +76,16 @@ def _make_processor(ttl_ms: int | None):
                 spend_c += int(
                     round(float(pdf["value"].fillna(0.0).sum()) * 100)
                 )
-                ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
-                lo, hi = int(ts_us.min()), int(ts_us.max())
-                first_us = lo if first_us is None else min(first_us, lo)
-                last_us = hi if last_us is None else max(last_us, hi)
+                # dropna BEFORE the int64 view: pandas 2.x converts
+                # NaT to INT64_MIN instead of raising, and one NULL ts
+                # would poison first_seen_us through min() forever —
+                # the stored state can never recover from a sentinel.
+                ts = pdf["ts"].dropna()
+                if len(ts):
+                    ts_us = (ts.astype("int64") // 1000).astype("int64")
+                    lo, hi = int(ts_us.min()), int(ts_us.max())
+                    first_us = lo if first_us is None else min(first_us, lo)
+                    last_us = hi if last_us is None else max(last_us, hi)
             self._profile.update((n, spend_c, first_us, last_us))
             yield _pd.DataFrame(
                 {

@@ -275,3 +275,65 @@ def test_build_corpus_artifacts_counts(spark):
     assert counts["ivf_centroids"] > 0
     # idempotent: second run reads, counts identical
     assert run_build_corpus_artifacts(spark, SF) == counts
+
+
+def test_daily_kpis_ignores_uncommitted_sink_orphans(spark, tmp_path):
+    """Exactly-once END-TO-END: the raw zone is a Structured Streaming
+    file sink, so its root carries a _spark_metadata commit log. A data
+    file left by a micro-batch that crashed before its manifest commit
+    (simulated by dropping an orphan into the day dir) must be
+    INVISIBLE to run_daily_kpis — the job reads the root through the
+    log, not the partition subdir through plain listing (r6 review)."""
+    import glob as _glob
+
+    from pyspark.sql import Row
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.ingest import (
+        start_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = {
+        "event_ts": "2025-09-01T10:00:00Z",
+        "user_id": "u_1",
+        "session_id": "s1",
+        "event_type": "purchase",
+        "page": "/",
+        "product_id": "sku_1",
+        "price": 10.0,
+        "currency": "USD",
+        "referrer": "google",
+        "user_agent": "UA",
+    }
+    lines = [
+        json.dumps(ev),
+        json.dumps(dict(ev, user_id="u_2", event_type="page_view", price=None)),
+    ]
+    spark.createDataFrame(
+        [Row(value=v) for v in lines]
+    ).coalesce(1).write.mode("overwrite").text(str(src / "b1"))
+
+    raw = tmp_path / "raw"
+    stream = spark.readStream.text(str(src / "*"))
+    q = start_ingest(stream, str(raw), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert (raw / "_spark_metadata").exists()
+
+    kpi1 = tmp_path / "kpis1"
+    assert run_daily_kpis(spark, str(raw), str(kpi1), "2025-09-01") == "OK"
+    base = spark.read.parquet(str(kpi1)).collect()[0]
+
+    # forge the crash orphan: a duplicate of the committed data file
+    # under the same partition, absent from the commit log
+    committed = _glob.glob(str(raw / "date=2025-09-01" / "hour=*" / "part-*"))
+    assert committed
+    import shutil as _sh
+
+    _sh.copy(committed[0], committed[0].replace("part-", "part-orphan-"))
+
+    kpi2 = tmp_path / "kpis2"
+    assert run_daily_kpis(spark, str(raw), str(kpi2), "2025-09-01") == "OK"
+    redo = spark.read.parquet(str(kpi2)).collect()[0]
+    assert redo["total_events"] == base["total_events"] == 2
+    assert redo["revenue_usd"] == base["revenue_usd"]

@@ -66,7 +66,13 @@ def test_gate_routes_and_labels(spark, tmp_path):
         r.check_name: r
         for r in spark.read.parquet(metrics_zone(gate)).collect()
     }
-    assert all(r.n_checked == 7 for r in m.values())
+    # per-check denominators mirror the batch expectations_audit:
+    # whole batch for the row-level checks, PURCHASE rows only for the
+    # purchase-value check (a total-rows denominator would dilute its
+    # violation rate ~100x vs the batch tier)
+    assert m["ts_present"].n_checked == 7
+    assert m["known_type"].n_checked == 7
+    assert m["purchase_value_positive"].n_checked == 3
     assert m["ts_present"].n_violations == 2
     assert m["known_type"].n_violations == 2  # unknown AND NULL type
     assert m["purchase_value_positive"].n_violations == 2
