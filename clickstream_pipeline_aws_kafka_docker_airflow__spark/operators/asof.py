@@ -13,6 +13,13 @@ match condition is ``right.ts <= left.ts`` inclusive — identical to
 DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``, which the oracle uses.
 The right side must be unique per (key, ts); callers dedupe first
 (nondeterministic otherwise in ANY engine).
+
+NULLs: a NULL join key or NULL timestamp never matches — the standard
+as-of (and SQL equality/inequality) semantics. Right rows with NULL
+key/ts are dropped; left rows with NULL key/ts are kept with NULL
+value columns, and bypass the window shuffle entirely (a corpus with
+many NULL-key rows would otherwise pile them into one hot window
+partition to compute a carry that is NULL by definition).
 """
 
 from __future__ import annotations
@@ -32,6 +39,16 @@ def asof_join(
     """Left as-of join: every left row + the most recent right-side
     ``value_cols`` at-or-before its timestamp (nulls when none)."""
     lcols = [c for c in left.columns]
+    matchable = F.col(key).isNotNull() & F.col(left_ts).isNotNull()
+    unmatchable = left.where(~matchable).select(
+        *lcols,
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    left = left.where(matchable)
+    right = right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -59,6 +76,8 @@ def asof_join(
             for c in value_cols
         ],
     )
-    return carried.where(F.col("_tag") == 1).select(
-        *lcols, *[F.col(f"asof_{c}") for c in value_cols]
+    return (
+        carried.where(F.col("_tag") == 1)
+        .select(*lcols, *[F.col(f"asof_{c}") for c in value_cols])
+        .unionByName(unmatchable)
     )

@@ -415,6 +415,10 @@ def media_byte_histogram(media: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["media"].map(len).astype("int64"),
             }
+            # NULL payloads are filtered before this kernel (see the
+            # .where below); a histogram of a missing asset is no rows,
+            # not a zero row
+            assert not pdf["media"].isna().any()
             counts = np.zeros((len(pdf), 16), dtype=np.int64)
             for i, b in enumerate(pdf["media"]):
                 arr = np.frombuffer(b, dtype=np.uint8) >> 4
@@ -423,7 +427,12 @@ def media_byte_histogram(media: DataFrame) -> DataFrame:
                 rows[f"c{j}"] = counts[:, j]
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(_hist, HIST_SCHEMA)
+    # NULL media (e.g. a document with NULL text upstream) contributes
+    # no histogram row — filtered JVM-side so the pruned rows never
+    # cross the Arrow boundary
+    return media.where(F.col("media").isNotNull()).mapInPandas(
+        _hist, HIST_SCHEMA
+    )
 
 
 def frame_sample_stub(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

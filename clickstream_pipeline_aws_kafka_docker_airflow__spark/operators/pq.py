@@ -84,6 +84,14 @@ def train_pq(
     ]
 
 
+def _empty_topk(emb: DataFrame) -> DataFrame:
+    """The empty search result (empty corpus snapshot / no usable
+    quantizer state) in the shared top-k schema."""
+    return emb.sparkSession.createDataFrame(
+        [], "qid bigint, nid bigint, sim double, rn bigint"
+    )
+
+
 def encode_pq(
     emb: DataFrame,
     books: list[list[tuple[int, list[float]]]],
@@ -109,6 +117,12 @@ def encode_pq(
     spelling."""
     from .similarity import LITERAL_STATE_MAX_DOUBLES, _fold_sq
 
+    if not books or not any(books):
+        # empty codebooks (empty corpus snapshot): nothing to encode —
+        # an empty code table, not an array() VOID-type crash
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id bigint, codes array<bigint>"
+        )
     if mode is None:
         state = sum(len(b) * (sub_dim + 1) for b in books)
         mode = "literal" if state <= LITERAL_STATE_MAX_DOUBLES else "broadcast"
@@ -296,6 +310,9 @@ def ivfpq_topk(
     from ..functions.vectors import norm
     from .similarity import _probe_cells_driver, collect_query_vectors
 
+    if not cents or not books or not any(books):
+        # empty quantizer/codebooks (empty corpus snapshot)
+        return _empty_topk(emb)
     q_vecs = collect_query_vectors(emb, n_queries)
     probes = emb.sparkSession.createDataFrame(
         _probe_cells_driver(q_vecs, cents, max(nprobe, 1)),
@@ -319,10 +336,17 @@ def ivfpq_topk(
         .where(F.col("prn") <= k + rescore_margin)
         .select("qid", "nid")
     )
-    qv = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        norm("embedding").alias("qn"),
+    # zero-norm vectors (cosine undefined) are excluded at the RESCORE
+    # stage on both engines — the ADC prune above still sees them, so
+    # the candidate sets stay identical across engines
+    qv = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            norm("embedding").alias("qn"),
+        )
+        .where(F.col("qn") > 0)
     )
     # corpus-side norm folds AFTER the candidate join: the broadcast
     # probe reduces the corpus to margin-rows-per-query first, so the
@@ -330,6 +354,7 @@ def ivfpq_topk(
     # — bit-identical to folding before the join)
     rescored = (
         emb.select("vec_id", "embedding")
+        .where(norm("embedding") > 0)
         .join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(
@@ -380,6 +405,8 @@ def pq_topk(
     from .scale import widen
 
     books = train_pq(emb, n_sub, k_sub, n_iters, sub_dim=sub_dim)
+    if not any(books):
+        return _empty_topk(emb)  # empty corpus snapshot
     if codes is None:
         codes = encode_pq(widen(emb), books, sub_dim=sub_dim)
 
@@ -407,10 +434,17 @@ def pq_topk(
         .where(F.col("prn") <= k + rescore_margin)
         .select("qid", "nid")
     )
-    qv = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        norm("embedding").alias("qn"),
+    # zero-norm vectors (cosine undefined) are excluded at the RESCORE
+    # stage on both engines — the ADC prune above still sees them, so
+    # the candidate sets stay identical across engines
+    qv = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            norm("embedding").alias("qn"),
+        )
+        .where(F.col("qn") > 0)
     )
     # corpus-side norm folds AFTER the candidate join: the broadcast
     # probe reduces the corpus to margin-rows-per-query first, so the
@@ -418,6 +452,7 @@ def pq_topk(
     # — bit-identical to folding before the join)
     rescored = (
         emb.select("vec_id", "embedding")
+        .where(norm("embedding") > 0)
         .join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(
@@ -519,6 +554,9 @@ def ivfpq_topk_residual(
     from ..functions.vectors import norm
     from .similarity import _probe_cells_driver, collect_query_vectors
 
+    if not cents or not books or not any(books):
+        # empty quantizer/codebooks (empty corpus snapshot)
+        return _empty_topk(emb)
     q_vecs = collect_query_vectors(emb, n_queries)
     probe_pairs = _probe_cells_driver(q_vecs, cents, max(nprobe, 1))
     cents_map = {int(cid): [float(x) for x in coords] for cid, coords in cents}
@@ -548,10 +586,17 @@ def ivfpq_topk_residual(
         .where(F.col("prn") <= k + rescore_margin)
         .select("qid", "nid")
     )
-    qv = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        norm("embedding").alias("qn"),
+    # zero-norm vectors (cosine undefined) are excluded at the RESCORE
+    # stage on both engines — the ADC prune above still sees them, so
+    # the candidate sets stay identical across engines
+    qv = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            norm("embedding").alias("qn"),
+        )
+        .where(F.col("qn") > 0)
     )
     # corpus-side norm folds AFTER the candidate join: the broadcast
     # probe reduces the corpus to margin-rows-per-query first, so the
@@ -559,6 +604,7 @@ def ivfpq_topk_residual(
     # — bit-identical to folding before the join)
     rescored = (
         emb.select("vec_id", "embedding")
+        .where(norm("embedding") > 0)
         .join(F.broadcast(cand), F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(

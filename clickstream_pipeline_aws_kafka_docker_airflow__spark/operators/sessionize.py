@@ -127,7 +127,14 @@ def sessionize(
 ) -> DataFrame:
     """Dispatch: ``direct`` (default; one exchange, right when keys are
     balanced) or ``two_phase`` (bounded per-reducer state under hot
-    keys). Same schema and values either way."""
+    keys). Same schema and values either way.
+
+    An event with a NULL timestamp cannot be placed in any session
+    (there is no gap to measure) — such rows are dropped here, in ONE
+    place, so both strategies agree: ``direct`` would otherwise make
+    each NULL row its own session (NULL lag = new-session flag) while
+    ``two_phase`` would collapse them into a NULL time bucket."""
+    e = e.where(F.col("ts").isNotNull())
     if mode == "two_phase":
         return sessionize_two_phase(e, gap_us, bucket_us)
     if mode != "direct":

@@ -273,6 +273,13 @@ def _assign_to_centroids(
     sims additionally round to 4 dp). The packing order of the
     broadcast array is irrelevant to the sort.
     """
+    if not cents:
+        # empty quantizer (empty corpus snapshot): no cells exist — an
+        # empty assignment, not an indexing crash (empty partitions are
+        # a fact of life for scheduled index builds)
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, crank bigint"
+        )
     if mode is None:
         state = len(cents) * (len(cents[0][1]) + 1)
         mode = "literal" if state <= LITERAL_STATE_MAX_DOUBLES else "broadcast"
@@ -420,6 +427,10 @@ def kmeans_centroid_list(
     )
     seeds = base.where(F.col("vec_id") < n_centroids).collect()
     cents = sorted((r["vec_id"], list(r["v"])) for r in seeds)
+    if not cents:
+        # empty corpus snapshot: no seeds, no quantizer — callers get
+        # an empty centroid list and serve empty results
+        return []
 
     for _ in range(n_iters):
         assign = _assign_to_centroids(
@@ -572,7 +583,15 @@ def ivf_topk(
         corpus_cells = _assign_to_centroids(emb, cents, top=1).select(
             "vec_id", "centroid_id"
         )
-    corpus = emb.select("vec_id", "embedding").join(corpus_cells, "vec_id")
+    # zero-norm vectors have no cosine direction: they keep a home cell
+    # in the index, but are excluded from ranking on BOTH sides (query
+    # and candidate) — without this, ANSI division raises on the first
+    # all-zero embedding a real corpus contains
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .where(norm("embedding") > 0)
+        .join(corpus_cells, "vec_id")
+    )
     probe_df = emb.sparkSession.createDataFrame(
         _probe_cells_driver(
             collect_query_vectors(emb, n_queries), cents, max(nprobe, 1)
@@ -580,11 +599,13 @@ def ivf_topk(
         "qid bigint, centroid_id bigint",
     )
     probes = probe_df.join(
-        emb.where(F.col("vec_id") < n_queries).select(
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
             norm("embedding").alias("qn"),
-        ),
+        )
+        .where(F.col("qn") > 0),
         "qid",
     )
     cands = corpus.join(F.broadcast(probes), "centroid_id").where(
@@ -640,12 +661,23 @@ def topk_matmul_arrow(
     )
     from pyspark.sql.window import Window
 
+    # zero-norm vectors (cosine undefined) sit out on both sides; the
+    # matmul path would otherwise emit NaN sims (0/0) for them
+    from ..functions.vectors import norm as _norm_expr
+
+    emb = emb.where(_norm_expr("embedding") > 0)
     q_rows = (
         emb.where(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
         .collect()
     )
     qids = [r["vec_id"] for r in q_rows]
+    if not qids:
+        # no usable query vectors (empty corpus / all zero-norm): the
+        # result is an empty frame, not a 0-column matmul crash
+        return emb.sparkSession.createDataFrame(
+            [], "qid bigint, nid bigint, sim double, rn bigint"
+        )
     qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
 
@@ -799,15 +831,22 @@ def ann_topk_bucketed(
         .select("qid", F.col("vec_id").alias("nid"))
         .distinct()
     )
-    qv = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        norm("embedding").alias("qn"),
+    # zero-norm vectors (cosine undefined) are excluded from ranking on
+    # both sides; they may still occupy buckets in the band index
+    qv = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            norm("embedding").alias("qn"),
+        )
+        .where(F.col("qn") > 0)
     )
     # corpus-side norm folds on candidates only (post-join) — same
     # expression and values as folding over the whole corpus first
     pairs = (
         emb.select("vec_id", "embedding")
+        .where(norm("embedding") > 0)
         .join(cand, F.col("vec_id") == F.col("nid"))
         .join(F.broadcast(qv), "qid")
         .select(

@@ -56,6 +56,10 @@ SELECT event_type, CAST(ts AS DATE) AS dt,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY CUBE(event_type, CAST(ts AS DATE))
+-- witnessed groups only: on EMPTY input standard SQL still emits the
+-- () grand-total row (n=0) while Spark's cube() emits nothing; every
+-- group over non-empty input has n >= 1, so this is a no-op otherwise
+HAVING COUNT(*) > 0
 """,
 )
 def kpi_cube(spark, sf_dir):
@@ -83,22 +87,32 @@ SELECT o_orderkey,
        CAST(RANK() OVER price_band AS BIGINT) AS price_rank,
        CAST(DENSE_RANK() OVER price_band AS BIGINT) AS price_dense_rank,
        CAST(NTILE(4) OVER seq AS BIGINT) AS quartile,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
                                      ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
        ROUND(PERCENT_RANK() OVER seq, 4) AS pct_rank,
        CAST(date_diff('day', o_orderdate,
                       LEAD(o_orderdate) OVER seq) AS BIGINT) AS days_to_next
 FROM orders
-WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+WINDOW seq AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey),
        price_band AS (PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice / 100000) AS BIGINT) DESC)
 """,
 )
 def window_funcs_suite(spark, sf_dir):
     """The analytic-function family in one deterministic query:
     row_number / rank / dense_rank (with real ties via price banding) /
-    ntile / running sum / percent_rank / lead."""
+    ntile / running sum / percent_rank / lead.
+
+    NULL placement is pinned explicitly (unknown-date orders sort
+    FIRST) because the engines' defaults disagree: Spark ASC is
+    nulls-first, DuckDB ASC is nulls-last — invisible on NULL-free
+    generated data, row-scrambling on a real corpus. The DESC band
+    window needs no pin (both engines default DESC to nulls-last)."""
     o = load_table(spark, sf_dir, "orders")
-    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     band = Window.partitionBy("o_custkey").orderBy(
         F.floor(F.col("o_totalprice") / 100000).cast("bigint").desc()
     )

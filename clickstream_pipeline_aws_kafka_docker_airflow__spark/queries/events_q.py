@@ -64,9 +64,11 @@ def scalar_suite(spark, sf_dir):
     "sessionize_30min",
     oracle=f"""
 WITH l AS (
+    -- NULL-ts events cannot be sessionized; dropped on both engines
+    -- (operators/sessionize.py::sessionize)
     SELECT user_id, event_id, ts,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), g AS (
     SELECT user_id, event_id, ts,
            CASE WHEN prev_ts IS NULL
@@ -253,8 +255,9 @@ ATTENTION_US = 5 * 60 * 1_000_000
     "interval_union_coverage",
     oracle=f"""
 WITH iv AS (
+    -- a NULL-ts event claims no interval (dropped on both engines)
     SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {ATTENTION_US} AS e
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), m AS (
     SELECT user_id, s, e,
            MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
@@ -297,8 +300,10 @@ def interval_union_coverage(spark, sf_dir):
     all reuse that partitioning (same single-exchange shape the
     sessionizer pins in its plan test)."""
     us = F.unix_micros(F.col("ts"))
-    iv = load_table(spark, sf_dir, "events").select(
-        "user_id", us.alias("s"), (us + F.lit(ATTENTION_US)).alias("e")
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())  # NULL ts claims no interval
+        .select("user_id", us.alias("s"), (us + F.lit(ATTENTION_US)).alias("e"))
     )
     order = Window.partitionBy("user_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(
@@ -330,7 +335,7 @@ TRIGRAM_TOP = 20
 WITH l AS (
     SELECT user_id, event_id, ts, event_type,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), g AS (
     SELECT user_id, event_id, ts, event_type,
            CASE WHEN prev_ts IS NULL
@@ -380,7 +385,9 @@ def session_trigrams(spark, sf_dir):
     implemented and probe-measured in operators/sessionize.py +
     docs/SKEW_PROBE.json and applies to this shape unchanged.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sessionized — dropped on both engines
+    # (same rule as operators/sessionize.py)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(order)
     new_s = F.when(

@@ -23,9 +23,11 @@ _K_SQL = 'TRY_CAST(regexp_extract(props, \'"k"\\s*:\\s*(-?\\d+)\', 1) AS BIGINT)
 
 
 _PROPS_EDGES_CTES = f"""s AS (
+    -- NULL-ts events have no position in the stream, so they anchor
+    -- no transition edge (dropped on both engines)
     SELECT user_id, {_K_SQL} AS from_k,
            LEAD({_K_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_k
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), edges AS (
     SELECT from_k AS src, to_k AS dst, COUNT(*) AS n
     FROM s WHERE from_k IS NOT NULL AND to_k IS NOT NULL
@@ -93,7 +95,9 @@ def pagerank_props(spark, sf_dir):
     from ..operators.graph import PR_ITERS
 
     def _build():
-        e = load_table(spark, sf_dir, "events")
+        e = load_table(spark, sf_dir, "events").where(
+            F.col("ts").isNotNull()
+        )
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         k = props_int("props", "k")
         edges = (
@@ -109,7 +113,8 @@ def pagerank_props(spark, sf_dir):
         os.path.join(sf_dir, "events.parquet"),
         "pagerank_props",
         _build,
-        params=f"i{PR_ITERS}",
+        # nts1: NULL-ts events excluded from the edge walk (build change)
+        params=f"i{PR_ITERS}nts1",
     )
 
 

@@ -20,7 +20,13 @@ SELECT event_type, CAST(ts AS DATE) AS dt,
        COUNT(DISTINCT user_id) AS n_users
 FROM {src}
 GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+HAVING COUNT(*) > 0
 """
+# HAVING COUNT(*) > 0 pins the witnessed-groups semantics: on an EMPTY
+# input, standard SQL (DuckDB) still emits the () grand-total row
+# (n=0) while Spark's Expand produces no rows at all. Every group over
+# non-empty input has n >= 1, so the clause is a no-op except on that
+# engine-divergent empty-input row.
 
 
 @register(

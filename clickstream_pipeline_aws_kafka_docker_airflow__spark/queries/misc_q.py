@@ -63,6 +63,7 @@ SELECT user_id,
        COUNT(*) AS n_events,
        array_to_string(list(event_type ORDER BY ts, event_id), '->') AS journey
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id
 """,
 )
@@ -78,7 +79,10 @@ def user_journeys(spark, sf_dir):
     implemented and probe-measured in operators/sessionize.py +
     docs/SKEW_PROBE.json and applies to this shape unchanged.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events have no position in a time-ordered journey —
+    # dropped on both engines (the engines also disagree on where a
+    # NULL sorts under ASC order)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     journey = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
@@ -208,7 +212,13 @@ def value_percentiles_approx(spark, sf_dir):
     the booleans are deterministically TRUE for a correct sketch and
     flip (failing the hash) for a broken one. Quantiles are monotone in
     rank, so "value at rank within q±1e-4" lies in
-    [percentile(q-0.01), percentile(q+0.01)] always.
+    [percentile(q-0.01), percentile(q+0.01)] whenever the group is
+    large enough that ±0.01 of rank spans at least one element on each
+    side (n > AP_BAND_MIN_N = 200). Below that the interpolated band can be
+    NARROWER than the gap between adjacent data values — a correct
+    sketch pick (always an actual element) would fail it — so the
+    boolean is defined vacuously TRUE for small groups; the contract
+    binds exactly in the regime the sketch exists for.
 
     Scale note: in production only the sketch aggregates run (no exact
     percentile sort); the exact columns here exist to give the sketch a
@@ -216,9 +226,10 @@ def value_percentiles_approx(spark, sf_dir):
     g = value_percentiles_frame(spark, sf_dir)
 
     def _band(ap_i, lo_i, hi_i):
-        return (F.col("_ap")[ap_i] >= F.col("_ex")[lo_i]) & (
-            F.col("_ap")[ap_i] <= F.col("_ex")[hi_i]
-        )
+        return (
+            (F.col("_ap")[ap_i] >= F.col("_ex")[lo_i])
+            & (F.col("_ap")[ap_i] <= F.col("_ex")[hi_i])
+        ) | (F.col("n") <= AP_BAND_MIN_N)
 
     return g.select(
         "event_type",
@@ -234,6 +245,9 @@ def value_percentiles_approx(spark, sf_dir):
 
 AP_ACCURACY = 10000  # approx_percentile accuracy: rank error <= 1e-4
 AP_QS = (0.5, 0.9, 0.99)
+# the ±0.01-rank band spans >= 1 element per side only when n > 2/0.01;
+# below this the band check is vacuously TRUE (see docstring)
+AP_BAND_MIN_N = 200
 
 
 def value_percentiles_frame(spark, sf_dir):

@@ -123,13 +123,23 @@ def _hist_oracle() -> str:
         for j in range(HIST_BUCKETS)
     )
     return f"""
-SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+SELECT doc_id, CAST(octet_length(b) AS BIGINT) AS n_bytes,
        {cols}
 FROM (
-    SELECT doc_id, text,
-           list_transform(generate_series(1, strlen(text)),
-                          i -> ascii(substr(text, i, 1)) // 16) AS bs
-    FROM documents
+    -- high nibble of UTF-8 byte i == value of hex digit 2i-1: the
+    -- oracle walks the hex spelling of the BLOB, so multi-byte
+    -- characters count as their bytes (matching numpy over the binary
+    -- payload), never as codepoints. NULL text forges NULL media,
+    -- which contributes no histogram row.
+    SELECT doc_id, b,
+           list_transform(generate_series(1, octet_length(b)),
+                          i -> strpos('0123456789abcdef',
+                                      substr(hx, 2 * i - 1, 1)) - 1) AS bs
+    FROM (
+        SELECT doc_id, encode(text) AS b, lower(hex(encode(text))) AS hx
+        FROM documents
+        WHERE text IS NOT NULL
+    )
 )
 """
 

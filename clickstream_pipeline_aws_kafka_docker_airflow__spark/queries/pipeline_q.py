@@ -321,6 +321,7 @@ _PACK_TOKS = f"""
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                AS n_tokens
     FROM documents
+    WHERE text IS NOT NULL
 """
 
 
@@ -371,12 +372,19 @@ def pack_sequences_greedy(spark, sf_dir):
     from ..operators.dedup import token_hash32_sql
     from ..functions.text import ws_token_count
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.expr(token_hash32_sql("CAST(doc_id AS STRING)")) % PACK_SHARDS)
-        .cast("bigint")
-        .alias("shard"),
-        ws_token_count("text").alias("n_tokens"),
+    # NULL text carries no tokens — those docs sit out packing on both
+    # engines (a real curation pass drops them upstream anyway); without
+    # the guard the sequential kernel sees NaN and dies mid-shard
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.expr(token_hash32_sql("CAST(doc_id AS STRING)")) % PACK_SHARDS)
+            .cast("bigint")
+            .alias("shard"),
+            ws_token_count("text").alias("n_tokens"),
+        )
     )
 
     max_tokens = PACK_MAX_TOKENS
@@ -520,6 +528,8 @@ WITH pairs AS (
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[]))) AS nrm
     FROM embeddings
+    WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
 )
 SELECT p.id_a, p.id_b, p.jaccard,
        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS emb_sim
@@ -532,7 +542,8 @@ def neardup_embedding_check(spark, sf_dir):
     """Cross-modal consistency probe — the check a curation pipeline
     runs before trusting EITHER detector: for every verified TEXT
     near-dup pair, the EMBEDDING cosine of the same two documents
-    (doc_id joins vec_id; pairs without embeddings drop out). Text-dup
+    (doc_id joins vec_id; pairs without embeddings — including
+    zero-norm embeddings, whose cosine is undefined — drop out). Text-dup
     pairs with low embedding similarity mean the embedding model (or
     the text normalizer) disagrees with the shingle view — exactly the
     pairs a human should sample.
@@ -544,8 +555,10 @@ def neardup_embedding_check(spark, sf_dir):
     from ..functions.vectors import dot, norm
 
     pairs = dup_pairs_table(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm("embedding").alias("nrm")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+        .where(F.col("nrm") > 0)
     )
     a = e.select(
         F.col("vec_id").alias("id_a"),

@@ -136,11 +136,13 @@ cand AS (
     ) WHERE prn <= {ANN_K + PQ_RESCORE_MARGIN}
 ),
 rescored AS (
+    -- zero-norm vectors (cosine undefined) drop at the RESCORE stage,
+    -- mirroring the Spark side; the ADC prune above still sees them
     SELECT cand.qid, cand.nid,
            ROUND(list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm), 4) AS sim
     FROM cand
-    JOIN e eq ON eq.vec_id = cand.qid
-    JOIN e en ON en.vec_id = cand.nid
+    JOIN e eq ON eq.vec_id = cand.qid AND eq.nrm > 0
+    JOIN e en ON en.vec_id = cand.nid AND en.nrm > 0
 )
 SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
 FROM (SELECT qid, nid, sim,
@@ -198,11 +200,13 @@ cand AS (
     ) WHERE prn <= {ANN_K + PQ_RESCORE_MARGIN}
 ),
 rescored AS (
+    -- zero-norm vectors (cosine undefined) drop at the RESCORE stage,
+    -- mirroring the Spark side; the ADC prune above still sees them
     SELECT cand.qid, cand.nid,
            ROUND(list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm), 4) AS sim
     FROM cand
-    JOIN e eq ON eq.vec_id = cand.qid
-    JOIN e en ON en.vec_id = cand.nid
+    JOIN e eq ON eq.vec_id = cand.qid AND eq.nrm > 0
+    JOIN e en ON en.vec_id = cand.nid AND en.nrm > 0
 )
 SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
 FROM (SELECT qid, nid, sim,
@@ -391,11 +395,13 @@ cand AS (
     ) WHERE prn <= {ANN_K + PQ_RESCORE_MARGIN}
 ),
 rescored AS (
+    -- zero-norm vectors (cosine undefined) drop at the RESCORE stage,
+    -- mirroring the Spark side; the ADC prune above still sees them
     SELECT cand.qid, cand.nid,
            ROUND(list_dot_product(eq.v, en.v) / (eq.nrm * en.nrm), 4) AS sim
     FROM cand
-    JOIN e eq ON eq.vec_id = cand.qid
-    JOIN e en ON en.vec_id = cand.nid
+    JOIN e eq ON eq.vec_id = cand.qid AND eq.nrm > 0
+    JOIN e en ON en.vec_id = cand.nid AND en.nrm > 0
 )
 SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn
 FROM (SELECT qid, nid, sim,

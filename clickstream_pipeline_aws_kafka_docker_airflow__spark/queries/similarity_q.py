@@ -30,9 +30,12 @@ def _ann_oracle() -> str:
     )
     return f"""
 WITH e AS (
+    -- zero-norm vectors (cosine undefined) sit out ranking on both
+    -- sides; they may still occupy band-index buckets
     SELECT vec_id, {_E} AS v,
            sqrt(list_dot_product({_E}, {_E})) AS nrm
     FROM embeddings
+    WHERE list_dot_product({_E}, {_E}) > 0
 ),
 b AS (
     {band_rows}
@@ -95,6 +98,7 @@ WITH e AS (
     SELECT vec_id, {_E} AS v,
            sqrt(list_dot_product({_E}, {_E})) AS nrm
     FROM embeddings
+    WHERE list_dot_product({_E}, {_E}) > 0
 ),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
 p AS (
@@ -167,13 +171,17 @@ WITH e AS (
 ),
 {_ivf_ctes(n_centroids, n_iters)},
 corpus AS (
+    -- zero-norm vectors keep a home cell (training/assignment above
+    -- see every vector) but sit out cosine ranking on both sides
     SELECT e.vec_id, v, nrm, centroid_id
     FROM e JOIN assign a ON a.vec_id = e.vec_id AND a.crank = 1
+    WHERE e.nrm > 0
 ),
 probes AS (
     SELECT a.vec_id AS qid, a.centroid_id, e.v AS qv, e.nrm AS qn
     FROM assign a JOIN e ON e.vec_id = a.vec_id
     WHERE a.vec_id < {ANN_NQUERIES} AND a.crank <= {nprobe}
+      AND e.nrm > 0
 ),
 cands AS (
     SELECT p.qid, c.vec_id AS nid,

@@ -36,6 +36,7 @@ SELECT date_trunc('week', CAST(ts AS DATE)) AS wk,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS hll_within_5pct
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -71,7 +72,11 @@ def hll_range_frame(spark, sf_dir):
     merged-sketch estimate ``_est`` alongside the exact distinct) —
     exposed so ``tests/test_sketches.py`` can pin the measured error to
     half the contract band at sf0.01 AND sf0.1."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events belong to no day (and a NULL week key would also
+    # silently fall out of the est/exact inner join while the oracle's
+    # GROUP BY keeps it — engines disagree, so the row is dropped
+    # explicitly on both)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     day_user = e.groupBy(F.to_date("ts").alias("dt"), "user_id").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -184,8 +184,11 @@ SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
             ELSE 'SLOW' END AS ship_tier,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       -- low = NOT high (NULL priority is low): spelled as the negated
+       -- IN so a NULL evaluates the ELSE branch on both engines — the
+       -- NOT-IN form leaves NULL rows counted in NEITHER bucket
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01'

@@ -176,10 +176,13 @@ def tfidf_top_terms(spark, sf_dir):
     "session_transitions",
     oracle="""
 WITH s AS (
+    -- an event with no timestamp has no position in the stream:
+    -- dropped on both engines (the engines also disagree on NULL
+    -- placement under ASC ordering, so keeping them is undefined)
     SELECT user_id, event_type AS from_et,
            LEAD(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS to_et
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), c AS (
     SELECT from_et, to_et, COUNT(*) AS n
     FROM s WHERE to_et IS NOT NULL
@@ -208,7 +211,8 @@ def session_transitions(spark, sf_dir):
     implemented and probe-measured in operators/sessionize.py +
     docs/SKEW_PROBE.json and applies to this shape unchanged.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events have no position in the time-ordered stream
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         e.select(
@@ -272,7 +276,11 @@ VOCAB_V = 16  # small enough that the driver corpus has real OOV tokens
     "vocab_encode",
     oracle=f"""
 WITH t AS (
+    -- NULL text has no token sequence: dropped on both engines (the
+    -- oracle's unnest would silently drop it anyway; the Spark side
+    -- would keep a NULL-ids row — engines must agree explicitly)
     SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    WHERE text IS NOT NULL
 ), counts AS (
     SELECT token, COUNT(*) AS n
     FROM (SELECT unnest(toks) AS token FROM t)
@@ -314,7 +322,10 @@ def vocab_encode(spark, sf_dir):
     canonicalizer hashes scalars, and parity on the string pins every
     position).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text has no token sequence (matches the oracle's WHERE)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     counts = (
         d.select(F.explode(toks).alias("token"))
@@ -485,13 +496,19 @@ WITH e AS (
 {_ivf_ctes(IVF_NCENTROIDS, IVF_KMEANS_ITERS)},
 cells AS (
     SELECT vec_id, centroid_id FROM assign WHERE crank = 1
+), ecmp AS (
+    -- pair-compare side only: zero-norm vectors (cosine undefined)
+    -- can neither drop a cell-mate nor be dropped; they keep their
+    -- cell row (quantizer training and assignment above still see
+    -- every vector on both engines)
+    SELECT * FROM e WHERE nrm > 0
 ), dropped AS (
     SELECT DISTINCT cb.vec_id
     FROM cells ca
     JOIN cells cb ON ca.centroid_id = cb.centroid_id
                  AND ca.vec_id < cb.vec_id
-    JOIN e ea ON ea.vec_id = ca.vec_id
-    JOIN e eb ON eb.vec_id = cb.vec_id
+    JOIN ecmp ea ON ea.vec_id = ca.vec_id
+    JOIN ecmp eb ON eb.vec_id = cb.vec_id
     WHERE ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
           >= {SEMDEDUP_TAU}
 )
@@ -516,7 +533,8 @@ def semantic_dedup_table(spark, sf_dir):
         os.path.join(sf_dir, "embeddings.parquet"),
         "semdedup",
         lambda: _semantic_dedup_build(spark, sf_dir),
-        params=f"tau{SEMDEDUP_TAU}i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}",
+        # zn1: zero-norm vectors sit out the pair compare (build change)
+        params=f"tau{SEMDEDUP_TAU}i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}zn1",
     )
 
 
@@ -556,13 +574,17 @@ def _semantic_dedup_build(spark, sf_dir):
     base = emb.select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     ).join(cells, "vec_id")
-    a = base.select(
+    # zero-norm vectors (cosine undefined) sit out the pair compare on
+    # both sides — they keep their cell and is_kept=true, matching the
+    # oracle's nrm-filtered pair CTE
+    cmp_side = base.where(F.col("nrm") > 0)
+    a = cmp_side.select(
         F.col("centroid_id").alias("cell"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = base.select(
+    b = cmp_side.select(
         F.col("centroid_id").alias("cell"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),

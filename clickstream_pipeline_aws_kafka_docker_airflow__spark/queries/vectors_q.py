@@ -72,6 +72,7 @@ WITH e AS (
     SELECT vec_id, {_E_DOUBLE} AS v,
            sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
     FROM embeddings
+    WHERE list_dot_product({_E_DOUBLE}, {_E_DOUBLE}) > 0
 ),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < {TOPK_NQUERIES}),
 p AS (
@@ -90,9 +91,16 @@ def sim_topk_bruteforce(spark, sf_dir):
     """ext_sim_topk baseline: exact top-k cosine by broadcasting the
     (small) query set against all vectors. The corpus side never
     shuffles; ranking uses the per-qid window. 100 TB path: LSH/IVF
-    bucketing in operators/similarity.py."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm("embedding").alias("nrm")
+    bucketing in operators/similarity.py.
+
+    Zero-norm vectors carry no direction — cosine is undefined for
+    them — so they are excluded from BOTH sides (query and corpus) on
+    both engines; without the guard ANSI division raises on the first
+    all-zero embedding a real corpus contains."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+        .where(F.col("nrm") > 0)
     )
     q = (
         e.where(F.col("vec_id") < TOPK_NQUERIES)
@@ -121,6 +129,7 @@ WITH e AS (
     SELECT vec_id, label, {_E_DOUBLE} AS v,
            sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
     FROM embeddings
+    WHERE list_dot_product({_E_DOUBLE}, {_E_DOUBLE}) > 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
@@ -132,9 +141,12 @@ def embed_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label so the
     pairwise join is per-block quadratic instead of global quadratic —
     the same blocking idea LSH generalizes (band buckets instead of
-    labels) when no natural key exists."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", norm("embedding").alias("nrm")
+    labels) when no natural key exists. Zero-norm vectors (cosine
+    undefined) are excluded on both engines."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding", norm("embedding").alias("nrm"))
+        .where(F.col("nrm") > 0)
     )
     # probe side repartitions for parallelism: a single parquet file
     # would otherwise put ALL pairwise dot products on one task; the

@@ -46,7 +46,11 @@ def gen_synthetic_events(spark, sf_dir):
     "sliding_window_hourly",
     oracle=f"""
 WITH b AS (
-    SELECT (epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} AS b0, value FROM events
+    -- a NULL-ts event lands in no window (Spark's window() likewise
+    -- emits nothing for it once filtered; unfiltered, the engines
+    -- disagree: one NULL group vs two NULL union branches)
+    SELECT (epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} AS b0, value
+    FROM events WHERE ts IS NOT NULL
 ), x AS (
     SELECT make_timestamp(b0) AS window_start, value FROM b
     UNION ALL
@@ -62,8 +66,8 @@ GROUP BY window_start
 def sliding_window_hourly(spark, sf_dir):
     """ext_window_tumbling (sliding variant): 1-hour windows advancing
     every 30 minutes via the native ``window`` operator — each event
-    feeds 2 overlapping windows."""
-    e = load_table(spark, sf_dir, "events")
+    feeds 2 overlapping windows. NULL-ts events land in no window."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -113,8 +117,10 @@ def _ewma_oracle() -> str:
 
     return f"""
 WITH RECURSIVE hc AS (
+    -- NULL-ts events have no hour; dropped on both engines (the NULL
+    -- hour would also sort differently across engines in the walk)
     SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), idx AS (
     SELECT event_type, hh, cnt,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS i
@@ -144,7 +150,7 @@ def ewma_hourly(spark, sf_dir):
     so the fold and the recursion hash-match."""
     from ..operators.timeseries import ewma_series
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hh")
     ).agg(F.count(F.lit(1)).alias("cnt"))
