@@ -77,9 +77,11 @@ def dec_avg_trunc4_sql(x: str, idiv: str) -> str:
        arithmetic only; both ``div`` and ``//`` truncate toward zero.
 
     ``NULLIF`` keeps the all-NULL-group case NULL (matching AVG) instead
-    of tripping ANSI divide-by-zero. BIGINT bound: |SUM(x)| < 9.2e10
-    (fine through sf1 here; at larger scale keep the scaled value in
-    DECIMAL(38,0) — the helper exists for cross-engine verification).
+    of tripping ANSI divide-by-zero. The scaled value is held in a
+    38-digit integer container (Spark DECIMAL(38,0), DuckDB HUGEINT),
+    so |SUM(x)| is bounded by ~1e29, not the 9.2e10 a BIGINT would
+    allow — a single 1e12-sized addend (seen in the adversarial
+    fixture's props) overflowed the old BIGINT cast under ANSI mode.
     """
     return dec_avg_trunc_sql(x, idiv, 4)
 
@@ -93,7 +95,14 @@ def dec_avg_trunc_sql(x: str, idiv: str, dp: int = 4) -> str:
     scale)."""
     if not 0 <= dp <= 8:
         raise ValueError(f"dp out of range for DECIMAL(24,8) addends: {dp}")
-    scaled = f"CAST(SUM(CAST({x} AS DECIMAL(24,8))) * 100000000 AS BIGINT)"
+    # The scaled-integer container must keep INTEGRAL division
+    # semantics (truncate toward zero) on each engine. Spark: `div` on
+    # DECIMAL(38,0) is IntegralDivide -> BIGINT quotient. DuckDB: `//`
+    # on HUGEINT truncates like its integer form, but `//` on DECIMAL
+    # silently degenerates to fractional division — so the DuckDB
+    # spelling must use HUGEINT, never DECIMAL.
+    container = "HUGEINT" if idiv == "//" else "DECIMAL(38,0)"
+    scaled = f"CAST(SUM(CAST({x} AS DECIMAL(24,8))) * 100000000 AS {container})"
     return (
         f"({scaled} {idiv} (NULLIF(COUNT({x}), 0) * {10 ** (8 - dp)}))"
         f" / CAST({10 ** dp} AS DOUBLE)"

@@ -184,6 +184,19 @@ def _events() -> dict[str, list]:
     add(_ts("2024-01-06 10:00:00"), -5, "view", 2.0, '{"k": 1}')
     add(_ts("2024-01-06 11:00:00"), 999, "signup", None, '{"k": 1}')
 
+    # numeric-edge props: BIGINT overflow (try_cast must yield NULL on
+    # both engines), leading zeros, large-but-valid
+    for i, p in enumerate(
+        [
+            '{"k": 99999999999999999999}',
+            '{"k": -99999999999999999999}',
+            '{"k": 007}',
+            '{"k": 1234567890123}',
+            '{"k": -0}',
+        ]
+    ):
+        add(_ts("2024-01-07 09:00:00") + dt.timedelta(minutes=i), 15, "view", 1.0, p)
+
     cols = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
     for r in rows:
         for k, v in zip(cols, r):
@@ -245,6 +258,15 @@ def _documents() -> dict[str, list]:
         (" leading space", "en", "src5"),
         ("double  space  gap", "en", "src0"),
     ]
+    # PII-bearing text (the scrub/count regexes must agree across the
+    # Java and RE2 dialects) and regex-metacharacter soup
+    texts += [
+        ("contact john.doe+spam@example.co.uk or 555-123-4567 now", "en", "src0"),
+        ("server at 192.168.0.1 and bogus 999.999.999.999 octets", "en", "src1"),
+        ("half@domain and @@not-an-email@ should not both match", "en", "src2"),
+        ("path C:\\temp\\file.txt regex .* chars [a-z]+ (group)", "en", "src3"),
+        ("two mails a@b.io c@d.org one phone 111-222-3333", "en", "src4"),
+    ]
     # NULL metadata
     texts += [
         (sent(30, seed=7100), None, "src0"),
@@ -296,6 +318,11 @@ def _embeddings() -> dict[str, list]:
         ([1000.0] * dim, 7),
         ([1e-30] * dim, 8),
     ]
+    # negative-zero components (IEEE -0.0 must canonicalize identically
+    # through norms/dots/digests on both engines)
+    nz = randv(9004)
+    nz[0], nz[1] = -0.0, 0.0
+    vecs.append((nz, 9))
     # NULL label
     vecs.append((randv(9003), None))
     cols = {"vec_id": [], "embedding": [], "label": []}

@@ -198,6 +198,17 @@ def test_sessionize_drops_null_ts(spark):
         assert rows[0]["n_events"] == 2, mode
 
 
+def test_two_phase_sessionize_parity_on_hostile_data(spark, monkeypatch):
+    """The skew-proof strategy shares the dispatcher's NULL-ts rule, so
+    it matches the oracle on hostile and empty data too."""
+    monkeypatch.setenv("SPARK_GRAFT_SESSIONIZE_MODE", "two_phase")
+    for sf in (ADV_SF, EMPTY_SF):
+        assert_parity(
+            spark, sf, "sessionize_30min",
+            E.queries()["sessionize_30min"], E.oracle_sql()["sessionize_30min"],
+        )
+
+
 def test_media_histogram_counts_utf8_bytes(spark):
     """Non-ASCII text: buckets count UTF-8 bytes, not codepoints, and
     NULL text contributes no row."""
