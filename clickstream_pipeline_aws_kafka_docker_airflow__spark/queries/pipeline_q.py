@@ -98,8 +98,17 @@ def dedup_clusters(spark, sf_dir):
     only left-joins the resulting label table once at the end. The
     pair list comes from the materialized detector output
     (dup_pairs_table) — the labeling job reads the detector's table,
-    it does not re-run MinHash.
+    it does not re-run MinHash. Like the other iterative corpus
+    products (pagerank, semdedup), the labels are a build-once
+    snapshot artifact (cluster_labels_table): the CC iterations run
+    once per snapshot in the build job, queries only read.
     """
+    return cluster_labels_table(spark, sf_dir)
+
+
+def _dedup_clusters_frame(spark, sf_dir):
+    """The labeling computation (builder for cluster_labels_table —
+    dedup_clusters serves its materialized output)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dup_pairs_table(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
@@ -110,11 +119,6 @@ def dedup_clusters(spark, sf_dir):
         F.coalesce("label", "doc_id").alias("canonical_id"),
         (F.col("doc_id") == F.coalesce("label", "doc_id")).alias("is_canonical"),
     )
-
-
-def _dedup_clusters_frame(spark, sf_dir):
-    """Builder for cluster_labels_table (== dedup_clusters output)."""
-    return dedup_clusters(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
