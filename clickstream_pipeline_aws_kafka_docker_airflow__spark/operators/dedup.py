@@ -83,12 +83,46 @@ def band_table(
     )
 
 
+# The at-scale bucket bound for lsh_candidate_pairs(band_df_cap=...):
+# buckets larger than this are duplicate floods the exact pass must
+# collapse first (probe: docs/PROBE_DUPFLOOD.json). None in the
+# registered queries — their oracles recompute the uncapped detector.
+BAND_DF_CAP_DEFAULT = 200
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = NUM_HASHES, band_size: int = BAND_SIZE
+    sigs: DataFrame,
+    k: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    band_df_cap: int | None = None,
 ) -> DataFrame:
     """Band the signature, self-join on (band, band_key): docs agreeing
-    on ALL hashes of any band become candidates."""
+    on ALL hashes of any band become candidates.
+
+    ``band_df_cap`` is the duplicate-FLOOD guard: md5 band keys keep
+    the bucket HASHING uniform, but D byte-identical documents land in
+    the same bucket of EVERY band regardless — D^2 candidate pairs (a
+    boilerplate page shared by 1M docs is 10^12 pairs; measured 100x
+    pair growth for 10x docs in docs/PROBE_DUPFLOOD.json). With the
+    cap, buckets larger than ``band_df_cap`` are dropped before the
+    self-join, bounding per-bucket work at cap^2 like the shingle
+    path's SHINGLE_DF_CAP. Recall effect: a pair supported ONLY by
+    over-cap buckets is not paired — by design, because such buckets
+    are exact-duplicate floods that the cheaper exact pass
+    (dedup_exact_docs / a distinct-text pre-pass) must collapse FIRST;
+    the registered MinHash queries keep cap=None (their oracle
+    recomputes the uncapped detector), and the probe demonstrates the
+    capped + exact-first compositions for the at-scale path."""
     bands = band_table(sigs, k, band_size)
+    if band_df_cap is not None:
+        sizes = bands.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(
+                sizes.where(F.col("_bn") <= band_df_cap), ["band", "bkey"]
+            ).drop("_bn")
+        )
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band", "bkey"
     )

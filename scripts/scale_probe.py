@@ -654,7 +654,81 @@ def probe_skew(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew}
+# ---------------------------------------------------------------------------
+# duplicate-flood probe: hot LSH bucket, uncapped vs capped vs exact-first
+
+
+def _flood_docs(spark, n_docs: int, flood_share: float = 0.05):
+    """Zipf corpus where ``flood_share`` of the docs are ONE identical
+    boilerplate text (the shared footer/licence-page pathology): md5
+    band keys stay uniform, but every flood doc lands in the same
+    bucket of every band."""
+    base = _zipf_docs(spark, n_docs)
+    flood_text = " ".join(f"b{j}" for j in range(30))
+    return base.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % F.lit(int(1 / flood_share))) == 0,
+            F.lit(flood_text),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def probe_dupflood(spark) -> dict:
+    """The hazard SHINGLE_DF_CAP/SIMHASH_BAND_DF_CAP guard against,
+    measured for MinHash-LSH: a 5% exact-duplicate flood makes the
+    uncapped candidate list grow QUADRATICALLY (100x for 10x docs)
+    while (a) band_df_cap bounds bucket work and (b) the production
+    composition — exact-dedup FIRST, LSH over distinct texts — keeps
+    the full near-dup recall with linear candidates."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        BAND_DF_CAP_DEFAULT,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    out: dict = {"probe": "dupflood", "flood_share": 0.05,
+                 "band_df_cap": BAND_DF_CAP_DEFAULT}
+    n1 = 10_000
+    for tag, n in (("x1", n1), ("x10", n1 * 10)):
+        docs = _flood_docs(spark, n).localCheckpoint()
+        sh = shingle_table(docs).localCheckpoint()
+        sigs = minhash_signatures(sh).localCheckpoint()
+        row: dict = {"n_docs": n}
+        t0 = time.perf_counter()
+        row["uncapped_pairs"] = lsh_candidate_pairs(sigs).count()
+        row["uncapped_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        row["capped_pairs"] = lsh_candidate_pairs(
+            sigs, band_df_cap=BAND_DF_CAP_DEFAULT
+        ).count()
+        row["capped_s"] = round(time.perf_counter() - t0, 2)
+        # exact-first: collapse identical texts to one representative,
+        # then LSH over the (distinct-text) representatives — the flood
+        # is ONE node; its membership rides the exact-dup groups
+        reps = (
+            docs.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("grp"))
+        ).localCheckpoint()
+        rep_sigs = minhash_signatures(
+            shingle_table(reps.select("doc_id", "text"))
+        )
+        t0 = time.perf_counter()
+        row["exact_first_pairs"] = lsh_candidate_pairs(rep_sigs).count()
+        row["exact_first_s"] = round(time.perf_counter() - t0, 2)
+        row["exact_groups_collapsed"] = reps.where(F.col("grp") > 1).count()
+        out[tag] = row
+    for kk in ("uncapped_pairs", "capped_pairs", "exact_first_pairs"):
+        out[f"{kk}_growth"] = round(
+            out["x10"][kk] / max(out["x1"][kk], 1), 1
+        )
+    return out
+
+
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "dupflood": probe_dupflood}
 
 
 def _probe_spark():
@@ -688,12 +762,15 @@ def main() -> None:
     for n in names:
         out = PROBES[n](spark)
         print(json.dumps(out), flush=True)
-        if n == "skew":
-            # committed evidence artifact (r5 verdict item 1)
+        artifact = {
+            "skew": "SKEW_PROBE.json",  # r5 verdict item 1
+            "dupflood": "PROBE_DUPFLOOD.json",  # hot-LSH-bucket hazard
+        }.get(n)
+        if artifact:
             p = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "docs",
-                "SKEW_PROBE.json",
+                artifact,
             )
             with open(p, "w") as f:
                 json.dump(out, f, indent=1)

@@ -369,3 +369,36 @@ def test_ppjoin_exact_vs_bruteforce(spark):
         for r in ppjoin_pairs(hand, toks=tk2).collect()
     }
     assert got2 == {(1, 2, 666), (1, 4, 1000), (2, 4, 666)}, got2
+
+
+def test_lsh_band_df_cap_bounds_duplicate_flood(spark):
+    """The duplicate-flood guard: byte-identical docs land in the same
+    bucket of EVERY band (md5 band keys are uniform over VALUES, not
+    over duplicates), so an uncapped self-join pairs them quadratically.
+    With band_df_cap the flood buckets drop before the join while pairs
+    supported by small buckets keep full recall — the exact-dedup pass
+    owns the flood (probe: docs/PROBE_DUPFLOOD.json)."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    flood = "lorem ipsum dolor sit amet " * 4
+    near_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near_b = "the quick brown fox jumps over the lazy dog again and again no"
+    rows = [(i, flood) for i in range(10)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingle_table(docs))
+
+    uncapped = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    assert (100, 101) in uncapped
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 45  # 10C2
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, band_df_cap=5).collect()
+    }
+    assert capped == {(100, 101)}  # flood buckets (size 10 > 5) dropped
