@@ -16,10 +16,16 @@ The right side must be unique per (key, ts); callers dedupe first
 
 NULLs: a NULL join key or NULL timestamp never matches — the standard
 as-of (and SQL equality/inequality) semantics. Right rows with NULL
-key/ts are dropped; left rows with NULL key/ts are kept with NULL
-value columns, and bypass the window shuffle entirely (a corpus with
-many NULL-key rows would otherwise pile them into one hot window
-partition to compute a carry that is NULL by definition).
+key/ts are dropped. Left rows with NULL key/ts are kept with NULL
+value columns; they ride the SAME single scan and shuffle as everyone
+else, but under synthetic spread keys (``n|<scan partition id>``) so
+(a) they can never pile into one hot window partition (their carry is
+NULL by definition — there is nothing to compute), and (b) the left
+side is scanned exactly once (a separate bypass branch costs a second
+scan, and its ``OR(IsNull)`` filter does not push through the
+null-preserving timestamp cast the loader applies, so the second scan
+would be a full one). Real keys are namespaced ``k|<key>`` so a
+synthetic key can never collide with a data key.
 """
 
 from __future__ import annotations
@@ -40,33 +46,37 @@ def asof_join(
     ``value_cols`` at-or-before its timestamp (nulls when none)."""
     lcols = [c for c in left.columns]
     matchable = F.col(key).isNotNull() & F.col(left_ts).isNotNull()
-    unmatchable = left.where(~matchable).select(
-        *lcols,
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+    # namespaced string partition key: matchable rows group on their
+    # real key; unmatchable rows spread over per-scan-partition
+    # synthetic keys (parallelism tracks the scan; no hot partition)
+    l_k = F.when(
+        matchable, F.concat(F.lit("k|"), F.col(key).cast("string"))
+    ).otherwise(
+        F.concat(F.lit("n|"), F.spark_partition_id().cast("string"))
     )
-    left = left.where(matchable)
-    right = right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     l_tagged = left.select(
-        F.col(key).alias("_k"),
+        l_k.alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
     )
-    r_tagged = right.select(
-        F.col(key).alias("_k"),
+    r_tagged = right.where(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
+        F.concat(F.lit("k|"), F.col(key).cast("string")).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     u = l_tagged.unionByName(r_tagged)
+    # nulls-first is explicit: a NULL-ts left row (synthetic-key
+    # partitions only — right rows always carry a timestamp) must sort
+    # before anything that could be carried into it
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy(F.col("_ts").asc_nulls_first(), "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
@@ -76,8 +86,6 @@ def asof_join(
             for c in value_cols
         ],
     )
-    return (
-        carried.where(F.col("_tag") == 1)
-        .select(*lcols, *[F.col(f"asof_{c}") for c in value_cols])
-        .unionByName(unmatchable)
+    return carried.where(F.col("_tag") == 1).select(
+        *lcols, *[F.col(f"asof_{c}") for c in value_cols]
     )

@@ -765,6 +765,7 @@ def main() -> None:
         artifact = {
             "skew": "SKEW_PROBE.json",  # r5 verdict item 1
             "dupflood": "PROBE_DUPFLOOD.json",  # hot-LSH-bucket hazard
+            "dedup": "PROBE_DEDUP_10X.json",  # sub-quadratic growth
         }.get(n)
         if artifact:
             p = os.path.join(
