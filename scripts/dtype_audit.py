@@ -107,9 +107,11 @@ def main() -> int:
     )
     con = duckdb.connect(":memory:")
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+        # layout-agnostic: a table may be one file or a directory of
+        # part files (the multi-file layout every real zone has)
+        src = f"{sf}/{t}.parquet"
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     failures, warnings = [], []
     for name in sorted(qs):
         if name not in osql:
