@@ -20,19 +20,33 @@ WITH views AS (
     SELECT event_id, user_id, ts FROM events
     WHERE lower(coalesce(event_type,'')) = 'view'
 ), purchases AS (
+    -- NULL key/ts rows can never be an as-of match (standard
+    -- inequality semantics); DuckDB's ASOF implementation would
+    -- otherwise sort a NULL timestamp LAST and match it as
+    -- greater-than-everything, so the no-match rule is spelled
+    -- explicitly on both sides
     SELECT user_id, ts, MAX(value) AS pvalue
     FROM events WHERE lower(coalesce(event_type,'')) = 'purchase'
+      AND user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY user_id, ts
 )
 SELECT v.event_id, v.user_id, p.pvalue AS asof_pvalue
-FROM views v ASOF LEFT JOIN purchases p
+FROM (SELECT * FROM views WHERE ts IS NOT NULL) v
+ASOF LEFT JOIN purchases p
   ON v.user_id = p.user_id AND v.ts >= p.ts
+UNION ALL
+SELECT event_id, user_id, NULL AS asof_pvalue
+FROM views WHERE ts IS NULL
 """,
 )
 def asof_last_purchase(spark, sf_dir):
     """As-of join: each view event annotated with the user's most
-    recent at-or-before purchase value. Oracle uses DuckDB's native
-    ASOF JOIN; Spark side is the union/last-carry composition."""
+    recent at-or-before purchase value (NULL key/timestamp never
+    matches — operators/asof.py). Oracle uses DuckDB's native ASOF
+    JOIN with the NULL no-match rule spelled explicitly (DuckDB's own
+    ASOF sorts NULL timestamps last and would match them to the
+    LATEST right row); Spark side is the union/last-carry
+    composition."""
     e = load_table(spark, sf_dir, "events")
     etype = F.lower(F.coalesce("event_type", F.lit("")))
     views = e.where(etype == "view").select("event_id", "user_id", "ts")

@@ -234,9 +234,13 @@ def cms_range_topk(spark, sf_dir):
     "hll_audience_overlap",
     oracle="""
 WITH du AS (
+    -- NULL-ts events belong to no week (and the NULL week group would
+    -- diverge between the groupBy and the overlap self-join anyway:
+    -- GROUP BY keeps NULL, a JOIN key never matches it)
     SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS wk,
            event_type, user_id
-    FROM events WHERE event_type IN ('view', 'purchase')
+    FROM events
+    WHERE event_type IN ('view', 'purchase') AND ts IS NOT NULL
 ), v AS (SELECT wk, user_id FROM du WHERE event_type = 'view'),
 p AS (SELECT wk, user_id FROM du WHERE event_type = 'purchase'),
 j AS (
@@ -292,6 +296,7 @@ def hll_overlap_frame(spark, sf_dir):
     half-band margin test in ``tests/test_sketches.py``."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
+        & F.col("ts").isNotNull()  # NULL-ts events belong to no week
     )
     wk = F.date_trunc("week", F.to_date("ts")).cast("date")
     du = e.select(

@@ -100,6 +100,11 @@ def _events() -> dict[str, list]:
     add(_ts("2024-01-01 10:04:00"), 7, "view", 12.0, None)
     add(None, 7, "purchase", 13.0, '{"k": 5}')
     add(None, None, None, None, None)
+    # NULL-ts VIEW for a user with purchases: DuckDB's native ASOF
+    # sorts NULL timestamps last and would match it to the LATEST
+    # purchase; the no-match semantics must hold on both engines
+    # (found by the cross-engine fuzz, pinned here)
+    add(None, 7, "view", 14.0, '{"k": 6}')
 
     # malformed / hostile JSON props
     for i, p in enumerate(

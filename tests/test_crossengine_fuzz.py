@@ -1,0 +1,129 @@
+"""Cross-ENGINE fuzz: seeded random hostile frames, Spark vs DuckDB.
+
+The committed adversarial fixture is handcrafted; this fuzz samples the
+same hostile space randomly (NULL-dense columns, tiny tie-heavy
+timestamp pools, few users, duplicate values) so tie-break and
+NULL-placement classes the fixture happens not to spell still get
+exercised. Deterministic seeds — a failure reproduces exactly.
+
+Targets are the shapes with the worst cross-engine track record this
+round: gap sessionization, interval union, the analytic-function
+window suite, and the as-of join.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import shutil
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import TABLES
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.testing import compare_frames
+
+from tests.test_layout_invariance import ADV_SF
+
+SEEDS = [11, 22, 33, 44, 55]
+
+
+def _fuzz_events(rng: random.Random, n: int = 120) -> list[tuple]:
+    """Hostile events: 8 users (hot ties), a 40-slot ts pool (forced
+    duplicates), ~15% NULLs per nullable column."""
+    base = dt.datetime(2024, 1, 1)
+    ts_pool = [
+        base + dt.timedelta(minutes=rng.randrange(0, 3000)) for _ in range(40)
+    ]
+    rows = []
+    for i in range(n):
+        ts = None if rng.random() < 0.15 else rng.choice(ts_pool)
+        user = None if rng.random() < 0.15 else rng.randrange(8)
+        etype = (
+            None
+            if rng.random() < 0.15
+            else rng.choice(["view", "click", "purchase", "signup", "error"])
+        )
+        value = None if rng.random() < 0.15 else round(rng.uniform(-5, 50), 2)
+        props = None if rng.random() < 0.2 else '{"k": %d}' % rng.randrange(20)
+        rows.append((i, ts, user, etype, value, props))
+    return rows
+
+
+def _fuzz_orders(rng: random.Random, n: int = 60) -> list[tuple]:
+    base = dt.datetime(1996, 1, 1)
+    date_pool = [base + dt.timedelta(days=rng.randrange(0, 200)) for _ in range(15)]
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", None]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                None if rng.random() < 0.1 else rng.randrange(10),
+                rng.choice(["O", "F", None]),
+                None if rng.random() < 0.15 else round(rng.uniform(100, 9999), 2),
+                None if rng.random() < 0.15 else rng.choice(date_pool),
+                rng.choice(pri),
+            )
+        )
+    return rows
+
+
+def _write_ref_schema(rows, table, path):
+    """Write rows under the EXACT committed-fixture arrow schema (the
+    loaders only normalize the events table's timestamp unit, so a
+    pandas default ns-timestamp would surface as BIGINT elsewhere)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(f"{ADV_SF}/{table}.parquet")
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+    arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)]
+    pq.write_table(pa.Table.from_arrays(arrays, schema=schema), path)
+
+
+@pytest.fixture(scope="module")
+def fuzz_dirs(spark, tmp_path_factory):
+    """One sf-dir per seed: adv_sf tables with fuzzed events + orders."""
+    dirs = {}
+    for seed in SEEDS:
+        rng = random.Random(seed)
+        root = tmp_path_factory.mktemp(f"fuzz{seed}")
+        for t in TABLES:
+            shutil.copy(f"{ADV_SF}/{t}.parquet", root / f"{t}.parquet")
+        _write_ref_schema(_fuzz_events(rng), "events", root / "events.parquet")
+        _write_ref_schema(_fuzz_orders(rng), "orders", root / "orders.parquet")
+        dirs[seed] = str(root)
+    return dirs
+
+
+FUZZ_QUERIES = [
+    "sessionize_30min",
+    "session_transitions",
+    "interval_union_coverage",
+    "user_journeys",
+    "window_funcs_suite",
+    "asof_last_purchase",
+    "kpi_cube",
+]
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_crossengine_fuzz(spark, fuzz_dirs, name):
+    for seed, sf in fuzz_dirs.items():
+        sdf = E.queries()[name](spark, sf).toPandas()
+        con = duckdb.connect(":memory:")
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            ddf = con.sql(E.oracle_sql()[name]).df()
+        finally:
+            con.close()
+        problems = compare_frames(sdf, ddf)
+        assert not problems, (
+            f"[{name}] seed={seed} cross-engine mismatch:\n" + "\n".join(problems)
+        )
