@@ -109,6 +109,94 @@ FUZZ_QUERIES = [
 ]
 
 
+def _fuzz_documents(rng: random.Random, n: int = 50) -> list[tuple]:
+    """Hostile documents from a casefold-stable vocabulary (ASCII,
+    Latin-1 accents, CJK, emoji — tests/test_unicode_casefold.py pins
+    the stability precondition) with NULLs, empties, whitespace soup,
+    planted exact duplicates, and ~10% near-duplicates."""
+    vocab = (
+        "the fast key order sort table scan merge data café naïve "
+        "中文 分析 emoji😀 test ALL-CAPS MiXeD 123 !!! a"
+    ).split()
+    texts: list[str | None] = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            texts.append(None)
+        elif r < 0.14:
+            texts.append(rng.choice(["", "   ", "\t\n"]))
+        elif r < 0.24 and texts:
+            # near-dup or exact dup of an earlier doc
+            prev = next(
+                (t for t in reversed(texts) if t), "the fast key"
+            )
+            texts.append(prev if rng.random() < 0.5 else prev + " extra")
+        else:
+            texts.append(
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40)))
+            )
+    langs = ["en", "es", "de", "fr", "zh", None, "xx"]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append(
+            (
+                i,
+                t,
+                rng.choice(langs),
+                None if rng.random() < 0.1 else f"src{rng.randrange(4)}",
+                None if t is None else len(t),
+            )
+        )
+    return rows
+
+
+DOC_FUZZ_QUERIES = [
+    "text_stats_by_lang",
+    "token_profile",
+    "lang_id_heuristic",
+    "quality_score",
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "repetition_score",
+    "bigram_top",
+]
+
+
+@pytest.fixture(scope="module")
+def doc_fuzz_dirs(spark, tmp_path_factory):
+    dirs = {}
+    for seed in SEEDS[:3]:
+        rng = random.Random(seed + 1000)
+        root = tmp_path_factory.mktemp(f"docfuzz{seed}")
+        for t in TABLES:
+            shutil.copy(f"{ADV_SF}/{t}.parquet", root / f"{t}.parquet")
+        _write_ref_schema(
+            _fuzz_documents(rng), "documents", root / "documents.parquet"
+        )
+        dirs[seed] = str(root)
+    return dirs
+
+
+@pytest.mark.parametrize("name", DOC_FUZZ_QUERIES)
+def test_crossengine_doc_fuzz(spark, doc_fuzz_dirs, name):
+    for seed, sf in doc_fuzz_dirs.items():
+        sdf = E.queries()[name](spark, sf).toPandas()
+        con = duckdb.connect(":memory:")
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            ddf = con.sql(E.oracle_sql()[name]).df()
+        finally:
+            con.close()
+        problems = compare_frames(sdf, ddf)
+        assert not problems, (
+            f"[{name}] seed={seed} doc-fuzz mismatch:\n" + "\n".join(problems)
+        )
+
+
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_crossengine_fuzz(spark, fuzz_dirs, name):
     for seed, sf in fuzz_dirs.items():
