@@ -133,7 +133,11 @@ WITH RECURSIVE hc AS (
     SELECT n.event_type, n.hh, n.cnt, n.i,
            CAST(({EWMA_NUM} * n.cnt * {EWMA_SCALE}
                  + {EWMA_DEN - EWMA_NUM} * r.ewma) // {EWMA_DEN} AS BIGINT)
-    FROM r JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1
+    -- null-safe series join: a NULL event_type is one series like any
+    -- other GROUP BY key (the Spark fold walks it); a plain equality
+    -- would strand that series at its first tick
+    FROM r JOIN idx n ON n.event_type IS NOT DISTINCT FROM r.event_type
+                     AND n.i = r.i + 1
 )
 SELECT event_type, hh, cnt, ewma FROM r
 """

@@ -106,6 +106,11 @@ FUZZ_QUERIES = [
     "window_funcs_suite",
     "asof_last_purchase",
     "kpi_cube",
+    "ewma_hourly",
+    "sliding_window_hourly",
+    "hll_range_distinct",
+    "json_props_agg",
+    "session_trigrams",
 ]
 
 
