@@ -202,6 +202,74 @@ def test_crossengine_doc_fuzz(spark, doc_fuzz_dirs, name):
         )
 
 
+def _fuzz_embeddings(rng: random.Random, n: int = 40) -> list[tuple]:
+    """Hostile vectors: duplicates, near-duplicates, zero vectors,
+    scaled copies (same direction, different norm), NULL labels."""
+    dim = 64
+    vecs: list[list[float]] = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            vecs.append([0.0] * dim)
+        elif r < 0.25 and vecs:
+            base = rng.choice(vecs)
+            if rng.random() < 0.5:
+                vecs.append(list(base))  # exact duplicate
+            else:
+                vecs.append([x * 2.5 for x in base])  # same direction
+        else:
+            vecs.append(
+                [round(rng.uniform(-0.5, 0.5), 6) for _ in range(dim)]
+            )
+    return [
+        (i, v, None if rng.random() < 0.1 else rng.randrange(10))
+        for i, v in enumerate(vecs)
+    ]
+
+
+VEC_FUZZ_QUERIES = [
+    "embed_norms_by_label",
+    "sim_topk_bruteforce",
+    "embed_neardup_cosine",
+    "label_centroid_inertia",
+]
+
+
+@pytest.fixture(scope="module")
+def vec_fuzz_dirs(spark, tmp_path_factory):
+    dirs = {}
+    for seed in SEEDS[:3]:
+        rng = random.Random(seed + 2000)
+        root = tmp_path_factory.mktemp(f"vecfuzz{seed}")
+        for t in TABLES:
+            shutil.copy(f"{ADV_SF}/{t}.parquet", root / f"{t}.parquet")
+        _write_ref_schema(
+            _fuzz_embeddings(rng), "embeddings", root / "embeddings.parquet"
+        )
+        dirs[seed] = str(root)
+    return dirs
+
+
+@pytest.mark.parametrize("name", VEC_FUZZ_QUERIES)
+def test_crossengine_vec_fuzz(spark, vec_fuzz_dirs, name):
+    for seed, sf in vec_fuzz_dirs.items():
+        sdf = E.queries()[name](spark, sf).toPandas()
+        con = duckdb.connect(":memory:")
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            ddf = con.sql(E.oracle_sql()[name]).df()
+        finally:
+            con.close()
+        problems = compare_frames(sdf, ddf)
+        assert not problems, (
+            f"[{name}] seed={seed} vec-fuzz mismatch:\n" + "\n".join(problems)
+        )
+
+
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_crossengine_fuzz(spark, fuzz_dirs, name):
     for seed, sf in fuzz_dirs.items():
