@@ -44,9 +44,9 @@ def check_freshness(
     except Exception:
         return False  # day partition absent -> stale, not an error
     cutoff = F.current_timestamp() - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
-    fresh = (
-        df.select(F.col("_metadata.file_modification_time").alias("mtime"))
-        .where(F.col("mtime") >= cutoff)
-        .limit(1)
-    )
-    return len(fresh.collect()) > 0
+    fresh = df.select(
+        F.col("_metadata.file_modification_time").alias("mtime")
+    ).where(F.col("mtime") >= cutoff)
+    # isEmpty() is the idiomatic short-circuit (scans until the first
+    # qualifying file and stops) — no limit+collect round-trip
+    return not fresh.isEmpty()
