@@ -202,6 +202,97 @@ def test_crossengine_doc_fuzz(spark, doc_fuzz_dirs, name):
         )
 
 
+def _fuzz_lineitem(rng: random.Random, n: int = 150) -> list[tuple]:
+    """Hostile order lines: NULLs in every nullable column, x.xx5
+    decimal knife-edge prices, discount 0/1 bounds, shipdates on the
+    q1/q6/q12 filter boundaries, duplicate (orderkey, linenumber) keys
+    left VALID (unique) but heavy orderkey fan-in."""
+    base = dt.datetime(1995, 6, 1)
+    edges = [
+        dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1),
+        dt.datetime(1998, 9, 2), dt.datetime(1996, 3, 15),
+    ]
+    rows = []
+    for i in range(n):
+        ok = rng.randrange(45)  # heavy fan-in onto few orders
+        ship = (
+            None
+            if rng.random() < 0.1
+            else (
+                rng.choice(edges)
+                if rng.random() < 0.2
+                else base + dt.timedelta(days=rng.randrange(0, 1500))
+            )
+        )
+        price = (
+            None
+            if rng.random() < 0.1
+            else rng.choice([round(rng.uniform(900, 90000), 2), 1000.005, -10.0])
+        )
+        rows.append(
+            (
+                ok,
+                None if rng.random() < 0.08 else rng.randrange(20),
+                None if rng.random() < 0.08 else rng.randrange(12),
+                i,  # unique linenumber namespace
+                None if rng.random() < 0.08 else float(rng.randrange(0, 51)),
+                price,
+                None if rng.random() < 0.08 else rng.choice([0.0, 0.05, 0.1, 1.0]),
+                None if rng.random() < 0.08 else rng.choice([0.0, 0.03, 0.06]),
+                rng.choice(["R", "A", "N", None]),
+                rng.choice(["O", "F", None]),
+                ship,
+            )
+        )
+    return rows
+
+
+TPCH_FUZZ_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q12_latency_priority",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q4_order_priority",
+]
+
+
+@pytest.fixture(scope="module")
+def tpch_fuzz_dirs(spark, tmp_path_factory):
+    dirs = {}
+    for seed in SEEDS[:3]:
+        rng = random.Random(seed + 3000)
+        root = tmp_path_factory.mktemp(f"tpchfuzz{seed}")
+        for t in TABLES:
+            shutil.copy(f"{ADV_SF}/{t}.parquet", root / f"{t}.parquet")
+        _write_ref_schema(
+            _fuzz_lineitem(rng), "lineitem", root / "lineitem.parquet"
+        )
+        _write_ref_schema(_fuzz_orders(rng), "orders", root / "orders.parquet")
+        dirs[seed] = str(root)
+    return dirs
+
+
+@pytest.mark.parametrize("name", TPCH_FUZZ_QUERIES)
+def test_crossengine_tpch_fuzz(spark, tpch_fuzz_dirs, name):
+    for seed, sf in tpch_fuzz_dirs.items():
+        sdf = E.queries()[name](spark, sf).toPandas()
+        con = duckdb.connect(":memory:")
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            ddf = con.sql(E.oracle_sql()[name]).df()
+        finally:
+            con.close()
+        problems = compare_frames(sdf, ddf)
+        assert not problems, (
+            f"[{name}] seed={seed} tpch-fuzz mismatch:\n" + "\n".join(problems)
+        )
+
+
 def _fuzz_embeddings(rng: random.Random, n: int = 40) -> list[tuple]:
     """Hostile vectors: duplicates, near-duplicates, zero vectors,
     scaled copies (same direction, different norm), NULL labels."""
