@@ -62,7 +62,11 @@ def _new_session_flag(prev_end, start, gap_us: int):
 def sessionize_direct(e: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
     """Single-window sessionize: one shuffle on user_id; the two
     analytic functions and the final groupBy(user_id, session_idx) all
-    reuse the same hash partitioning, so Catalyst plans one exchange."""
+    reuse the same hash partitioning, so Catalyst plans one exchange.
+    NULL-ts rows are dropped (see :func:`sessionize`); the filter here
+    keeps DIRECT callers of this strategy on the same rule (a repeated
+    filter folds away under constraint propagation)."""
+    e = e.where(F.col("ts").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_s = _new_session_flag(F.lag("ts").over(order), F.col("ts"), gap_us)
     cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -84,7 +88,11 @@ def sessionize_two_phase(
     bucket_us: int = DEFAULT_BUCKET_US,
 ) -> DataFrame:
     """Skew-proof sessionize (see module docstring). Bit-identical
-    output to :func:`sessionize_direct` for any input."""
+    output to :func:`sessionize_direct` for any input. NULL-ts rows
+    are dropped (same rule, kept strategy-local for direct callers —
+    a NULL time bucket would otherwise collapse them into one
+    meaningless partition)."""
+    e = e.where(F.col("ts").isNotNull())
     # phase 1: local sessions within (user, time bucket)
     w1 = Window.partitionBy("user_id", "_b").orderBy("ts", "event_id")
     new_local = _new_session_flag(F.lag("ts").over(w1), F.col("ts"), gap_us)
