@@ -1,4 +1,4 @@
-.PHONY: test test-slow bench verify audit smoke probe
+.PHONY: test test-slow bench verify audit audit-hostile fixtures smoke probe
 
 test:
 	python -m pytest tests/ -q
@@ -10,6 +10,17 @@ verify:
 # Decimal leakage, repr drift) — stronger than verify's value compare
 audit:
 	cd /tmp && python $(CURDIR)/scripts/dtype_audit.py
+
+# the same audit over the committed hostile fixtures (NULL-ridden +
+# all-empty tables) — the round-6 adversarial gate
+audit-hostile:
+	cd /tmp && python $(CURDIR)/scripts/dtype_audit.py $(CURDIR)/tests/fixtures/adv_sf
+	cd /tmp && python $(CURDIR)/scripts/dtype_audit.py $(CURDIR)/tests/fixtures/empty_sf
+
+# regenerate the committed adversarial fixtures (deterministic;
+# tests/test_adversarial.py asserts the regeneration matches)
+fixtures:
+	python scripts/make_adversarial_sf.py
 
 test-slow:
 	RUN_SLOW=1 python -m pytest tests/ -q
