@@ -27,6 +27,10 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity. CALLER CONTRACT: zero-norm vectors must be
+    filtered out first (every similarity tier does — see the round-6
+    zero-norm rule in docs/architecture.md); under ANSI mode this
+    expression raises on the first all-zero embedding otherwise."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
