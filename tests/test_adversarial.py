@@ -143,6 +143,29 @@ def test_fixture_generator_is_deterministic(tmp_path):
         con.close()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="full 128-query audit x2 fixtures (~4 min); the always-on "
+    "parametrized tests above cover the 40 riskiest queries",
+)
+@pytest.mark.parametrize("fixture", [ADV_SF, EMPTY_SF])
+def test_full_hostile_audit(fixture):
+    """The complete adversarial gate: every oracled query, strict
+    dtype/bitwise canonicalization, on the hostile fixture."""
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "dtype_audit.py",
+    )
+    proc = subprocess.run(
+        [sys.executable, script, fixture],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-500:]
+
+
 def test_asof_join_null_semantics(spark):
     """NULL join keys / timestamps never match; left rows with them are
     kept with NULL values and bypass the window shuffle."""
