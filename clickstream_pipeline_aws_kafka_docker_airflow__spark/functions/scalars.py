@@ -61,9 +61,9 @@ def dec_sum_round2(c: Column | str) -> Column:
     return F.round(F.sum(_col(c).cast("decimal(24,8)")), 2).cast("double")
 
 
-def dec_avg_trunc4_sql(x: str, idiv: str) -> str:
+def dec_avg_trunc4_sql(x: str, dialect: str) -> str:
     """SQL for an order-independent 4-dp truncated average, portable
-    across Spark (``idiv='div'``) and DuckDB (``idiv='//'``).
+    across Spark (``dialect='spark'``) and DuckDB (``dialect='duckdb'``).
 
     ``ROUND(AVG(double), 4)`` is the same knife-edge as
     :func:`dec_sum_round2`: partial-aggregation summation order differs
@@ -83,10 +83,19 @@ def dec_avg_trunc4_sql(x: str, idiv: str) -> str:
     allow — a single 1e12-sized addend (seen in the adversarial
     fixture's props) overflowed the old BIGINT cast under ANSI mode.
     """
-    return dec_avg_trunc_sql(x, idiv, 4)
+    return dec_avg_trunc_sql(x, dialect, 4)
 
 
-def dec_avg_trunc_sql(x: str, idiv: str, dp: int = 4) -> str:
+# the integral-division operator + 38-digit integer container each
+# engine needs; pairing them in one table is the point — see the
+# dialect note in dec_avg_trunc_sql
+_DIALECTS = {
+    "spark": ("div", "DECIMAL(38,0)"),
+    "duckdb": ("//", "HUGEINT"),
+}
+
+
+def dec_avg_trunc_sql(x: str, dialect: str, dp: int = 4) -> str:
     """Generalized ``dp``-decimal-place truncated average (the single
     source of the decimal scaling/precision constants — the 4-dp query
     averages and the 6-dp k-means/centroid means all compose this, so
@@ -95,13 +104,18 @@ def dec_avg_trunc_sql(x: str, idiv: str, dp: int = 4) -> str:
     scale)."""
     if not 0 <= dp <= 8:
         raise ValueError(f"dp out of range for DECIMAL(24,8) addends: {dp}")
-    # The scaled-integer container must keep INTEGRAL division
-    # semantics (truncate toward zero) on each engine. Spark: `div` on
-    # DECIMAL(38,0) is IntegralDivide -> BIGINT quotient. DuckDB: `//`
-    # on HUGEINT truncates like its integer form, but `//` on DECIMAL
-    # silently degenerates to fractional division — so the DuckDB
-    # spelling must use HUGEINT, never DECIMAL.
-    container = "HUGEINT" if idiv == "//" else "DECIMAL(38,0)"
+    if dialect not in _DIALECTS:
+        raise ValueError(
+            f"unknown dialect {dialect!r}; expected one of {sorted(_DIALECTS)}"
+        )
+    # The (operator, container) pair must keep INTEGRAL division
+    # semantics (truncate toward zero) on each engine, which is why the
+    # caller names the ENGINE and this table owns the pairing. Spark:
+    # `div` on DECIMAL(38,0) is IntegralDivide -> BIGINT quotient.
+    # DuckDB: `//` on HUGEINT truncates like its integer form, but `//`
+    # on DECIMAL silently degenerates to fractional division — so the
+    # DuckDB spelling must use HUGEINT, never DECIMAL.
+    idiv, container = _DIALECTS[dialect]
     scaled = f"CAST(SUM(CAST({x} AS DECIMAL(24,8))) * 100000000 AS {container})"
     return (
         f"({scaled} {idiv} (NULLIF(COUNT({x}), 0) * {10 ** (8 - dp)}))"
@@ -110,9 +124,9 @@ def dec_avg_trunc_sql(x: str, idiv: str, dp: int = 4) -> str:
 
 
 def dec_avg_trunc4(x: str) -> Column:
-    """Spark Column twin of :func:`dec_avg_trunc4_sql` (``div`` form).
+    """Spark Column twin of :func:`dec_avg_trunc4_sql` (spark dialect).
     ``x`` is a SQL expression string so both sides share one text."""
-    return F.expr(dec_avg_trunc4_sql(x, "div"))
+    return F.expr(dec_avg_trunc4_sql(x, "spark"))
 
 
 def ts_parse_iso(c: Column | str) -> Column:

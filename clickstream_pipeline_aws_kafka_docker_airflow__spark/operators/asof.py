@@ -8,6 +8,13 @@ Pattern: tag and union both sides, sort within the join key by
 join key; no point-in-time subquery per row, no range cross-join — this
 is the scalable formulation (the same one Flink/kdb users hand-roll).
 
+The carry is ROW-WISE: all ``value_cols`` of a right row travel as one
+struct (the struct is non-NULL even when every field is NULL), so the
+as-of match picks exactly one right row and returns its values
+including NULLs — identical to DuckDB ASOF JOIN. Carrying each column
+independently would let a NULL field fall back to an older non-NULL
+row, silently mixing values from different right rows.
+
 Ties: right rows sort BEFORE left rows at equal timestamps, so the
 match condition is ``right.ts <= left.ts`` inclusive — identical to
 DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``, which the oracle uses.
@@ -30,7 +37,7 @@ synthetic key can never collide with a data key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 
@@ -54,12 +61,20 @@ def asof_join(
     ).otherwise(
         F.concat(F.lit("n|"), F.spark_partition_id().cast("string"))
     )
+    # one struct per right row: the as-of match must be row-wise (a
+    # matched right row's NULL field stays NULL; it must not fall back
+    # to an older right row's non-NULL value, which per-column
+    # last(ignorenulls) would do)
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    carry_type = T.StructType(
+        [T.StructField(c, rfields[c], True) for c in value_cols]
+    )
     l_tagged = left.select(
         l_k.alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(carry_type).alias("_r_s"),
     )
     r_tagged = right.where(
         F.col(key).isNotNull() & F.col(right_ts).isNotNull()
@@ -68,7 +83,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r_s"),
     )
     u = l_tagged.unionByName(r_tagged)
     # nulls-first is explicit: a NULL-ts left row (synthetic-key
@@ -80,12 +95,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r_s", ignorenulls=True).over(w).alias("_carry")
     )
     return carried.where(F.col("_tag") == 1).select(
-        *lcols, *[F.col(f"asof_{c}") for c in value_cols]
+        *lcols,
+        *[F.col("_carry").getField(c).alias(f"asof_{c}") for c in value_cols],
     )

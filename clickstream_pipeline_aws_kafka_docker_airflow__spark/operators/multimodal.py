@@ -411,14 +411,20 @@ def media_byte_histogram(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            # NULL payloads are filtered before this kernel (see the
+            # .where below); a histogram of a missing asset is no rows,
+            # not a zero row. Checked BEFORE the len() map (which would
+            # raise a confusing TypeError on a NULL first) and with an
+            # explicit raise, not assert, so `python -O` can't strip it.
+            if pdf["media"].isna().any():
+                raise ValueError(
+                    "media_byte_histogram kernel received a NULL payload; "
+                    "the JVM-side isNotNull filter must run first"
+                )
             rows = {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["media"].map(len).astype("int64"),
             }
-            # NULL payloads are filtered before this kernel (see the
-            # .where below); a histogram of a missing asset is no rows,
-            # not a zero row
-            assert not pdf["media"].isna().any()
             counts = np.zeros((len(pdf), 16), dtype=np.int64)
             for i, b in enumerate(pdf["media"]):
                 arr = np.frombuffer(b, dtype=np.uint8) >> 4

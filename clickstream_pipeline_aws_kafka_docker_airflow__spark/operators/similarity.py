@@ -239,7 +239,7 @@ LITERAL_STATE_MAX_DOUBLES = 4096
 # at 6 dp.)
 from ..functions.scalars import dec_avg_trunc_sql
 
-MEAN_TRUNC6_SQL = dec_avg_trunc_sql("x", "div", 6)
+MEAN_TRUNC6_SQL = dec_avg_trunc_sql("x", "spark", 6)
 
 
 def _assign_to_centroids(

@@ -126,10 +126,10 @@ SELECT d.source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-       {dec_avg_trunc4_sql("q.quality", "//")} AS avg_quality,
+       {dec_avg_trunc4_sql("q.quality", "duckdb")} AS avg_quality,
        (SUM(CASE WHEN COALESCE(m.canonical_id, d.doc_id) <> d.doc_id
                  THEN 1 ELSE 0 END) * 1000 < {SRC_DUP_PERMILLE_CEIL} * COUNT(*))
-         AND {dec_avg_trunc4_sql("q.quality", "//")} >= {SRC_QUALITY_FLOOR}
+         AND {dec_avg_trunc4_sql("q.quality", "duckdb")} >= {SRC_QUALITY_FLOOR}
          AS keep_source
 FROM documents d
 JOIN quality q ON q.doc_id = d.doc_id

@@ -134,7 +134,7 @@ def tumbling_hourly(spark, sf_dir):
 SELECT event_type,
        COUNT(*) AS n,
        MIN(k) AS min_k, MAX(k) AS max_k,
-       {dec_avg_trunc4_sql("k", "//")} AS avg_k
+       {dec_avg_trunc4_sql("k", "duckdb")} AS avg_k
 FROM (
     SELECT event_type,
            TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k

@@ -26,9 +26,9 @@ from ..registry import register
 SELECT media_type,
        COUNT(*) AS n_assets,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-       {dec_avg_trunc4_sql("width", "//")} AS avg_width,
-       {dec_avg_trunc4_sql("height", "//")} AS avg_height,
-       {dec_avg_trunc4_sql("sample_rate", "//")} AS avg_sample_rate,
+       {dec_avg_trunc4_sql("width", "duckdb")} AS avg_width,
+       {dec_avg_trunc4_sql("height", "duckdb")} AS avg_height,
+       {dec_avg_trunc4_sql("sample_rate", "duckdb")} AS avg_sample_rate,
        CAST(SUM(n_samples) AS BIGINT) AS total_samples,
        CAST(SUM(n_frames) AS BIGINT) AS total_frames
 FROM (

@@ -35,9 +35,9 @@ SELECT l_returnflag, l_linestatus,
        {_dec_sum2("l_extendedprice")} AS sum_base_price,
        {_REV_SQL} AS sum_disc_price,
        {_dec_sum2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-       {dec_avg_trunc4_sql("l_quantity", "//")} AS avg_qty,
-       {dec_avg_trunc4_sql("l_extendedprice", "//")} AS avg_price,
-       {dec_avg_trunc4_sql("l_discount", "//")} AS avg_disc,
+       {dec_avg_trunc4_sql("l_quantity", "duckdb")} AS avg_qty,
+       {dec_avg_trunc4_sql("l_extendedprice", "duckdb")} AS avg_price,
+       {dec_avg_trunc4_sql("l_discount", "duckdb")} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

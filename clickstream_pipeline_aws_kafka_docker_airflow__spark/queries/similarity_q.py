@@ -145,7 +145,7 @@ cent{i} AS (
     SELECT centroid_id, list(coord ORDER BY dim) AS cvec
     FROM (
         SELECT a.centroid_id, r.dim,
-               {dec_avg_trunc_sql("v[dim]", "//", 6)} AS coord
+               {dec_avg_trunc_sql("v[dim]", "duckdb", 6)} AS coord
         FROM e
         JOIN a{i} a ON a.vec_id = e.vec_id AND a.crank = 1
         CROSS JOIN range(1, {ANN_DIM + 1}) r(dim)

@@ -63,9 +63,9 @@ def dedup_exact_docs(spark, sf_dir):
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       {dec_avg_trunc4_sql("n_chars", "//")} AS avg_chars,
+       {dec_avg_trunc4_sql("n_chars", "duckdb")} AS avg_chars,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       {dec_avg_trunc4_sql("n_tokens", "//")} AS avg_tokens
+       {dec_avg_trunc4_sql("n_tokens", "duckdb")} AS avg_tokens
 FROM (SELECT lang, n_chars, {_WS_TOKENS_SQL} AS n_tokens FROM documents)
 GROUP BY lang
 """,

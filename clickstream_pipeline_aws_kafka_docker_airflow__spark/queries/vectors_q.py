@@ -41,7 +41,7 @@ _E_DOUBLE = "CAST(embedding AS DOUBLE[])"
     oracle=f"""
 SELECT label,
        COUNT(*) AS n_vecs,
-       {dec_avg_trunc4_sql("nrm", "//")} AS avg_norm,
+       {dec_avg_trunc4_sql("nrm", "duckdb")} AS avg_norm,
        ROUND(MIN(nrm), 4) AS min_norm,
        ROUND(MAX(nrm), 4) AS max_norm
 FROM (SELECT label, sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
@@ -176,7 +176,7 @@ def embed_neardup_cosine(spark, sf_dir):
 # appended to vectors_q.py
 
 
-MEAN_TRUNC6_DUCK = dec_avg_trunc_sql("x", "//", 6)
+MEAN_TRUNC6_DUCK = dec_avg_trunc_sql("x", "duckdb", 6)
 
 
 @register(

@@ -99,6 +99,13 @@ def _cell_drift(a, b) -> str | None:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     qs, osql = E.queries(), E.oracle_sql()
+    only = {n for n in os.environ.get("AUDIT_ONLY", "").split(",") if n}
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"AUDIT_ONLY names not in registry: {sorted(unknown)}")
+            return 2
+        qs = {n: qs[n] for n in only}
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "13")

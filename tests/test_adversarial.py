@@ -202,6 +202,42 @@ def test_asof_join_null_semantics(spark):
     assert got == {1: 5.0, 2: None, 3: None}
 
 
+def test_asof_join_nullvalue_match_is_rowwise(spark):
+    """A matched right row with a NULL value column yields NULL — the
+    carry must NOT fall back to an older right row's non-NULL value,
+    and multiple value_cols must all come from the SAME right row
+    (DuckDB ASOF returns one row's values, NULLs included)."""
+    import datetime as dt
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.asof import (
+        asof_join,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, t), (2, 10, t - dt.timedelta(hours=1, minutes=30))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t - dt.timedelta(hours=2), 5.0, "old"),
+            # most recent match for event 1: NULL value, fresh label
+            (10, t - dt.timedelta(hours=1), None, "new"),
+        ],
+        "user_id bigint, ts timestamp, pvalue double, label string",
+    )
+    got = {
+        r["event_id"]: (r["asof_pvalue"], r["asof_label"])
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["pvalue", "label"],
+        ).collect()
+    }
+    # event 1 matched the 11:00 row: pvalue stays NULL (no fallback to
+    # 10:00's 5.0) and label comes from that same row
+    assert got == {1: (None, "new"), 2: (5.0, "old")}
+
+
 def test_sessionize_drops_null_ts(spark):
     """Both strategies drop NULL-ts events in the shared dispatcher."""
     import datetime as dt
