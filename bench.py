@@ -35,9 +35,15 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="bench")
     qs = registry.queries()
+    # targeted profiling: SPARK_GRAFT_BENCH_ONLY=q1,q8 runs a subset
+    # (the self-report artifact is suppressed so a partial run can
+    # never masquerade as a round record)
+    only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    if only:
+        qs = {n: qs[n] for n in only}
 
     # Warmup: JVM, codegen, file listing (not counted).
-    _force(qs["kpi_daily"](spark, sf_dir))
+    _force(registry.queries()["kpi_daily"](spark, sf_dir))
 
     # Per-query error isolation: one broken query records an "err" entry
     # and the artifact still emits — a crash must never void the run.
@@ -91,6 +97,9 @@ def main() -> None:
     # job counts, written where the driver's truncated stdout tail
     # can't lose them. Round index = next after the committed BENCH_r*.
     here = os.path.dirname(os.path.abspath(__file__))
+    if only:
+        print(json.dumps({"jobs": jobs}), file=sys.stderr)
+        return
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         prior = [

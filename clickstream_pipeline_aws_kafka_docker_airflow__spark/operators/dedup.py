@@ -310,6 +310,7 @@ def incremental_admission(
     t_den: int = J_ADMIT_DEN,
     k: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Batch admission of an incoming document batch against an EXISTING
     corpus: sign the new docs, probe the persisted band index of the old
@@ -333,6 +334,11 @@ def incremental_admission(
     ``new_ids``: (doc_id) of the incoming batch. ``shingles``:
     (doc_id, shingle) covering both zones (the snapshot staging table).
     ``old_bands``: (doc_id, band, bkey) for the existing zone.
+    ``sizes``: optional (doc_id, n) per-doc shingle counts — pass the
+    persisted artifact a production zone keeps next to its band index
+    (queries.dedup_q.doc_sizes_table); without it the counts are
+    grouped from ``shingles`` at admission time, a full-corpus shuffle
+    the artifact exists to avoid.
 
     Tier choice: README "Choosing a dedup tier" decision table.
     """
@@ -340,6 +346,10 @@ def incremental_admission(
 
     sh_new = shingles.join(new_ids.select("doc_id"), "doc_id", "left_semi")
     bands_new = band_table(minhash_signatures(sh_new, k), k, band_size)
+    # referenced twice below (verify join, jac left join) — within the
+    # one action that is a ReusedExchange, not a recompute, so no
+    # checkpoint (measured: a localCheckpoint here splits the plan into
+    # extra jobs and forfeits the reuse)
     cand = (
         bands_new.select(F.col("doc_id").alias("id_new"), "band", "bkey")
         .join(
@@ -349,8 +359,14 @@ def incremental_admission(
         .select("id_new", "id_old")
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = shingles.select(F.col("doc_id").alias("id_new"), "shingle")
+    if sizes is None:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # verify join shape: (candidate pairs x the NEW side's shingles) is
+    # bounded by the batch and its collisions, so it is the
+    # broadcast/build side; the corpus staging table is only ever the
+    # probe side (one scan, no corpus shuffle under AQE broadcast —
+    # with an SMJ fallback it shuffles once, never re-aggregates)
+    s1 = sh_new.select(F.col("doc_id").alias("id_new"), "shingle")
     s2 = shingles.select(F.col("doc_id").alias("id_old"), "shingle")
     common = (
         cand.join(s1, "id_new")
@@ -389,7 +405,9 @@ def incremental_admission(
     )
     return (
         new_ids.select("doc_id")
-        .join(best, new_ids["doc_id"] == best["id_new"], "left")
+        # verdict table is one row per rejected new doc — broadcast so
+        # the batch side never shuffles for the verdict stitch
+        .join(F.broadcast(best), new_ids["doc_id"] == best["id_new"], "left")
         .select(
             "doc_id",
             F.col("id_new").isNull().alias("admitted"),

@@ -47,6 +47,27 @@ def shingles_table(spark, sf_dir, n: int = SHINGLE_N):
     )
 
 
+def doc_sizes_table(spark, sf_dir, n: int = SHINGLE_N):
+    """Materialized (doc_id, n) distinct-shingle counts — the companion
+    artifact a production zone keeps next to its band index so Jaccard
+    verification never re-aggregates the corpus staging table per
+    batch. One bigint per doc; built in the same snapshot job as
+    shingles_table."""
+    import os
+
+    from ..operators.artifacts import materialized
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_sizes",
+        lambda: shingles_table(spark, sf_dir, n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+        params=f"n{n}",
+    )
+
+
 def minhash_pairs_table(spark, sf_dir):
     """Materialized MinHash candidate-pair table (id_a, id_b, jaccard)
     — the near-dup DETECTOR job's raw output, before any threshold.
@@ -249,6 +270,7 @@ def incremental_dedup_batch(spark, sf_dir):
         new_ids,
         shingles_table(spark, sf_dir),
         old_zone_bands_table(spark, sf_dir),
+        sizes=doc_sizes_table(spark, sf_dir),
     )
 
 

@@ -69,10 +69,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     accumulation, so both engines pick bit-identical minima and the
     equality join is exact.
 
-    Scale: region suppliers are dim-sized (broadcast twice); the only
-    big shuffle keys on (partkey, suppkey) for the cost rollup, and the
-    per-part MIN reuses the partkey side of that same partitioning.
+    Scale: region suppliers are dim-sized (broadcast twice); the part
+    filter is pushed BELOW the cost rollup as a broadcast semi-join
+    (per-part cost is independent across parts, so restricting to the
+    surviving parts first is exact — a join-through-aggregation
+    pushdown Catalyst does not do itself), cutting the only big shuffle
+    by the part filter's selectivity. The per-part MIN is a window over
+    the rolled-up cost table (thousands of rows), not a second
+    aggregation + self-join.
     """
+    from pyspark.sql import Window
+
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
     esupp = (
@@ -81,11 +88,23 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    )
     l = load_table(spark, sf_dir, "lineitem")
+    # the pre-rollup filters broadcast the SAME full p/esupp plans the
+    # final stitch joins use, so each broadcast exchange builds once
+    # and is reused (a projected .select twin would be a second build)
     cost = (
         l.join(
-            broadcast(esupp.select("s_suppkey")),
+            broadcast(p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            broadcast(esupp),
             F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -94,18 +113,10 @@ def q2_min_cost_supplier(spark, sf_dir):
             )
         )
     )
-    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("cost").alias("best_cost")
-    )
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
-    )
+    best = F.min("cost").over(Window.partitionBy("l_partkey"))
     return (
-        cost.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("cost") == F.col("best_cost")),
-        )
+        cost.withColumn("best_cost", best)
+        .where(F.col("cost") == F.col("best_cost"))
         .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(broadcast(esupp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")

@@ -121,20 +121,17 @@ def tfidf_top_terms(spark, sf_dir):
     terms the same way and stays bit-stable). Top {TFIDF_TOP_K} per
     source, ties on token.
 
-    Scale: the corpus is tokenized and exploded ONCE — the compact
-    (token, source, doc_id, tf) rollup is materialized with
-    localCheckpoint (the connected_components pattern) and BOTH
-    downstream aggregates read it, because Catalyst cannot deduplicate
-    the two branches itself: column pruning rewrites the
-    document-frequency branch to a distinct (no count), so the two
-    first-level subtrees never canonicalize equal and ReuseExchange
-    never fires — without the checkpoint the heaviest map stage in the
-    whole query (tokenize + explode the corpus) runs twice. Keys stay
-    short and uniform; the per-source ranking compiles to
-    WindowGroupLimit (per-partition top-K before the shuffle), so the
-    full vocabulary never sorts globally. The N_docs scalar joins in as
-    a broadcast literal row. (A doc has exactly one source, so the
-    rollup's (token, doc_id) pairs are unique and df is a plain count.)
+    Scale: the corpus is tokenized, exploded, and aggregated in ONE
+    linear chain — (token, source, doc_id) rollup, then (source, token)
+    rollup carrying BOTH the term frequency (sum of counts) and the
+    per-source document count. Document frequency is the sum of those
+    per-source doc counts (a doc has exactly one source), so the df
+    branch re-aggregates the vocabulary-x-sources table, never the
+    corpus-cardinality rollup — no second tokenize pass, no checkpoint,
+    no corpus-sized shuffle past the first two. The per-source ranking
+    compiles to WindowGroupLimit (per-partition top-K before the
+    shuffle), so the full vocabulary never sorts globally. The N_docs
+    scalar joins in as a broadcast literal row.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = (
@@ -145,13 +142,13 @@ def tfidf_top_terms(spark, sf_dir):
         )
         .where(F.col("token") != "")
     )
-    g1 = (
-        tok.groupBy("token", "source", "doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+    g1 = tok.groupBy("token", "source", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    tf = g1.groupBy("source", "token").agg(F.sum("c").alias("tf"))
-    dfreq = g1.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tf = g1.groupBy("source", "token").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("n_docs_st")
+    )
+    dfreq = tf.groupBy("token").agg(F.sum("n_docs_st").alias("df"))
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
         tf.join(dfreq, "token")

@@ -386,3 +386,101 @@ def test_crossengine_fuzz(spark, fuzz_dirs, name):
         assert not problems, (
             f"[{name}] seed={seed} cross-engine mismatch:\n" + "\n".join(problems)
         )
+
+
+# ---------------------------------------------------------------------------
+# Direct asof_join fuzz — raw frames vs DuckDB's native ASOF JOIN.
+#
+# The registered asof_last_purchase query aggregates the right side
+# with MAX(value) first, which makes NULL-valued right rows rare; this
+# fuzz feeds the OPERATOR hostile frames directly: ~25% NULL value
+# columns on the right (so the most recent match often carries NULLs —
+# the row-wise-carry class), two value columns (so a column-wise carry
+# that mixes rows would split them), NULL keys/timestamps on both
+# sides, and tie-heavy timestamp pools.
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_asof_join_fuzz_vs_duckdb_asof(spark, tmp_path, seed):
+    import pandas as pd
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.asof import (
+        asof_join,
+    )
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    ts_pool = [base + dt.timedelta(minutes=5 * i) for i in range(30)]
+
+    left_rows = [
+        (
+            i,
+            None if rng.random() < 0.15 else rng.randrange(6),
+            None if rng.random() < 0.15 else rng.choice(ts_pool),
+        )
+        for i in range(80)
+    ]
+    # right side unique per (key, ts) — the operator's documented
+    # precondition (nondeterministic otherwise in any engine)
+    right_keys = set()
+    right_rows = []
+    while len(right_rows) < 40:
+        k = None if rng.random() < 0.1 else rng.randrange(6)
+        ts = None if rng.random() < 0.1 else rng.choice(ts_pool)
+        if (k, ts) in right_keys:
+            continue
+        right_keys.add((k, ts))
+        right_rows.append(
+            (
+                k,
+                ts,
+                None if rng.random() < 0.25 else round(rng.uniform(0, 99), 2),
+                None if rng.random() < 0.25 else rng.choice(["a", "b", "c"]),
+            )
+        )
+
+    lpdf = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"])
+    rpdf = pd.DataFrame(right_rows, columns=["user_id", "ts", "pvalue", "label"])
+    lpath, rpath = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    lpdf.to_parquet(lpath)
+    rpdf.to_parquet(rpath)
+
+    ldf = spark.createDataFrame(
+        left_rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        right_rows, "user_id bigint, ts timestamp, pvalue double, label string"
+    )
+    sdf = asof_join(
+        ldf, rdf, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["pvalue", "label"],
+    ).toPandas()
+
+    con = duckdb.connect(":memory:")
+    try:
+        # the operator's NULL rules spelled explicitly: NULL key/ts on
+        # the left never matches (DuckDB ASOF would match a NULL-ts
+        # left row to the LATEST right row); NULL key/ts right rows
+        # are dropped
+        ddf = con.sql(
+            f"""
+            WITH l AS (SELECT * FROM read_parquet('{lpath}')),
+                 r AS (SELECT * FROM read_parquet('{rpath}')
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.pvalue AS asof_pvalue, r.label AS asof_label
+            FROM (SELECT * FROM l
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL) l
+            ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            UNION ALL
+            SELECT event_id, user_id, ts, NULL, NULL
+            FROM l WHERE user_id IS NULL OR ts IS NULL
+            """
+        ).df()
+    finally:
+        con.close()
+    problems = compare_frames(sdf, ddf)
+    assert not problems, (
+        f"seed={seed} asof fuzz mismatch:\n" + "\n".join(problems)
+    )
