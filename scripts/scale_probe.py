@@ -728,7 +728,93 @@ def probe_dupflood(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "dupflood": probe_dupflood}
+# ---------------------------------------------------------------------------
+# admission probe: fixed batch vs growing corpus — the incremental
+# admission contract is "per-batch work scales with the batch plus its
+# collisions, never with corpus size", so the verify stage's SHUFFLE
+# bytes must stay ~flat when the old zone grows 10x under a constant
+# batch (the corpus is scanned — that part is linear and unavoidable —
+# but never re-aggregated or re-signed)
+
+
+def _admission_at_scale(spark, d: str, n_old: int, n_new: int) -> dict:
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        band_table,
+        incremental_admission,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    tag = f"{n_old}_{n_new}"
+    docs0 = _zipf_docs(spark, n_old + n_new)
+    # plant CROSS-ZONE dups (zipf's planted dups copy the predecessor,
+    # which keeps them inside one zone): every even batch doc is an
+    # exact copy of an old-zone doc, so the verify stage has real work
+    # and half the batch must be rejected at every corpus size
+    donors = docs0.where(F.col("doc_id") < n_new).select(
+        (F.col("doc_id") + n_old).alias("doc_id"),
+        F.col("text").alias("dup_text"),
+    )
+    docs = docs0.join(donors, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("dup_text").isNotNull() & (F.col("doc_id") % 2 == 0),
+            F.col("dup_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # persisted zone artifacts, exactly like production: staging
+    # shingles, the old zone's band index, per-doc sizes
+    sh_path = f"{d}/sh_{tag}"
+    shingle_table(docs).write.parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+    bands_path = f"{d}/bands_{tag}"
+    band_table(
+        minhash_signatures(sh.where(F.col("doc_id") < n_old))
+    ).write.parquet(bands_path)
+    sizes_path = f"{d}/sizes_{tag}"
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).write.parquet(
+        sizes_path
+    )
+    new_ids = (
+        spark.range(n_old, n_old + n_new).select(F.col("id").alias("doc_id"))
+    )
+    out: dict = {"n_old": n_old, "n_new": n_new}
+    verdicts = incremental_admission(
+        new_ids,
+        sh,
+        spark.read.parquet(bands_path),
+        sizes=spark.read.parquet(sizes_path),
+    )
+    s0 = _shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    verdicts.write.format("noop").mode("overwrite").save()
+    out["wall_s"] = round(time.perf_counter() - t0, 2)
+    s1 = _shuffle_write_bytes(spark)
+    if s0 is not None and s1 is not None:
+        out["shuffle_mb"] = round((s1 - s0) / 1e6, 2)
+    out["rejected"] = verdicts.where(~F.col("admitted")).count()
+    return out
+
+
+def probe_admission(spark) -> dict:
+    """Constant 2k-doc batch against a 20k vs 200k old zone: verify
+    shuffle stays batch-bounded while only the (linear, unavoidable)
+    artifact scan grows."""
+    d = tempfile.mkdtemp(prefix="probe_admission_")
+    out: dict = {"probe": "admission", "batch": 2_000}
+    out["x1"] = _admission_at_scale(spark, d, 20_000, 2_000)
+    out["x10"] = _admission_at_scale(spark, d, 200_000, 2_000)
+    for k in ("shuffle_mb", "wall_s"):
+        if k in out["x1"] and k in out["x10"]:
+            out[f"{k}_growth"] = round(
+                out["x10"][k] / max(out["x1"][k], 0.01), 2
+            )
+    return out
+
+
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "dupflood": probe_dupflood, "admission": probe_admission}
 
 
 def _probe_spark():
@@ -766,6 +852,7 @@ def main() -> None:
             "skew": "SKEW_PROBE.json",  # r5 verdict item 1
             "dupflood": "PROBE_DUPFLOOD.json",  # hot-LSH-bucket hazard
             "dedup": "PROBE_DEDUP_10X.json",  # sub-quadratic growth
+            "admission": "PROBE_ADMISSION.json",  # batch-bounded verify
         }.get(n)
         if artifact:
             p = os.path.join(
