@@ -171,6 +171,10 @@ DOC_FUZZ_QUERIES = [
     "ngram_jaccard_pairs",
     "incremental_dedup_batch",
     "dedup_clusters",
+    # df derived from the (source, token) rollup (one source per doc):
+    # fuzz the NULL-source / NULL-text / dup-heavy space against the
+    # two-CTE SQL twin
+    "tfidf_top_terms",
 ]
 
 
