@@ -265,7 +265,53 @@ TPCH_FUZZ_QUERIES = [
     "q18_large_orders",
     "q3_shipping_priority",
     "q4_order_priority",
+    # the filter-below-rollup + window-min rewrite: fuzzed lineitem
+    # (NULL part/supp keys, knife-edge prices, hot orderkeys) against
+    # the hostile fixed dims
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q15_top_supplier",
 ]
+
+
+def _fuzz_part(rng: random.Random, n: int = 24) -> list[tuple]:
+    """Hostile parts: the EXACT filter literals the q2/q14/q16 family
+    matches on ('STANDARD', sizes <= 15) present alongside near-miss
+    types (the committed hostile fixture's 'STANDARD COPPER' never
+    equals 'STANDARD', so q2 was vacuous there), NULL types/sizes,
+    duplicate retail prices."""
+    types = ["STANDARD", "STANDARD COPPER", "PROMO STEEL", "SMALL TIN", None]
+    brands = ["Brand#1", "Brand#2", None]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                None if rng.random() < 0.1 else f"part {i}",
+                rng.choice(brands),
+                rng.choice(types),
+                None if rng.random() < 0.1 else rng.randrange(1, 31),
+                None if rng.random() < 0.1 else round(rng.uniform(1, 2000), 2),
+            )
+        )
+    return rows
+
+
+def _fuzz_supplier(rng: random.Random, n: int = 12) -> list[tuple]:
+    """Hostile suppliers: NULL nation keys (drop from every region
+    join), duplicate acctbals for tie-heavy rankings."""
+    bals = [0.0, 100.5, 100.5, -7.25, None]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                None if rng.random() < 0.1 else f"supp {i}",
+                None if rng.random() < 0.15 else rng.randrange(5),
+                rng.choice(bals),
+            )
+        )
+    return rows
 
 
 @pytest.fixture(scope="module")
@@ -280,6 +326,10 @@ def tpch_fuzz_dirs(spark, tmp_path_factory):
             _fuzz_lineitem(rng), "lineitem", root / "lineitem.parquet"
         )
         _write_ref_schema(_fuzz_orders(rng), "orders", root / "orders.parquet")
+        _write_ref_schema(_fuzz_part(rng), "part", root / "part.parquet")
+        _write_ref_schema(
+            _fuzz_supplier(rng), "supplier", root / "supplier.parquet"
+        )
         dirs[seed] = str(root)
     return dirs
 
