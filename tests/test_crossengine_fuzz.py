@@ -52,8 +52,10 @@ def _fuzz_events(rng: random.Random, n: int = 120) -> list[tuple]:
 
 
 def _fuzz_orders(rng: random.Random, n: int = 60) -> list[tuple]:
+    # 0..550 days from 1996-01-01 reaches the q10 quarter
+    # (1996-10-01..1997-01-01) and crosses the q4/q12 year boundary
     base = dt.datetime(1996, 1, 1)
-    date_pool = [base + dt.timedelta(days=rng.randrange(0, 200)) for _ in range(15)]
+    date_pool = [base + dt.timedelta(days=rng.randrange(0, 550)) for _ in range(15)]
     pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", None]
     rows = []
     for i in range(n):
@@ -225,7 +227,10 @@ def _fuzz_lineitem(rng: random.Random, n: int = 150) -> list[tuple]:
     ]
     rows = []
     for i in range(n):
-        ok = rng.randrange(45)  # heavy fan-in onto few orders
+        # heavy fan-in onto few orders; ~20% of lines pile onto two HOT
+        # orders so the q18 per-order quantity rollup crosses its >300
+        # threshold on real input instead of passing vacuously
+        ok = rng.randrange(2) if rng.random() < 0.2 else rng.randrange(45)
         ship = (
             None
             if rng.random() < 0.1
@@ -271,29 +276,51 @@ TPCH_FUZZ_QUERIES = [
     "q2_min_cost_supplier",
     "q11_important_value",
     "q15_top_supplier",
+    # lit up by the part/nation/orders fuzz (all were zero-row on every
+    # hostile input before it — vacuously green)
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q20_volume_share_suppliers",
 ]
 
 
 def _fuzz_part(rng: random.Random, n: int = 24) -> list[tuple]:
-    """Hostile parts: the EXACT filter literals the q2/q14/q16 family
-    matches on ('STANDARD', sizes <= 15) present alongside near-miss
-    types (the committed hostile fixture's 'STANDARD COPPER' never
-    equals 'STANDARD', so q2 was vacuous there), NULL types/sizes,
-    duplicate retail prices."""
+    """Hostile parts: the EXACT filter literals the q2/q9/q14/q16/q20
+    family matches on ('STANDARD', '%red%', 'small%', sizes <= 15)
+    present alongside near-miss types (the committed hostile fixture's
+    'STANDARD COPPER' never equals 'STANDARD', so q2 was vacuous
+    there), NULL types/names/sizes, duplicate retail prices."""
     types = ["STANDARD", "STANDARD COPPER", "PROMO STEEL", "SMALL TIN", None]
     brands = ["Brand#1", "Brand#2", None]
+    names = ["part {i}", "red part {i}", "small red tin {i}", "small {i}", None]
     rows = []
     for i in range(n):
+        name = rng.choice(names)
         rows.append(
             (
                 i,
-                None if rng.random() < 0.1 else f"part {i}",
+                None if name is None else name.format(i=i),
                 rng.choice(brands),
                 rng.choice(types),
                 None if rng.random() < 0.1 else rng.randrange(1, 31),
                 None if rng.random() < 0.1 else round(rng.uniform(1, 2000), 2),
             )
         )
+    return rows
+
+
+def _fuzz_nation(rng: random.Random) -> list[tuple]:
+    """Hostile nations: the q7 pair literals (NATION_6 / NATION_9) and
+    the q2-region member keys present alongside NULL names, NULL and
+    dangling region keys."""
+    names = ["NATION_6", "NATION_9", "CHINA", "FRANCE", None, "ELSEWHERE"]
+    rng.shuffle(names)
+    rows = []
+    for k in range(8):
+        nm = names[k] if k < len(names) else f"N{k}"
+        reg = rng.choice([0, 1, 2, 3, 3, 4, 99, None])
+        rows.append((k, nm, reg))
     return rows
 
 
@@ -330,6 +357,7 @@ def tpch_fuzz_dirs(spark, tmp_path_factory):
         _write_ref_schema(
             _fuzz_supplier(rng), "supplier", root / "supplier.parquet"
         )
+        _write_ref_schema(_fuzz_nation(rng), "nation", root / "nation.parquet")
         dirs[seed] = str(root)
     return dirs
 
