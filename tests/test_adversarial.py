@@ -166,6 +166,46 @@ def test_full_hostile_audit(fixture):
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-500:]
 
 
+# Queries whose filter literals match nothing in the committed hostile
+# fixture — their adversarial passes compare EMPTY frames, so hostile
+# behavior hides. Every name here must be covered non-vacuously
+# somewhere else (the TPC-H fuzz seeds the exact literals —
+# tests/test_crossengine_fuzz.py); a query newly ENTERING this set is
+# a silently-weakened gate and fails the census below.
+ADV_SF_KNOWN_VACUOUS = {
+    "hourly_anomalies",   # no hour crosses the anomaly threshold (events fuzz covers)
+    "q2_min_cost_supplier",       # p_type 'STANDARD' exact-match
+    "q7_nation_volume",           # NATION_6/NATION_9 pair
+    "q9_product_profit",          # p_name LIKE '%red%'
+    "q10_returned_items",         # 1996-Q4 order window
+    "q18_large_orders",           # per-order qty rollup > 300
+    "q20_volume_share_suppliers",  # p_name LIKE 'small%'
+}
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="128-query census over the hostile fixture (~1 min); the "
+    "inventory only moves when filter literals or the fixture change",
+)
+def test_adv_sf_vacuity_census(spark):
+    """Zero-row inventory on the hostile fixture is pinned: a query
+    joining this set means its adversarial coverage silently became
+    a comparison of empty frames."""
+    import __spark_entry__ as E
+
+    zero = {
+        name
+        for name, fn in E.queries().items()
+        if fn(spark, ADV_SF).count() == 0
+    }
+    assert zero == ADV_SF_KNOWN_VACUOUS, (
+        f"newly vacuous on adv_sf: {sorted(zero - ADV_SF_KNOWN_VACUOUS)}; "
+        f"newly covered (update the pin): "
+        f"{sorted(ADV_SF_KNOWN_VACUOUS - zero)}"
+    )
+
+
 def test_asof_join_null_semantics(spark):
     """NULL join keys / timestamps never match; left rows with them are
     kept with NULL values and bypass the window shuffle."""
