@@ -143,13 +143,29 @@ def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape (adapted: "kept the order waiting" = shipped
     more than {Q21_LATE_DAYS} days after the order date — the driver
     schema has no commit/receipt dates): per supplier, count finalized
-    multi-supplier orders where it was the ONLY late shipper. The
-    double correlation (EXISTS on the raw lines, NOT EXISTS on the
-    late lines) becomes a left-semi then a left-anti self-join.
+    multi-supplier orders where it was the ONLY late shipper.
 
-    Scale: all three join legs key on ``l_orderkey`` — one hash
-    partitioning serves the semi, the anti, and the late-line derivation;
-    supplier broadcasts; the final rollup key (s_name) is dim-sized.
+    The double correlation (EXISTS on the raw lines, NOT EXISTS on the
+    late lines) is DECORRELATED into per-order aggregates instead of a
+    semi + anti self-join pair: a qualifying late line is exactly a
+    non-NULL-supplier late line in an order with >= 2 distinct
+    suppliers overall (min != max over the order's suppliers) and
+    exactly 1 distinct late supplier (min == max over its late
+    suppliers). NULL equivalence with the correlated form:
+    ``l2.l_suppkey <> l1.l_suppkey`` is NULL (never true) when either
+    side is NULL, so NULL-supplier late lines can't qualify,
+    NULL-supplier raw lines can't witness the EXISTS, and NULL-supplier
+    late lines can't block the NOT EXISTS — all three rules fall out of
+    min/max NULL-skipping plus the isNotNull pre-filter. Raced against
+    the correlated DuckDB oracle by the TPC-H fuzz (NULL supp keys, hot
+    orders).
+
+    Scale: one shuffle of the fact table (the per-order min/max
+    supplier rollup — a plain hash aggregate with map-side partials,
+    no countDistinct expand) replaces the two self-join legs; the late
+    rollup shuffles only late lines; the order-level join is between
+    two per-order aggregates, and supplier broadcasts into the
+    dim-sized final rollup.
     """
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
@@ -159,32 +175,28 @@ def q21_waiting_supplier(spark, sf_dir):
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
         )
+        .where(F.col("l_suppkey").isNotNull())
         .select("l_orderkey", "l_suppkey")
     )
-    l1 = late.alias("l1")
-    others = l.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_sup")
+    # "exactly 1 distinct" and ">= 2 distinct" as min/max equality over
+    # the NULL-skipping extrema — plain hash aggregates with map-side
+    # partials, no countDistinct expand/double-shuffle
+    late_agg = late.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("late_supp"),
+        F.max("l_suppkey").alias("_mx"),
+        F.count(F.lit(1)).alias("n_late_lines"),
     )
-    late_others = late.select(
-        F.col("l_orderkey").alias("a_key"), F.col("l_suppkey").alias("a_sup")
+    order_supps = l.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.min("l_suppkey").alias("_omn"), F.max("l_suppkey").alias("_omx")
     )
     sole_late = (
-        l1.join(
-            others,
-            (F.col("l1.l_orderkey") == F.col("o_key"))
-            & (F.col("l1.l_suppkey") != F.col("o_sup")),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (F.col("l1.l_orderkey") == F.col("a_key"))
-            & (F.col("l1.l_suppkey") != F.col("a_sup")),
-            "left_anti",
-        )
+        late_agg.where(F.col("late_supp") == F.col("_mx"))
+        .join(order_supps, F.col("l_orderkey") == F.col("o_key"))
+        .where(F.col("_omn") != F.col("_omx"))
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        sole_late.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole_late.join(broadcast(s), F.col("s_suppkey") == F.col("late_supp"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )

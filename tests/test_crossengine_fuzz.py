@@ -282,6 +282,9 @@ TPCH_FUZZ_QUERIES = [
     "q9_product_profit",
     "q10_returned_items",
     "q20_volume_share_suppliers",
+    # decorrelated (aggregate) rewrite vs the correlated EXISTS oracle;
+    # NULL supp keys and hot orders are the hazardous inputs
+    "q21_waiting_supplier",
 ]
 
 
