@@ -202,9 +202,13 @@ from ..operators.anomaly import ANOM_WINDOW_H, ANOM_Z, trailing_z_flags  # noqa:
     "hourly_anomalies",
     oracle=f"""
 WITH hourly AS (
+    -- a NULL-ts event belongs to no hour (the engines also disagree on
+    -- NULL placement under the series ORDER BY: Spark ASC sorts NULLS
+    -- FIRST, DuckDB NULLS LAST, so keeping the NULL group would shift
+    -- every trailing window differently on each engine)
     SELECT CAST(ts AS DATE) AS dt, CAST(hour(ts) AS BIGINT) AS hh,
            COUNT(*) AS c
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), trailed AS (
     SELECT dt, hh, c,
            COUNT(c) OVER w AS trail_n,
@@ -239,7 +243,10 @@ def hourly_anomalies(spark, sf_dir):
     construction, not a corpus-sized global sort (the trap top_tokens
     had). The heavy aggregation underneath shuffles once on (dt, hh).
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events belong to no hour — dropped on both engines (the
+    # standard time-ordered-operator rule; see the oracle comment for
+    # the NULL-placement divergence keeping them would expose)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = e.groupBy(
         F.to_date("ts").alias("dt"), F.hour("ts").cast("bigint").alias("hh")
     ).agg(F.count(F.lit(1)).alias("c"))

@@ -221,13 +221,18 @@ def rfm_segments(spark, sf_dir):
     "first_touch_attribution",
     oracle="""
 WITH first_touch AS (
+    -- a NULL-ts event has no position in the stream and cannot be the
+    -- first touch (Spark ASC sorts NULL ts FIRST, DuckDB LAST — the
+    -- engines would pick different "first" events for any user with a
+    -- NULL-ts row); users whose every event is NULL-ts have no first
+    -- touch and their purchases drop from the attribution join
     SELECT user_id,
            CAST(TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)
                 // 10 AS BIGINT) AS ft_bucket
     FROM (SELECT user_id, props,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS rn
-          FROM events)
+          FROM events WHERE ts IS NOT NULL)
     WHERE rn = 1
 )
 SELECT f.ft_bucket,
@@ -266,8 +271,11 @@ def first_touch_attribution(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL-ts rows can't be the first touch — dropped on both engines
+    # (cross-engine NULL ordering divergence; see the oracle comment)
     first = (
-        e.select("user_id", "ts", "event_id", props_int("props", "k").alias("ft_k"))
+        e.where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", props_int("props", "k").alias("ft_k"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", F.expr("CAST(ft_k div 10 AS BIGINT)").alias("ft_bucket"))

@@ -113,6 +113,25 @@ FUZZ_QUERIES = [
     "hll_range_distinct",
     "json_props_agg",
     "session_trigrams",
+    # r7 widening — the families the first wave skipped, highest-risk
+    # first: order statistics (median/percentile rank arithmetic over
+    # tie-heavy NULL-dense values), quantile cuts, rank-weighted sums,
+    # window-first attribution, lifecycle digest diffs, range joins,
+    # and the census-flagged anomaly screen
+    "mad_outliers",
+    "value_percentiles",
+    "trimmed_mean_value",
+    "revenue_gini",
+    "rfm_segments",
+    "retention_cohorts",
+    "funnel_conversion",
+    "first_touch_attribution",
+    "snapshot_diff",
+    "user_erasure_report",
+    "scd2_tier_join",
+    "hourly_anomalies",
+    "range_join_windows",
+    "local_tz_daily",
 ]
 
 
