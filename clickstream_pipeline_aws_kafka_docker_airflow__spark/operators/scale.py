@@ -140,7 +140,10 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     distinct key in a single partition; at 1B+ keys that window is the
     exact straggler this report exists to prevent. The rank window then
     runs over the <=k survivors only. All integer math; ties rank by
-    key string for determinism."""
+    key string for determinism, with the NULL key pinned LAST (a NULL
+    key is "no key"; Spark ASC would sort it FIRST while DuckDB sorts
+    it LAST — the cross-engine placement rule every nullable window
+    key needs spelled)."""
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
@@ -149,8 +152,8 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     totals = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
-    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
-    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    top = counts.orderBy(F.desc("cnt"), F.asc_nulls_last("key")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
     return (
         top.crossJoin(F.broadcast(totals))
         .withColumn("rank", F.row_number().over(w))

@@ -407,7 +407,10 @@ WITH counts AS (
            CAST(COUNT(*) AS BIGINT) AS n_keys
     FROM counts
 )
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+-- NULLS LAST is DuckDB's ASC default; spelled because the Spark side
+-- must OVERRIDE its nulls-first ASC default to match (operators/
+-- scale.py::key_skew_report)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key NULLS LAST) AS BIGINT) AS rank,
        key, cnt,
        CAST(cnt * 1000 // n_rows AS BIGINT) AS share_permille,
        cnt * n_keys > 2 * n_rows AS skewed

@@ -132,6 +132,29 @@ FUZZ_QUERIES = [
     "hourly_anomalies",
     "range_join_windows",
     "local_tz_daily",
+    # r7 second widening: the REST of the events-reading oracled
+    # surface, so every events query faces random hostile frames, not
+    # only the handcrafted fixture
+    "chi2_type_by_weekday",
+    "cms_range_topk",
+    "date_parse_multi",
+    "expectations_audit",
+    "join_outer_daily",
+    "key_skew_report",
+    "kpi_daily",
+    "kpi_daily_approx",
+    "kpi_grouping_sets",
+    "kpi_hourly",
+    "kpi_single_day",
+    "pagerank_props",
+    "pivot_event_counts",
+    "rolling_7d_kpis",
+    "scalar_suite",
+    "setops_users",
+    "time_arith_suite",
+    "top_tokens",
+    "unpivot_kpi_metrics",
+    "value_histogram",
 ]
 
 
