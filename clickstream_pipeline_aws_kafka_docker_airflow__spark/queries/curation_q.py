@@ -214,8 +214,12 @@ WITH base AS (
 ), tl AS (
     SELECT source, lang AS top_lang
     FROM (SELECT source, lang,
+                 -- NULLS LAST is DuckDB's ASC default; spelled because
+                 -- the Spark side must OVERRIDE its nulls-first ASC to
+                 -- match (an unknown language must not win count ties
+                 -- over a real one)
                  ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY c DESC, lang) AS rn
+                                    ORDER BY c DESC, lang NULLS LAST) AS rn
           FROM lc)
     WHERE rn = 1
 )
@@ -265,7 +269,11 @@ def dataset_card(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("has_pii").cast("bigint").alias("pii_docs"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    # NULL lang pinned LAST (Spark ASC default is nulls-FIRST, DuckDB's
+    # is nulls-LAST): the unknown language must not win count ties
+    w = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc_nulls_last("lang")
+    )
     tl = (
         d.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -155,6 +155,11 @@ FUZZ_QUERIES = [
     "top_tokens",
     "unpivot_kpi_metrics",
     "value_histogram",
+    "tumbling_hourly",
+    "hll_audience_overlap",
+    "cms_heavy_hitters",
+    "kafka_payload_roundtrip",
+    "value_percentiles_approx",
 ]
 
 
@@ -219,6 +224,29 @@ DOC_FUZZ_QUERIES = [
     # fuzz the NULL-source / NULL-text / dup-heavy space against the
     # two-CTE SQL twin
     "tfidf_top_terms",
+    # r7 second widening: the REST of the documents-reading oracled
+    # surface (text analysis, curation chain, simhash/ppjoin detectors,
+    # the sequential packer)
+    "chunk_documents",
+    "contamination_check",
+    "keyword_search_conj",
+    "keyword_textrank",
+    "pii_scrub",
+    "string_suite",
+    "token_freq_spectrum",
+    "top_tokens_per_lang",
+    "vocab_encode",
+    "train_split",
+    "quota_sample",
+    "priority_sample_weighted",
+    "mixture_resample",
+    "dataset_card",
+    "source_curation_stats",
+    "corpus_curation",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "ppjoin_shingle_pairs",
+    "pack_sequences_greedy",
 ]
 
 
@@ -327,6 +355,20 @@ TPCH_FUZZ_QUERIES = [
     # decorrelated (aggregate) rewrite vs the correlated EXISTS oracle;
     # NULL supp keys and hot orders are the hazardous inputs
     "q21_waiting_supplier",
+    # r7 second widening: the REST of the TPC-H shapes (some are
+    # vacuous on some seeds when their literals miss — the census test
+    # tracks the committed-fixture inventory; here non-vacuity varies
+    # by seed and the comparison is valid either way)
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q22_dormant_value",
+    "topn_parts_per_brand",
+    "semi_anti_customers",
 ]
 
 
@@ -457,6 +499,20 @@ VEC_FUZZ_QUERIES = [
     "sim_topk_bruteforce",
     "embed_neardup_cosine",
     "label_centroid_inertia",
+    # r7 second widening: every ANN serving tier (quantizer + codebooks
+    # retrain per fuzz dir — artifacts key on source identity), the
+    # projections, and the embedding-side dedup screens
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_res",
+    "pq_codes",
+    "pca_project8",
+    "rp_project16",
+    "sim_topk_vectorized",
+    "neardup_embedding_check",
+    "semantic_dedup",
 ]
 
 
