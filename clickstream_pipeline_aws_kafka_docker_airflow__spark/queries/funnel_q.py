@@ -151,7 +151,10 @@ WITH u AS (
     GROUP BY 1
 ), q AS (
     SELECT *,
-           NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+           -- NULLS LAST spelled: a user whose every event is NULL-ts
+           -- has NULL recency (stalest quartile on both engines);
+           -- Spark's ASC default would put them FIRST instead
+           NTILE(4) OVER (ORDER BY recency_days NULLS LAST, user_id) AS r_q,
            NTILE(4) OVER (ORDER BY f_events DESC, user_id) AS f_q,
            NTILE(4) OVER (ORDER BY m_revenue DESC, user_id) AS m_q
     FROM u
@@ -194,7 +197,9 @@ def rfm_segments(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    r_w = Window.orderBy("recency_days", "user_id")
+    # NULL recency (user has no dated events) pinned LAST = stalest
+    # quartile on both engines (Spark ASC default is nulls-FIRST)
+    r_w = Window.orderBy(F.asc_nulls_last("recency_days"), "user_id")
     f_w = Window.orderBy(F.desc("f_events"), "user_id")
     m_w = Window.orderBy(F.desc("m_revenue"), "user_id")
     q = u.select(

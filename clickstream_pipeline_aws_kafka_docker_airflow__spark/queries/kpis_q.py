@@ -117,11 +117,14 @@ def unpivot_kpi_metrics(spark, sf_dir):
     "rolling_7d_kpis",
     oracle="""
 WITH daily AS (
+    -- a NULL-ts event belongs to no calendar day; keeping the NULL
+    -- group would also put a NULL ordering key inside the RANGE frame,
+    -- where the engines' NULL-placement defaults differ
     SELECT CAST(ts AS DATE) AS dt,
            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_no,
            COUNT(*) AS n,
            SUM(CAST(value AS DECIMAL(24,8))) AS revd
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT dt,
        CAST(SUM(n) OVER w AS BIGINT) AS n_events_7d,
@@ -143,7 +146,10 @@ def rolling_7d_kpis(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events belong to no calendar day — dropped on both
+    # engines (and a NULL day_no inside the RANGE frame would hit the
+    # cross-engine NULL-placement divergence; see the oracle comment)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(
         F.to_date("ts").alias("dt"),
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))

@@ -132,7 +132,10 @@ WITH ev AS (
     SELECT key, COUNT(*) AS n FROM ev GROUP BY key
 ), topk AS (
     SELECT key, n FROM exact
-    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, key) <= {CMSZ_K}
+    -- NULLS LAST spelled: DuckDB's ASC default, but the Spark side
+    -- must override its nulls-first ASC to match (key is the nullable
+    -- user_id — a NULL key must not win ties at the top-K boundary)
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, key NULLS LAST) <= {CMSZ_K}
 ), probes AS (
     SELECT t.key, t.n, s, {_hash32_duck("CAST(s AS VARCHAR) || '|' || key")} % {CMSZ_W} AS b
     FROM topk t CROSS JOIN range({CMSZ_D}) r(s)
@@ -215,7 +218,11 @@ def cms_range_topk(spark, sf_dir):
     daily = cms_daily_zone_table(spark, sf_dir)
     merged = daily.groupBy("s", "b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
-    topk = exact.orderBy(F.col("n").desc(), "key").limit(CMSZ_K)
+    # NULL key (user_id) pinned LAST at the top-K boundary — the
+    # cross-engine nullable-order-key rule (see the oracle comment)
+    topk = exact.orderBy(
+        F.col("n").desc(), F.asc_nulls_last("key")
+    ).limit(CMSZ_K)
     probes = topk.select(
         "key", "n", F.explode(F.sequence(F.lit(0), F.lit(CMSZ_D - 1))).alias("s")
     ).withColumn(

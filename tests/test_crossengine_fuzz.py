@@ -38,8 +38,16 @@ def _fuzz_events(rng: random.Random, n: int = 120) -> list[tuple]:
     ]
     rows = []
     for i in range(n):
-        ts = None if rng.random() < 0.15 else rng.choice(ts_pool)
         user = None if rng.random() < 0.15 else rng.randrange(8)
+        # user 7 NEVER has a timestamp: the all-NULL-ts user is the
+        # case that flushes NULL aggregates (NULL recency, no first
+        # touch, no sessions) into every downstream ranking — random
+        # 15% NULLs alone make this user vanishingly rare
+        ts = (
+            None
+            if (user == 7 or rng.random() < 0.15)
+            else rng.choice(ts_pool)
+        )
         etype = (
             None
             if rng.random() < 0.15
