@@ -419,6 +419,47 @@ def _res_params() -> str:
     )
 
 
+def _res_books_cached(spark, sf_dir):
+    """Train-once residual codebooks (the train_pq(residual_frame)
+    seed collect), persisted like _quantizer_cached: the seed slice of
+    the residual frame is a COLLECT over a three-way join, and its
+    query-vector cache key (plan semanticHash) is not stable across
+    invocations of the joined plan — so without this memo every warm
+    serve re-ran the collect (~3 fixed-cost jobs). Keyed on the source
+    file identity + quantizer/PQ params; JSON round-trips float64
+    exactly, so a loaded codebook reproduces LUTs (and the oracle
+    match) bit-for-bit."""
+    import hashlib
+    import json
+    import os
+
+    from ..operators.pq import residual_frame, train_pq
+    from .similarity_q import _quantizer_cached, ivf_cells_table
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:"
+        f"{_res_params()}:books1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join("/tmp/spark_graft_quantizers", f"pqres_books_{key}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return [
+                [(int(cid), [float(x) for x in v]) for cid, v in book]
+                for book in json.load(f)
+            ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _quantizer_cached(spark, sf_dir)
+    books = train_pq(residual_frame(emb, ivf_cells_table(spark, sf_dir), cents))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(books, f)
+    os.replace(tmp, path)
+    return books
+
+
 def pq_res_codes_table(spark, sf_dir):
     """Materialized RESIDUAL code table (the faiss-IVFPQ encoder
     output): codes quantize v - centroid[home_cell], preserving
@@ -433,7 +474,7 @@ def pq_res_codes_table(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         cents = _quantizer_cached(spark, sf_dir)
         res = residual_frame(emb, ivf_cells_table(spark, sf_dir), cents)
-        return encode_pq(res, train_pq(res))
+        return encode_pq(res, _res_books_cached(spark, sf_dir))
 
     return materialized(
         spark,
@@ -485,13 +526,12 @@ def ann_topk_ivfpq_res(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _quantizer_cached(spark, sf_dir)
-    res = residual_frame(emb, ivf_cells_table(spark, sf_dir), cents)
     return ivfpq_topk_residual(
         emb,
         ANN_NQUERIES,
         ANN_K,
         cents=cents,
-        books=train_pq(res),
+        books=_res_books_cached(spark, sf_dir),
         nprobe=IVF_NPROBE,
         rescore_margin=PQ_RESCORE_MARGIN,
         index=ivfpq_res_index_table(spark, sf_dir),
