@@ -40,6 +40,16 @@ def main() -> None:
     # never masquerade as a round record)
     only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
     if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # mirror scripts/dtype_audit.py's AUDIT_ONLY: name typos exit
+            # with a message before any Spark work, not a bare KeyError
+            print(
+                f"SPARK_GRAFT_BENCH_ONLY: unknown queries {unknown}; "
+                f"known names: {sorted(qs)[:8]}...",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         qs = {n: qs[n] for n in only}
 
     # Warmup: JVM, codegen, file listing (not counted).

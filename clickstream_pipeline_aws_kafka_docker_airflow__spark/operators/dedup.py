@@ -374,11 +374,36 @@ def incremental_admission(
         .groupBy("id_new", "id_old")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    def _size_or_raise(side: str) -> F.Column:
+        # LEFT join + raise: an INNER join here would silently DROP any
+        # candidate pair whose doc is missing from a stale / old-zone-only
+        # ``sizes`` artifact — and a dropped pair is an admitted duplicate.
+        # A missing size must fail the batch loudly, never admit.
+        return (
+            F.when(F.col(f"n_{side}").isNotNull(), F.col(f"n_{side}"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "incremental_admission: sizes artifact has no row"
+                            " for candidate doc_id "
+                        ),
+                        F.col("id_new" if side == "a" else "id_old").cast(
+                            "string"
+                        ),
+                        F.lit(" — rebuild doc_sizes for BOTH zones"),
+                    )
+                ).cast("bigint")
+            )
+        )
+
     jac = (
         cand.join(common, ["id_new", "id_old"], "left")
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
-        .join(sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("n_a")), "id_new")
-        .join(sizes.select(F.col("doc_id").alias("id_old"), F.col("n").alias("n_b")), "id_old")
+        .join(sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("n_a")), "id_new", "left")
+        .join(sizes.select(F.col("doc_id").alias("id_old"), F.col("n").alias("n_b")), "id_old", "left")
+        .withColumn("n_a", _size_or_raise("a"))
+        .withColumn("n_b", _size_or_raise("b"))
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
         .select(
             "id_new",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.pq import K_SUB, N_SUB, SUB_DIM, encode_pq, pq_topk, train_pq
+from ..operators.pq import K_SUB, N_SUB, PQ_ITERS, SUB_DIM, encode_pq, pq_topk, train_pq
 from ..operators.similarity import IVF_NPROBE
 from ..registry import register
 from .similarity_q import ANN_K, ANN_NQUERIES
@@ -96,7 +96,7 @@ def pq_codes_table(spark, sf_dir):
         os.path.join(sf_dir, "embeddings.parquet"),
         "pq_codes",
         _build,
-        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}",
+        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}:t{PQ_ITERS}",
     )
 
 
@@ -241,7 +241,7 @@ def ivfpq_index_table(spark, sf_dir):
         os.path.join(sf_dir, "embeddings.parquet"),
         "ivfpq_index",
         _build,
-        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}:i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}:v1",
+        params=f"{N_SUB}x{K_SUB}x{SUB_DIM}:t{PQ_ITERS}:i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}:v1",
     )
 
 
@@ -415,7 +415,7 @@ def _res_params() -> str:
     from .similarity_q import IVF_KMEANS_ITERS, IVF_NCENTROIDS
 
     return (
-        f"{N_SUB}x{K_SUB}x{SUB_DIM}:i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}:res1"
+        f"{N_SUB}x{K_SUB}x{SUB_DIM}:t{PQ_ITERS}:i{IVF_NCENTROIDS}x{IVF_KMEANS_ITERS}:res1"
     )
 
 

@@ -402,3 +402,47 @@ def test_lsh_band_df_cap_bounds_duplicate_flood(spark):
         for r in lsh_candidate_pairs(sigs, band_df_cap=5).collect()
     }
     assert capped == {(100, 101)}  # flood buckets (size 10 > 5) dropped
+
+
+def test_incremental_admission_stale_sizes_raises(spark):
+    """A ``sizes`` artifact that misses a candidate doc must FAIL the
+    batch loudly, not silently drop the pair (an INNER join would admit
+    the duplicate); a complete artifact reproduces the no-artifact
+    verdicts exactly."""
+    import pytest
+    from pyspark.sql import Row, functions as F
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.dedup import (
+        band_table,
+        incremental_admission,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest at dawn every single day"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=10, text=base.replace("lazy", "sleepy")),
+        ]
+    )
+    sh = shingle_table(docs)
+    old_bands = band_table(minhash_signatures(sh.where("doc_id < 10")))
+    new_ids = docs.where("doc_id >= 10").select("doc_id")
+    full_sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    ok = {
+        r["doc_id"]: r
+        for r in incremental_admission(
+            new_ids, sh, old_bands, sizes=full_sizes
+        ).collect()
+    }
+    assert not ok[10]["admitted"] and ok[10]["dup_of"] == 1
+
+    # stale artifact: old zone's doc 1 missing -> loud failure, never admit
+    stale = full_sizes.where(F.col("doc_id") != 1)
+    with pytest.raises(Exception, match="sizes artifact has no row"):
+        incremental_admission(new_ids, sh, old_bands, sizes=stale).collect()
