@@ -171,12 +171,15 @@ def rfm_segments(spark, sf_dir):
     so the result is replay-deterministic.
 
     Scale: the events table collapses to one row per user FIRST (one
-    shuffle on user_id with map-side partials); the three ``ntile``
-    windows then run over the bounded user universe, not the event
-    stream — at 100 TB that's a window over ~millions of users, and an
-    approx-percentile bucketing would replace ``ntile`` only if even
-    the user table outgrew a sort. Tie-break on user_id makes every
-    quartile assignment (and the oracle's) a total order.
+    shuffle on user_id with map-side partials); the three quartile
+    assignments then run over the bounded user universe via
+    ``exact_ntile`` (operators/rankstats.py) — range partitioning +
+    rank arithmetic, NO WindowExec — because an unpartitioned
+    ``ntile`` window is a single-partition sort of the whole user
+    table, the one corpus-growing reducer in the old plan (plan-pinned
+    window-free in tests/test_plans_rankstats.py). Tie-break on
+    user_id makes every quartile assignment (and the oracle's) a
+    total order, which exact_ntile requires.
     """
     e = load_table(spark, sf_dir, "events")
     u = (
@@ -195,18 +198,28 @@ def rfm_segments(spark, sf_dir):
             ).alias("m_revenue"),
         )
     )
-    from pyspark.sql import Window
+    from ..operators.rankstats import exact_ntile_multi
 
-    # NULL recency (user has no dated events) pinned LAST = stalest
-    # quartile on both engines (Spark ASC default is nulls-FIRST)
-    r_w = Window.orderBy(F.asc_nulls_last("recency_days"), "user_id")
-    f_w = Window.orderBy(F.desc("f_events"), "user_id")
-    m_w = Window.orderBy(F.desc("m_revenue"), "user_id")
-    q = u.select(
-        "*",
-        F.ntile(4).over(r_w).cast("bigint").alias("r_q"),
-        F.ntile(4).over(f_w).cast("bigint").alias("f_q"),
-        F.ntile(4).over(m_w).cast("bigint").alias("m_q"),
+    # all three quartile orderings in ONE range shuffle (each key
+    # normalized to an order-exact double): NULL recency (user has no
+    # dated events) pinned LAST = stalest quartile on both engines via
+    # the +inf sentinel (Spark ASC default is nulls-FIRST); DESC
+    # frequency/monetary via negation
+    q = exact_ntile_multi(
+        u,
+        4,
+        [
+            (
+                "r_q",
+                F.coalesce(
+                    F.col("recency_days").cast("double"),
+                    F.lit(float("inf")),
+                ),
+            ),
+            ("f_q", -F.col("f_events").cast("double")),
+            ("m_q", -F.col("m_revenue")),
+        ],
+        "user_id",
     )
     return q.select(
         "user_id",

@@ -31,15 +31,20 @@ def test_hll_range_distinct_broadcasts_weekly_join(spark):
 
 
 def test_rfm_single_events_scan(spark):
-    """RFM aggregates users in ONE pass over events (one scan, one
-    shuffle); the ntile windows then run over the bounded user table."""
-    import re
-
-    plan = formatted_plan(_Q["rfm_segments"](spark, SF_SMOKE))
-    # the formatted detail section numbers each operator: one scan node
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    """RFM aggregates users in ONE pass over events; the exact_ntile
+    machinery references that per-user frame from two branches (ranks +
+    partition counts), which must resolve to ONE shared exchange at
+    runtime (AQE stage reuse), never a second events scan."""
+    df = _Q["rfm_segments"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
     # user_id IS NOT NULL must reach the scan as a pushed filter
     assert "IsNotNull(user_id)" in plan, plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        executed.count("ReusedExchange") + executed.count("ReusedQueryStage")
+        >= 1
+    ), executed
 
 
 def test_unpivot_no_extra_shuffle(spark):

@@ -1,0 +1,124 @@
+"""exact_ntile / exact_ntile_multi: bit-parity with the window NTILE
+on hostile orderings, and the plan contract that motivated them — no
+WindowExec (and so no corpus-growing single-partition sort) anywhere
+in rfm_segments' plan."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window, functions as F
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.rankstats import (
+    exact_ntile,
+    exact_ntile_multi,
+)
+from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
+    formatted_plan,
+)
+
+from conftest import SF_SMOKE
+
+_Q = registry.queries()
+
+
+def _frame(spark, n_rows, seed):
+    random.seed(seed)
+    rows = [
+        (i, random.choice([None, 1, 2, 3, 5, 9]), random.randint(0, 4))
+        for i in range(n_rows)
+    ]
+    schema = "id bigint, v bigint, w bigint"
+    return (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """Rank-arithmetic NTILE == window NTILE for empty frames, n < t,
+    n % t != 0, NULLS LAST, DESC, and heavy ties — per-row bit parity,
+    not distribution parity."""
+    for n_rows in (0, 1, 3, 4, 5, 17, 400):
+        df = _frame(spark, n_rows, seed=n_rows)
+        for tiles in (4, 3, 7):
+            for order in (
+                [F.asc_nulls_last("v"), F.asc("id")],
+                [F.desc("w"), F.asc("id")],
+            ):
+                got = {
+                    r["id"]: r["b"]
+                    for r in exact_ntile(df, tiles, order, "b").collect()
+                }
+                exp = {
+                    r["id"]: r["b"]
+                    for r in df.select(
+                        "id",
+                        F.ntile(tiles)
+                        .over(Window.orderBy(*order))
+                        .cast("bigint")
+                        .alias("b"),
+                    ).collect()
+                }
+                assert got == exp, (n_rows, tiles)
+
+
+def test_exact_ntile_multi_matches_three_windows(spark):
+    """The one-shuffle multi-dim variant reproduces three independent
+    window NTILEs, including the +inf NULLS-LAST sentinel and DESC
+    negation the rfm query uses."""
+    df = _frame(spark, 203, seed=42)
+    got = {
+        r["id"]: (r["a_q"], r["b_q"], r["c_q"])
+        for r in exact_ntile_multi(
+            df,
+            4,
+            [
+                (
+                    "a_q",
+                    F.coalesce(F.col("v").cast("double"), F.lit(float("inf"))),
+                ),
+                ("b_q", -F.col("w").cast("double")),
+                ("c_q", F.col("w").cast("double")),
+            ],
+            "id",
+        ).collect()
+    }
+    exp = {
+        r["id"]: (r["a_q"], r["b_q"], r["c_q"])
+        for r in df.select(
+            "id",
+            F.ntile(4)
+            .over(Window.orderBy(F.asc_nulls_last("v"), F.asc("id")))
+            .cast("bigint")
+            .alias("a_q"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("w"), F.asc("id")))
+            .cast("bigint")
+            .alias("b_q"),
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("w"), F.asc("id")))
+            .cast("bigint")
+            .alias("c_q"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_rfm_segments_plan_has_no_window(spark):
+    """The point of the rewrite: the executed rfm plan must contain NO
+    WindowExec at all (the old plan's three unpartitioned ntile windows
+    were a single-partition sort of the whole user table) and no
+    SinglePartition exchange."""
+    df = _Q["rfm_segments"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    # the scale shape: quartiles ride range partitioning
+    assert "rangepartitioning" in plan.lower(), plan
+    # exactly ONE SinglePartition exchange is allowed: the offsets
+    # collect_list over the per-partition COUNTS (<= shuffle-partition
+    # rows, bounded by cluster config, never by the corpus)
+    assert plan.count("SinglePartition") == 1, plan
+    assert "collect_list" in plan, plan
