@@ -351,3 +351,48 @@ def test_zero_norm_vector_excluded_from_topk(spark):
     assert out, "non-degenerate queries must still rank"
     assert all(r["nid"] != 3 for r in out)
     assert all(r["sim"] is not None for r in out)
+
+
+# ~20 CHEAP filter-bearing queries (sub-0.3 s walls at sf0.1): the
+# fast default-suite slice of the full RUN_SLOW census above. r7's
+# census exposed 7 queries whose hostile gates had silently gone
+# vacuous; a weakened gate must fail the DEFAULT suite, not wait for
+# the next RUN_SLOW pass.
+ADV_SF_SENTINEL = [
+    "dedup_near_minhash",
+    "simhash_near_dup",
+    "ppjoin_shingle_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_exact_docs",
+    "contamination_check",
+    "doc_fingerprint",
+    "train_split",
+    "string_suite",
+    "topn_parts_per_brand",
+    "chunk_documents",
+    "value_histogram",
+    "token_profile",
+    "text_stats_by_lang",
+    "priority_sample_weighted",
+    "join_outer_daily",
+    "scalar_suite",
+    "json_props_agg",
+    "q6_forecast_revenue",
+    "kpi_single_day",
+    "sessionize_30min",
+]
+
+
+def test_adv_sf_sentinel_not_vacuous(spark):
+    """Fast vacuity sentinel: each sentinel query must keep producing
+    ROWS on the hostile fixture — zero rows means its filter literals
+    no longer intersect adv_sf and every adversarial assertion
+    downstream of it is comparing empty frames."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    vacuous = [
+        name for name in ADV_SF_SENTINEL if qs[name](spark, ADV_SF).count() == 0
+    ]
+    assert not vacuous, f"went vacuous on adv_sf: {vacuous}"

@@ -16,7 +16,11 @@ from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
 
 from conftest import SF_SMOKE
 
-# measured warm-path counts (second run, artifacts/caches hot), r6
+# measured warm-path counts (second run, artifacts/caches hot), r6;
+# q22/rfm added r8 (q22's 0.30->0.40 s bench drift re-measured same-box
+# at its old 5 jobs — wall noise, not a plan regression; rfm is the
+# exact-rank rewrite: sample + AQE stage jobs across hash/range/counts/
+# broadcast/pivot exchanges)
 CEILINGS = {
     "q1_pricing_summary": 2,
     "q8_market_share": 6,
@@ -28,6 +32,8 @@ CEILINGS = {
     "incremental_dedup_batch": 16,
     "ann_topk_ivfpq_res": 9,
     "corpus_curation": 7,
+    "q22_dormant_value": 5,
+    "rfm_segments": 10,
 }
 
 
