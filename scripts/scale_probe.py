@@ -814,7 +814,110 @@ def probe_admission(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "dupflood": probe_dupflood, "admission": probe_admission}
+# ---------------------------------------------------------------------------
+# entity-count growth probe: 10x distinct USERS, constant events-per-user
+
+
+def _users_events_dir(spark, d: str, n_users: int, epu: int = 20) -> str:
+    """A synthetic sf-dir whose events.parquet has ``n_users`` distinct
+    users x ``epu`` events each, schema-identical to the testdata
+    events table (so registry queries run on it unchanged). Pure
+    codegen; seeded hashes, no rand."""
+    n = n_users * epu
+    span_us = DAYS * 86_400_000_000
+    path = f"{d}/u{n_users}"
+    etypes = F.array(
+        *[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")]
+    )
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_756_684_800_000_000)  # 2025-09-01 UTC
+                + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(span_us))
+            ).alias("ts"),
+            F.pmod(F.col("id"), F.lit(n_users)).alias("user_id"),
+            F.element_at(
+                etypes,
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10_000)) / 100.0).alias(
+                "value"
+            ),
+            F.concat(
+                F.lit('{"k": '),
+                F.pmod(F.xxhash64("id", F.lit(5)), F.lit(100)).cast("string"),
+                F.lit("}"),
+            ).alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "events.parquet"))
+    )
+    return path
+
+
+USERS_FAMILY = (
+    "rfm_segments",
+    "first_touch_attribution",
+    "user_erasure_report",
+    "user_journeys",
+)
+
+
+def probe_users(spark) -> dict:
+    """Per-ENTITY dimension growth: 10x distinct users at constant
+    events-per-user (the skew probe covers one hot key; this covers the
+    user universe itself outgrowing the cluster's imagination). For
+    every per-user query the invariant is BALANCE, not absolute size:
+    per-user state is constant, so the heaviest task's shuffle read
+    must stay within a small factor of the median task at BOTH scales —
+    a straggler factor that grows with user count means some stage is
+    concentrating the user dimension into one task (the old rfm ntile
+    plan: every user in one reducer; its x10 factor was the task
+    count)."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+
+    qs = registry.queries()
+    d = tempfile.mkdtemp(prefix="probe_users_")
+    out: dict = {"probe": "users", "events_per_user": 20}
+    for tag, n_users in (("x1", 100_000), ("x10", 1_000_000)):
+        sf_dir = _users_events_dir(spark, d, n_users)
+        row: dict = {"n_users": n_users, "n_events": n_users * 20}
+        for name in USERS_FAMILY:
+            before = _stages_snapshot(spark)
+            s0 = _shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.perf_counter() - t0, 2)
+            s1 = _shuffle_write_bytes(spark)
+            m = _heaviest_stage_tasks(spark, before) or {}
+            q: dict = {"wall_s": wall, **m}
+            if s0 is not None and s1 is not None:
+                q["shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+            row[name] = q
+        out[tag] = row
+    for name in USERS_FAMILY:
+        f1 = out["x1"][name].get("straggler_factor")
+        f10 = out["x10"][name].get("straggler_factor")
+        if f1 is not None and f10 is not None:
+            out.setdefault("straggler_x1_vs_x10", {})[name] = [f1, f10]
+            # bounded: the x10 factor stays within noise of x1 (task
+            # walls are small; byte reads are the stable signal)
+            r1 = out["x1"][name].get("task_read_max_mb", 0.0)
+            r1m = max(out["x1"][name].get("task_read_med_mb", 0.0), 0.1)
+            r10 = out["x10"][name].get("task_read_max_mb", 0.0)
+            r10m = max(out["x10"][name].get("task_read_med_mb", 0.0), 0.1)
+            out.setdefault("read_balance_x1_vs_x10", {})[name] = [
+                round(r1 / r1m, 1),
+                round(r10 / r10m, 1),
+            ]
+    return out
+
+
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "dupflood": probe_dupflood, "admission": probe_admission, "users": probe_users}
 
 
 def _probe_spark():
@@ -853,6 +956,7 @@ def main() -> None:
             "dupflood": "PROBE_DUPFLOOD.json",  # hot-LSH-bucket hazard
             "dedup": "PROBE_DEDUP_10X.json",  # sub-quadratic growth
             "admission": "PROBE_ADMISSION.json",  # batch-bounded verify
+            "users": "PROBE_USERS.json",  # entity-count growth balance
         }.get(n)
         if artifact:
             p = os.path.join(
