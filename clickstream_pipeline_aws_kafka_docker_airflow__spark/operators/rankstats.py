@@ -89,7 +89,8 @@ def _offset_for(pid: Column) -> Column:
     )
 
 
-def _total(expr=None) -> Column:
+def _total() -> Column:
+    """Total rows across every range partition (same ``_cl`` list)."""
     return F.aggregate(
         F.col("_cl"),
         F.lit(0).cast("bigint"),

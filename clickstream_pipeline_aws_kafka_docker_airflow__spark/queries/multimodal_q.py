@@ -34,14 +34,16 @@ SELECT media_type,
 FROM (
     -- closed form of the forged containers (operators/multimodal.py):
     -- BMP: 54-byte headers + h rows padded to 4 bytes; WAV: 44-byte
-    -- headers + text bytes padded to even; VID0: 12-byte header +
-    -- f identical BMP frames
+    -- headers + the UTF-8 BYTES of text (octet_length(encode(..)),
+    -- NOT strlen — the forge encodes, so a multi-byte character adds
+    -- its full byte width; NULL text forges an empty-payload WAV)
+    -- padded to even; VID0: 12-byte header + f identical BMP frames
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                            ELSE 'video' END AS media_type,
            CASE doc_id % 3
              WHEN 0 THEN 54 + (3 + doc_id % 17)
                          * (((3 * (4 + doc_id % 29) + 3) // 4) * 4)
-             WHEN 1 THEN 44 + strlen(text) + strlen(text) % 2
+             WHEN 1 THEN 44 + tb + tb % 2
              ELSE 12 + (1 + doc_id % 4)
                   * (54 + (3 + doc_id % 17)
                      * (((3 * (4 + doc_id % 29) + 3) // 4) * 4))
@@ -51,10 +53,12 @@ FROM (
            CASE WHEN doc_id % 3 = 1
                 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate,
            CASE WHEN doc_id % 3 = 1
-                THEN (strlen(text) + strlen(text) % 2) // 2 END AS n_samples,
+                THEN (tb + tb % 2) // 2 END AS n_samples,
            CASE doc_id % 3 WHEN 0 THEN 1
                            WHEN 2 THEN 1 + doc_id % 4 END AS n_frames
-    FROM documents
+    FROM (SELECT doc_id,
+                 octet_length(encode(coalesce(text, ''))) AS tb
+          FROM documents)
 )
 GROUP BY media_type
 """,

@@ -157,3 +157,19 @@ def write_kafka_stream(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on this session's
+    classpath. The test env ships no connector jar (the recorded-
+    segment fixtures stand in for the wire); tests gate on this so the
+    real-connector paths light up automatically in any environment
+    that does ship it (``--packages org.apache.spark:spark-sql-kafka-
+    0-10_2.13:<ver>`` or a jars/ drop-in)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False

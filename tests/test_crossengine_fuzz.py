@@ -255,6 +255,15 @@ DOC_FUZZ_QUERIES = [
     "simhash_near_dup",
     "ppjoin_shingle_pairs",
     "pack_sequences_greedy",
+    # r8 widening: the final documents-reading stragglers — the HOF
+    # suite and the multimodal family (the forged-container decode and
+    # its closed-form oracles race on random doc lengths/NULLs too);
+    # after this only gen_synthetic_events stays un-fuzzed (it reads
+    # no table — the generator IS its own deterministic input)
+    "array_hof_suite",
+    "multimodal_meta",
+    "media_frame_sample",
+    "media_histogram",
 ]
 
 
