@@ -113,21 +113,26 @@ def exact_ntile(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # explicit numPartitions pins the partitioning as user-specified:
-    # AQE neither coalesces nor skew-splits it, so the pids (and the
-    # pid->count table) are identical for every consumer of the exchange
     ranged = df.repartitionByRange(n_part, *order_by)
-    # counts branch skips the sort and shares the range exchange with
-    # the main branch (ReusedExchange within the one action)
+    # persist() pins ONE materialization of the ranged+sorted frame:
+    # the ranks branch and the counts branch BOTH read the same
+    # InMemoryRelation (same RDD, same sampled range boundaries, same
+    # pids). Without it the two branches are only deduplicated by
+    # exchange REUSE — an optimization, not a guarantee — and when it
+    # does not fire each branch samples its own boundaries and the
+    # offsets table misaligns with the ranks (caught by the sf1 audit:
+    # NTILE(4) emitting buckets 0 and 5). Bounded: the frame is the
+    # already-reduced input (user-level), never the corpus.
     local = (
         ranged.sortWithinPartitions(*order_by)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+        .persist()
     )
     rank = _offset_for(F.col("_pid")) + F.col("_lrn") + 1
     return (
-        local.crossJoin(F.broadcast(_counts_row(ranged)))
+        local.crossJoin(F.broadcast(_counts_row(local)))
         .withColumn(
             out_col, _ntile_from_rank(rank, _total(), tiles).cast("bigint")
         )
@@ -177,16 +182,20 @@ def exact_ntile_multi(
     )
     order = [F.asc("_dim"), F.asc("_k"), F.asc(tie_break)]
     ranged = ex.repartitionByRange(n_part, *order)
+    # persist(): see exact_ntile — the counts branch must read the SAME
+    # materialized partitioning as the ranks branch, by reference, not
+    # by exchange-reuse luck
     local = (
         ranged.sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+        .persist()
     )
     grank = _offset_for(F.col("_pid")) + F.col("_lrn") + 1
     n_rows = _total() / F.lit(len(dims))  # exact: every row emits len(dims) pairs
     bucketed = (
-        local.crossJoin(F.broadcast(_counts_row(ranged)))
+        local.crossJoin(F.broadcast(_counts_row(local)))
         .withColumn("_n1", n_rows.cast("bigint"))
         .withColumn(
             "_rank_in_dim",

@@ -62,9 +62,13 @@ def cluster_labels_table(spark, sf_dir):
 # source_curation_stats — editing the closure logic or threshold in one
 # consumer but not the others would silently de-sync the composite
 # oracles from their stage oracle.
-MEMBERS_CTES = f"""pairs AS (
+# MATERIALIZED on the static terms: DuckDB may re-evaluate a plain CTE
+# on every iteration of the recursive member that joins it — at sf1 the
+# un-hinted pack oracle re-split every doc's text ~6k times (30+ min vs
+# 10 s). Pure evaluation hint, zero semantic change.
+MEMBERS_CTES = f"""pairs AS MATERIALIZED (
     SELECT * FROM ({_minhash_oracle()}) q WHERE jaccard >= {DUP_JACCARD}
-), e AS (
+), e AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION SELECT id_b, id_a FROM pairs
 ), reach AS (
@@ -332,7 +336,7 @@ _PACK_TOKS = f"""
 @register(
     "pack_sequences_greedy",
     oracle=f"""
-WITH RECURSIVE toks AS (
+WITH RECURSIVE toks AS MATERIALIZED (
     SELECT doc_id, shard, n_tokens,
            ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
     FROM ({_PACK_TOKS})

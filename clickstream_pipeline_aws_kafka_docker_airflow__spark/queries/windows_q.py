@@ -116,12 +116,12 @@ def _ewma_oracle() -> str:
     from ..operators.timeseries import EWMA_DEN, EWMA_NUM, EWMA_SCALE
 
     return f"""
-WITH RECURSIVE hc AS (
+WITH RECURSIVE hc AS MATERIALIZED (
     -- NULL-ts events have no hour; dropped on both engines (the NULL
     -- hour would also sort differently across engines in the walk)
     SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS cnt
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-), idx AS (
+), idx AS MATERIALIZED (
     SELECT event_type, hh, cnt,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS i
     FROM hc

@@ -148,6 +148,12 @@ def main() -> int:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "13")
         .config("spark.ui.enabled", "false")
+        # capacity only, never semantics: the default ~1g driver heap
+        # thrashes at sf1 (the audit runs everything in one JVM)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
         .getOrCreate()
     )
     con = duckdb.connect(":memory:")
@@ -157,11 +163,16 @@ def main() -> int:
         src = f"{sf}/{t}.parquet"
         pat = f"{src}/*.parquet" if os.path.isdir(src) else src
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    progress = bool(os.environ.get("AUDIT_PROGRESS"))
     failures, warnings = [], []
     for name in sorted(qs):
         if name not in osql:
             print(f"rows-only (skipped): {name}")
             continue
+        if progress:
+            import time as _time
+
+            _t0 = _time.perf_counter()
         try:
             sdf = qs[name](spark, sf)
             tcols = {
@@ -173,6 +184,12 @@ def main() -> int:
             d = _normalize_temporal(con.sql(osql[name]).df())
         except Exception as ex:  # noqa: BLE001 — audit must finish
             failures.append((name, f"{type(ex).__name__}: {str(ex)[:160]}"))
+            if progress:
+                print(
+                    f"ERR  {name}: {_time.perf_counter() - _t0:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
             continue
         sc, s_rows = _sorted_raw(s)
         dc, d_rows = _sorted_raw(d)
@@ -192,6 +209,12 @@ def main() -> int:
                         failures.append((name, f"row {i} col {c!r}: {drift}"))
         if n_bad > 3:
             failures.append((name, f"... {n_bad} drifting cells total"))
+        if progress:
+            print(
+                f"done {name}: {_time.perf_counter() - _t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
     con.close()
     spark.stop()
     for n, w in warnings:

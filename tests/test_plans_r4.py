@@ -32,19 +32,19 @@ def test_hll_range_distinct_broadcasts_weekly_join(spark):
 
 def test_rfm_single_events_scan(spark):
     """RFM aggregates users in ONE pass over events; the exact_ntile
-    machinery references that per-user frame from two branches (ranks +
-    partition counts), which must resolve to ONE shared exchange at
-    runtime (AQE stage reuse), never a second events scan."""
+    machinery references the ranged frame from two branches (ranks +
+    partition counts), which must read ONE pinned materialization (the
+    persist() in operators/rankstats.py — exchange reuse alone is an
+    optimization, and when it does not fire each branch samples its own
+    range boundaries; the sf1 audit caught NTILE(4) emitting buckets
+    0 and 5 that way)."""
     df = _Q["rfm_segments"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     # user_id IS NOT NULL must reach the scan as a pushed filter
     assert "IsNotNull(user_id)" in plan, plan
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert (
-        executed.count("ReusedExchange") + executed.count("ReusedQueryStage")
-        >= 1
-    ), executed
+    assert executed.count("InMemoryTableScan") >= 2, executed
 
 
 def test_unpivot_no_extra_shuffle(spark):
