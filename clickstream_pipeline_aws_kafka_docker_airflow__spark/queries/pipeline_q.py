@@ -540,7 +540,13 @@ WITH pairs AS (
                            CAST(embedding AS DOUBLE[])) > 0
 )
 SELECT p.id_a, p.id_b, p.jaccard,
-       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS emb_sim
+       -- + 0.0 canonicalizes IEEE negative zero (the projection.py
+       -- rule): a near-orthogonal text-dup pair rounds to +-0.0
+       -- depending on the engine's accumulation seed. Caught by the
+       -- sf1 audit, where cross-replica text dups with unrelated
+       -- embeddings make tiny-negative cosines common.
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0
+           AS emb_sim
 FROM pairs p
 JOIN e a ON a.vec_id = p.id_a
 JOIN e b ON b.vec_id = p.id_b
@@ -585,8 +591,9 @@ def neardup_embedding_check(spark, sf_dir):
             "id_a",
             "id_b",
             "jaccard",
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4).alias(
-                "emb_sim"
-            ),
+            (
+                F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
+                + F.lit(0.0)  # -0.0 -> +0.0, both engines (see oracle)
+            ).alias("emb_sim"),
         )
     )
