@@ -148,4 +148,20 @@ def get_spark(
         "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     )
     builder = builder.config("spark.ui.enabled", "false")
-    return apply_engine_confs(builder.getOrCreate())
+    # Harness hook: $SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" lets perf probes
+    # (scripts/scaling_curve.py) override split sizing per subprocess
+    # without forking the session builder. Set at build time (for
+    # static confs) AND re-set at runtime after apply_engine_confs so
+    # an override of an ENGINE_CONFS key sticks.
+    extras = [
+        kv.partition("=")
+        for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";")
+        if "=" in kv
+    ]
+    for k, _, v in extras:
+        builder = builder.config(k.strip(), v.strip())
+    spark = apply_engine_confs(builder.getOrCreate())
+    for k, _, v in extras:
+        with contextlib.suppress(Exception):  # static conf on a live session
+            spark.conf.set(k.strip(), v.strip())
+    return spark

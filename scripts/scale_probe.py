@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Reproducible scale probes behind the README's measured tables.
 
-Usage: python scripts/scale_probe.py [events|sketch|ann|iterative|dedup|all]
+Usage: python scripts/scale_probe.py [events|sketch|ann|iterative|dedup|
+       skew|skewjoin|dupflood|admission|users|all]
 
 * events — generate 10M synthetic events (30 days), run the KPI family
   (exact, HLL, hourly, sessionize) and print wall times.
@@ -676,6 +677,117 @@ def _flood_docs(spark, n_docs: int, flood_share: float = 0.05):
     )
 
 
+def _skewjoin_tables(spark, d: str, n_fact: int, n_keys: int):
+    """Fact table where ONE join key owns ~1/3 of all rows (the
+    bot-session / default-value pathology) + a uniform key-side table
+    too large to model as a broadcastable dim at 100 TB. Payloads are
+    md5 concats so the shuffled bytes are realistic row widths, not
+    8-byte keys. Written to parquet so each measured run starts from
+    the same scan."""
+    fact_p, keys_p = f"{d}/fact", f"{d}/keys"
+    (
+        spark.range(n_fact)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_keys)))
+            .cast("bigint")
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5(F.concat(F.lit("x"), F.col("id").cast("string"))),
+            ).alias("payload"),
+        )
+        .write.mode("overwrite")
+        .parquet(fact_p)
+    )
+    (
+        spark.range(n_keys)
+        .select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("attr"),
+        )
+        .write.mode("overwrite")
+        .parquet(keys_p)
+    )
+    return fact_p, keys_p
+
+
+def probe_skewjoin(spark) -> dict:
+    """session.py ships AQE skew-join as 'the 100 TB answer to skewed
+    keys'; this measures the claim instead of citing it. A sort-merge
+    join whose fact side has one key owning ~33% of the rows funnels
+    ~1/3 of the shuffle into ONE reducer task when the optimization is
+    off — max-task shuffle read tracks the hot-key mass, straggler
+    factor tracks the skew ratio. With skew-join ON, AQE splits the hot
+    partition into advisory-sized sub-reads that join against a
+    replicated other side: max-task read collapses to ~the advisory
+    size and the straggler factor to ~1.
+
+    Broadcast is disabled for the probe because it models a FACT-fact
+    join — at 100 TB neither side fits an executor; broadcasting the
+    keys side here would simply dissolve the shuffle and measure
+    nothing. Skew thresholds are scaled to the probe's bytes (8 MB
+    threshold / 4 MB advisory vs the 256 MB / 64 MB production
+    defaults): the trigger condition is partition_bytes > threshold
+    AND > factor x median, which at 100 TB the same hot key meets by
+    orders of magnitude. Both modes must produce identical aggregates
+    (digest asserted)."""
+    d = tempfile.mkdtemp(prefix="probe_skewjoin_")
+    n_fact, n_keys = 5_000_000, 100_000
+    fact_p, keys_p = _skewjoin_tables(spark, d, n_fact, n_keys)
+    conf = spark.conf
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+    }
+    saved = {}
+    for k in list(tuned) + ["spark.sql.adaptive.skewJoin.enabled"]:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    out: dict = {
+        "probe": "skewjoin",
+        "n_fact": n_fact,
+        "n_keys": n_keys,
+        "hot_key_share": 0.33,
+        "thresholds": tuned,
+    }
+    digests = {}
+    try:
+        for k, v in tuned.items():
+            conf.set(k, v)
+        for mode, enabled in (("skewjoin_off", "false"), ("skewjoin_on", "true")):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            fact = spark.read.parquet(fact_p)
+            keys = spark.read.parquet(keys_p)
+            j = (
+                fact.join(keys, "k")
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("payload") + F.length("attr")).alias("b"),
+                )
+            )
+            before = _stages_snapshot(spark)
+            t0 = time.perf_counter()
+            digests[mode] = j.collect()[0].asDict()
+            wall = round(time.perf_counter() - t0, 2)
+            m = _heaviest_stage_tasks(spark, before) or {}
+            out[mode] = {"wall_s": wall, **m}
+        out["digests_match"] = digests["skewjoin_off"] == digests["skewjoin_on"]
+        out["joined_rows"] = digests["skewjoin_on"]["n"]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                try:
+                    conf.set(k, v)
+                except Exception:
+                    pass  # non-settable on this build — keep going
+    return out
+
+
 def probe_dupflood(spark) -> dict:
     """The hazard SHINGLE_DF_CAP/SIMHASH_BAND_DF_CAP guard against,
     measured for MinHash-LSH: a 5% exact-duplicate flood makes the
@@ -917,7 +1029,7 @@ def probe_users(spark) -> dict:
     return out
 
 
-PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "dupflood": probe_dupflood, "admission": probe_admission, "users": probe_users}
+PROBES = {"events": probe_events, "sketch": probe_sketch, "ann": probe_ann, "iterative": probe_iterative, "dedup": probe_dedup, "skew": probe_skew, "skewjoin": probe_skewjoin, "dupflood": probe_dupflood, "admission": probe_admission, "users": probe_users}
 
 
 def _probe_spark():
@@ -957,6 +1069,7 @@ def main() -> None:
             "dedup": "PROBE_DEDUP_10X.json",  # sub-quadratic growth
             "admission": "PROBE_ADMISSION.json",  # batch-bounded verify
             "users": "PROBE_USERS.json",  # entity-count growth balance
+            "skewjoin": "PROBE_SKEWJOIN.json",  # AQE skew-join measured
         }.get(n)
         if artifact:
             p = os.path.join(
