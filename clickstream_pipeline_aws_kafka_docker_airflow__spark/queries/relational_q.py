@@ -169,19 +169,35 @@ GROUP BY o_orderpriority
 """,
 )
 def q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS -> left-semi join with a compound
-    (equi + inequality) condition; Spark plans a shuffle-hash semi join
-    on the equi key with the inequality as a post-probe filter."""
+    """TPC-H Q4 shape: EXISTS with a compound (equi + inequality)
+    condition, decorrelated through a per-key rollup. ``EXISTS(l WHERE
+    l_orderkey = o AND l_shipdate > o_orderdate)`` is exactly
+    ``MAX(l_shipdate) OVER the order's lineitems > o_orderdate`` (MAX
+    ignores NULL shipdates; an all-NULL group yields NULL and ``NULL >
+    x`` is never true — the same rows the semi join's NULL-never-
+    matches drops). The rollup shrinks lineitem to order cardinality
+    WITH map-side partial aggregation before any join, so the join
+    input is ~4x smaller at every scale. It also removes a measured
+    serialization point: the naive left-semi formulation at sf1 sat
+    just under the 64 MB broadcast threshold and spent its whole wall
+    single-threaded in the driver's 6M-row HashedRelation build — flat
+    from 4 to 32 cores in docs/SCALING_CURVE.json (3.2 s at any core
+    count); the rollup form is 3.4x faster at 32 cores and actually
+    scales."""
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    l = load_table(spark, sf_dir, "lineitem")
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
+    )
     return (
         o.join(
-            l,
+            last_ship,
             (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            & (F.col("max_shipdate") > F.col("o_orderdate")),
             "left_semi",
         )
         .groupBy("o_orderpriority")
