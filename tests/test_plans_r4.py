@@ -62,3 +62,17 @@ def test_bigram_partial_aggregation(spark):
     plan = formatted_plan(_Q["bigram_top"](spark, SF_SMOKE))
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_q4_rolls_lineitem_before_join(spark):
+    """q4's EXISTS must be decorrelated through the per-order
+    MAX(l_shipdate) rollup BEFORE any join (the r8 scaling curve caught
+    the naive semi join broadcasting the whole lineitem projection —
+    a driver-bound single-threaded build, flat from 4 to 32 cores at
+    sf1). The rollup partial-aggregates map-side, so the join input is
+    order-cardinality at every scale."""
+    plan = formatted_plan(_Q["q4_order_priority"](spark, SF_SMOKE))
+    assert "partial_max" in plan, plan
+    # the rollup feeds the join: max aggregate appears, and the join
+    # condition compares the rolled column, not a raw lineitem column
+    assert "max_shipdate" in plan, plan
