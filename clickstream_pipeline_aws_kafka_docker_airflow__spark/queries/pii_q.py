@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.scale import widen
 from ..operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_counts, redact_pii
 from ..registry import register
 
@@ -100,7 +101,12 @@ def pii_scrub(spark, sf_dir):
     counts, chars removed by masking, and the ``clean`` contract (no
     residual match in the redacted text). Pure JVM regex column
     exprs — the scan stays in whole-stage codegen."""
-    docs = _planted(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # widen: six regex passes per row are compute-bound; a one-row-group
+    # layout scans as one task (docs/SCALING_CURVE.json: 5.7 s flat at
+    # any core count, 0.5 s widened) — no-op at production split counts
+    docs = widen(
+        _planted(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
     counts = pii_counts("text")
     red = redact_pii("text")
     residual = pii_counts(red)

@@ -26,7 +26,29 @@ from ..functions.text import (
 )
 from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
+from ..operators.scale import widen
 from ..registry import register
+
+
+def _docs_wide(spark, sf_dir):
+    """documents scan widened to cluster parallelism for the
+    compute-per-row queries: a single-row-group parquet file scans as
+    ONE task no matter the core count (row groups cannot split across
+    tasks — measured end to end in docs/SCALING_CURVE.json), so heavy
+    string work over a narrow layout runs serial without this. widen()
+    round-robins ONLY when the scan is narrower than the cluster — at
+    production split counts it is a no-op, so the shuffle-free scale
+    claims of these plans still hold where they matter.
+
+    Policy (measured at sf0.1 AND sf1, r8): only queries whose per-row
+    compute dominates take the widening exchange — repetition_score
+    (0.64->0.33 s), pii_scrub (0.76->0.41), array_hof_suite
+    (0.49->0.23), lang_id_heuristic, quality_score, token_profile,
+    vocab_encode. Explode->groupBy chains (bigram, tfidf) and light
+    projections (doc_fingerprint, chunk, text_stats) measured WORSE
+    with it — the exchange plus its determinism sort costs more than
+    the single-task scan stage saves — and keep the bare scan."""
+    return widen(load_table(spark, sf_dir, "documents"))
 
 _WS_TOKENS_SQL = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
@@ -98,7 +120,7 @@ FROM documents
 )
 def token_profile(spark, sf_dir):
     """ext_token_count: whitespace + BPE-ish regex token counts per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_calc"),
@@ -135,7 +157,7 @@ FROM (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents)
 def lang_id_heuristic(spark, sf_dir):
     """Language-ID by marker-lexicon hit counts (n-gram heuristic),
     argmax with deterministic tie-break."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     scores = lang_scores("text")
     scored = d.select(
         "doc_id",
@@ -210,7 +232,7 @@ def quality_score(spark, sf_dir):
     """ext quality scoring: length/punctuation/stopword heuristics
     combined into one bounded score, computed in exact integer
     arithmetic (see note above)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     base = d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
@@ -295,7 +317,7 @@ def repetition_score(spark, sf_dir):
     The "" fold seed can never equal a real gram (tokens from
     splitting trimmed non-empty text are non-empty).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     base = d.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).where(F.size("t") >= REP_N)
@@ -413,8 +435,9 @@ def array_hof_suite(spark, sf_dir):
     """Higher-order array-function family over the token arrays —
     filter, transform, slice, fold (aggregate), max reduction, and
     membership — each as pure Catalyst HOF exprs with DuckDB ``list_*``
-    twins. One projection, no explode, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    twins. One projection, no explode, no shuffle (beyond the widening
+    round-robin when the input layout is narrower than the cluster)."""
+    d = _docs_wide(spark, sf_dir)
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     return d.select(
         "doc_id",

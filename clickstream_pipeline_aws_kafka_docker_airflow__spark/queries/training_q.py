@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..operators.scale import widen
 from ..operators.similarity import IVF_NCENTROIDS, ivf_assignments
 from ..functions.vectors import dot, norm
 from ..registry import register
@@ -320,8 +321,10 @@ def vocab_encode(spark, sf_dir):
     position).
     """
     # NULL text has no token sequence (matches the oracle's WHERE)
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
+    d = widen(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        )
     )
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     counts = (

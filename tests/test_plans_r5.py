@@ -50,10 +50,17 @@ def test_ann_serving_keeps_query_state_broadcast(spark):
 def test_repetition_score_is_shuffle_free(spark):
     """A per-document metric must not shuffle the corpus: the max gram
     multiplicity comes from a sorted-array run-length fold inside one
-    projection — scan + project, zero exchanges (the earlier
-    two-groupBy spelling shuffled every gram string twice)."""
+    projection — scan + project (the earlier two-groupBy spelling
+    shuffled every gram string twice). The ONE permitted exchange is
+    widen()'s round-robin repartition of the raw scan (r8: a
+    one-row-group layout scans as a single task at any core count;
+    no-op at production split counts) — never a hash/range shuffle of
+    gram strings."""
     f = plan_facts(_Q["repetition_score"](spark, SF_SMOKE))
-    assert f.exchanges == 0, f.text
+    assert f.exchanges <= 1, f.text
+    if f.exchanges == 1:
+        assert "roundrobin" in f.text.lower(), f.text
+        assert "hashpartitioning" not in f.text.lower(), f.text
     assert f.python_evals == 0
 
 
