@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.scale import widen
 from ..operators.projection import (
     RP_K,
     RP_SEED,
@@ -39,7 +40,10 @@ def rp_project16(spark, sf_dir):
     every coordinate a sequential fold. Pure projection: no shuffle,
     one map stage; the cheap pre-filter tier when PQ is too lossy
     (distance distortion bounds pinned in tests/test_projection.py)."""
-    return rp_project(load_table(spark, sf_dir, "embeddings"))
+    # widen: 16 x 64-dim folds per row are compute-bound; single-row-
+    # group layouts scan as one task (docs/SCALING_CURVE.json) — no-op
+    # at production split counts
+    return rp_project(widen(load_table(spark, sf_dir, "embeddings")))
 
 
 @register(
@@ -70,7 +74,7 @@ def pca_project8(spark, sf_dir):
     asserts both TRUE — a mis-scaled projection, wrong mean, or broken
     eigensolve flips them and fails the hash. Exact numpy parity of
     the loadings is pinned in tests/test_projection.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
     comps, _vals, mean = pca_components(emb)
 
     import numpy as np

@@ -225,6 +225,11 @@ def label_centroid_inertia(spark, sf_dir):
     """
     from ..operators.similarity import MEAN_TRUNC6_SQL
 
+    # widen() measured NEGATIVE here (r8): the load feeds two legs, so
+    # the widening exchange ships the array column twice (1.29 s vs
+    # 0.88 s bare at sf0.1); widening only the d2 leg was mediocre at
+    # both scales (1.00/2.21 vs bare 0.88/2.40). The bare scan stays —
+    # at production split counts the layout provides the parallelism.
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
