@@ -59,6 +59,18 @@ def main() -> None:
     spark = get_spark(app_name="bench_compare")
     qs, osql = registry.queries(), registry.oracle_sql()
     names = sorted(set(qs) & set(osql))
+    # SPARK_GRAFT_COMPARE_SKIP: comma list of queries to EXCLUDE (and
+    # disclose in the output). Exists for oracles whose DuckDB plan is
+    # pathological at a given scale — e.g. embed_neardup_cosine at sf1
+    # hash-joins the label-blocked pair space and spills tens of GB of
+    # temp storage to disk (the Spark side runs it fine; bench.py
+    # times it). A typo'd name exits loudly, mirroring BENCH_ONLY.
+    skip = {n for n in os.environ.get("SPARK_GRAFT_COMPARE_SKIP", "").split(",") if n}
+    unknown = sorted(skip - set(names))
+    if unknown:
+        print(f"SPARK_GRAFT_COMPARE_SKIP: unknown queries {unknown}", file=sys.stderr)
+        sys.exit(2)
+    names = [n for n in names if n not in skip]
 
     con = duckdb.connect(":memory:")
     # Both engines share this process. Unbounded, DuckDB's buffer
@@ -181,6 +193,8 @@ def main() -> None:
     }
     if cold_errors:
         out["cold_errors"] = cold_errors
+    if skip:
+        out["skipped"] = sorted(skip)
     print(json.dumps(out))
 
 
