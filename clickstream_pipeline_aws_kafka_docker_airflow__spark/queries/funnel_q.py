@@ -53,8 +53,21 @@ def funnel_conversion(spark, sf_dir):
     Scale: every aggregate and join keys on ``user_id``, so Catalyst
     reuses one hash partitioning across the whole chain — the per-step
     min-timestamp frames are already co-partitioned with the events
-    they filter. No broadcast: at 100 TB the per-step user sets are
-    themselves fact-sized.
+    they filter, and each step's type filter pushes down to its scan.
+    All three counts come from ONE final aggregate over the chained
+    per-user frame (p ⊆ c ⊆ v), unpivoted to rows with ``explode`` —
+    the per-step count-row + union formulation launched three extra
+    single-row aggregation stages for the same answer. (Measured
+    negative results, interleaved min-of-5 at sf0.1 AND sf1: a shared
+    ``repartition("user_id")`` base — Catalyst pushes the type filters
+    through it, splitting it into three exchanges — and a lazy
+    localCheckpoint pin of that base — under AQE the LogicalRDD loses
+    its partitioning metadata, so every consumer re-exchanges — are
+    both within noise of this form while costing plan complexity.)
+    No window over the raw events: a hot user's events stream through
+    joins and partial aggs instead of buffering in a WindowExec frame.
+    No broadcast: at 100 TB the per-step user sets are themselves
+    fact-sized.
     """
     e = load_table(spark, sf_dir, "events")
     et = norm_event_type("event_type")
@@ -74,19 +87,44 @@ def funnel_conversion(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-
-    def _row(df, step, name):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(step).cast("bigint").alias("step"),
-            F.lit(name).alias("step_name"),
-            "n_users",
+    # p ⊆ c ⊆ v by construction, so the chained left joins build one
+    # per-user row whose t2/t3 are NULL where the user fell out of the
+    # funnel — one exchange-free pass counts every step at once.
+    # Step 1 must count ROWS of v, not non-null t1: a user whose view
+    # events all carry NULL ts still forms a group (t1 = MIN(ts) =
+    # NULL) and the oracle's COUNT(*) counts it (fuzz-caught). t2/t3
+    # are never NULL inside their frames — they are minima over rows
+    # that survived a ``ts > prev`` comparison — so counting them
+    # counts exactly the c/p memberships.
+    counts = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
         )
-
-    return (
-        _row(v, 1, "view")
-        .unionAll(_row(c, 2, "view_click"))
-        .unionAll(_row(p, 3, "view_click_purchase"))
     )
+    step = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).cast("bigint").alias("step"),
+                F.lit("view").alias("step_name"),
+                F.col("n1").alias("n_users"),
+            ),
+            F.struct(
+                F.lit(2).cast("bigint").alias("step"),
+                F.lit("view_click").alias("step_name"),
+                F.col("n2").alias("n_users"),
+            ),
+            F.struct(
+                F.lit(3).cast("bigint").alias("step"),
+                F.lit("view_click_purchase").alias("step_name"),
+                F.col("n3").alias("n_users"),
+            ),
+        )
+    )
+    return counts.select(step.alias("_s")).select("_s.*")
 
 
 @register(
