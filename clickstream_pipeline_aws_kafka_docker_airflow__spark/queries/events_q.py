@@ -178,21 +178,47 @@ FROM (SELECT user_id FROM p UNION SELECT user_id FROM v)
 )
 def setops_users(spark, sf_dir):
     """Set operations (ext_relational): INTERSECT / EXCEPT / UNION
-    DISTINCT over per-behavior user cohorts."""
+    DISTINCT over per-behavior user cohorts.
+
+    Evaluated as ONE pass: a per-user flag rollup (``has_purchase`` /
+    ``has_view`` via MAX over booleans — map-side partials, one corpus
+    shuffle) followed by a single conditional-count aggregate. This is
+    semantically exact for all three set ops including NULLs: grouping
+    keys use the same null-safe equality INTERSECT/EXCEPT/UNION
+    DISTINCT use, so a NULL user_id forms one group exactly as it forms
+    one set element on both engines. The literal set-op formulation
+    (two distincts + intersect/subtract/union + three count rows)
+    shuffles the cohorts five more times for the same answer."""
     e = load_table(spark, sf_dir, "events")
-    p = e.where(norm_event_type("event_type") == "purchase").select("user_id").distinct()
-    v = e.where(norm_event_type("event_type") == "view").select("user_id").distinct()
-
-    def _count(df, tag):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(tag).alias("cohort"), "n_users"
-        )
-
-    return (
-        _count(p.intersect(v), "purchase_and_view")
-        .unionAll(_count(p.subtract(v), "purchase_not_view"))
-        .unionAll(_count(p.union(v).distinct(), "purchase_or_view"))
+    et = norm_event_type("event_type")
+    flags = (
+        e.where(et.isin("purchase", "view"))
+        .select("user_id", (et == "purchase").alias("_p"))
+        .groupBy("user_id")
+        .agg(F.max("_p").alias("hp"), F.max(~F.col("_p")).alias("hv"))
     )
+    counts = flags.agg(
+        F.count(F.when(F.col("hp") & F.col("hv"), 1)).alias("n_and"),
+        F.count(F.when(F.col("hp") & ~F.col("hv"), 1)).alias("n_not"),
+        F.count(F.lit(1)).alias("n_or"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("purchase_and_view").alias("cohort"),
+                F.col("n_and").alias("n_users"),
+            ),
+            F.struct(
+                F.lit("purchase_not_view").alias("cohort"),
+                F.col("n_not").alias("n_users"),
+            ),
+            F.struct(
+                F.lit("purchase_or_view").alias("cohort"),
+                F.col("n_or").alias("n_users"),
+            ),
+        )
+    )
+    return counts.select(row.alias("_r")).select("_r.*")
 
 
 from ..operators.anomaly import ANOM_WINDOW_H, ANOM_Z, trailing_z_flags  # noqa: E402
