@@ -241,15 +241,22 @@ def dataset_card(spark, sf_dir):
     Scale: two rollups shuffled on ``source`` (the doc-level aggregate
     and the language mode) joined on the tiny per-source result; PII
     detection is JVM regex in the same scan as the token counts.
-    Integer permille — no float division under the hash."""
+    Integer permille — no float division under the hash. The PII/token
+    branch takes the ``widen()`` exchange (same three-regex-pass cost
+    model as pii_scrub; measured min-of-4 interleaved: sf1 2.12 →
+    1.12 s, sf0.1 0.87 → 1.03 s — the tiny-scale exchange cost is the
+    recorded trade for the 2× at 10×, and at production split counts
+    widen is a no-op); the language-mode branch stays a bare scan —
+    it is a light groupBy that never touches ``text``."""
     from pyspark.sql import Window
 
     from ..functions.text import ws_token_count
     from ..operators.pii import pii_counts
+    from ..operators.scale import widen
     from .pii_q import _planted
 
     d = load_table(spark, sf_dir, "documents")
-    salted = _planted(d.withColumnRenamed("text", "otext").withColumn(
+    salted = _planted(widen(d).withColumnRenamed("text", "otext").withColumn(
         "text", F.col("otext")
     ))
     counts = pii_counts("text")

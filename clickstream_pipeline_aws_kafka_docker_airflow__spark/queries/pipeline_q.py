@@ -301,17 +301,24 @@ def mixture_resample(spark, sf_dir):
         ).alias("h"),
         F.expr(_mix_case_sql()).alias("wt"),
     ).where(F.col("wt") > 0)
-    counts = base.groupBy("lang", "wt").agg(F.count(F.lit(1)).alias("n"))
-    tmax = counts.select(F.min(F.expr("n * 1000 div wt")).alias("t"))
-    caps = (
-        counts.crossJoin(F.broadcast(tmax))
-        .select("lang", F.expr("wt * t div 1000").alias("keep_n"))
-    )
+    # ONE corpus exchange serves everything: the hash-rank window needs
+    # lang clustering anyway, and since wt is functional on lang the
+    # per-(lang, wt) count is just COUNT(*) OVER (PARTITION BY lang) on
+    # the same exchange. The binding total t = MIN(n*1000 div wt) over
+    # rows equals the min over distinct languages (min is duplicate-
+    # blind), so the old separate counts scan + groupBy + caps join
+    # collapse into a window column, one tiny global agg, and an inline
+    # cap comparison. Empty corpus: t is NULL, NULL cap filters all
+    # rows — same empty result as the oracle's join against no caps.
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    return (
+    win = (
         base.withColumn("mix_rank", F.row_number().over(w).cast("bigint"))
-        .join(F.broadcast(caps), "lang")
-        .where(F.col("mix_rank") <= F.col("keep_n"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    tmax = win.groupBy().agg(F.min(F.expr("n * 1000 div wt")).alias("t"))
+    return (
+        win.crossJoin(F.broadcast(tmax))
+        .where(F.col("mix_rank") <= F.expr("wt * t div 1000"))
         .select("doc_id", "lang", "mix_rank")
     )
 
