@@ -40,6 +40,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _LOCAL_MASK = (1 << 33) - 1
 
+# One-slot ring of the previously persisted ranged frame: a shared
+# long-lived session (the driver runs every query twice per round)
+# would otherwise accumulate one pinned InMemoryRelation per call.
+# Unpersisting an OLD frame is safe even if its plan re-executes —
+# the InMemoryRelation stays in that plan and re-caches through the
+# SAME RDD identity, so both branches still read one materialization;
+# only the eagerly-held memory is released.
+_last_persisted: list[DataFrame] = []
+
+
+def _persist_ring(df: DataFrame) -> DataFrame:
+    while _last_persisted:
+        try:
+            _last_persisted.pop().unpersist()
+        except Exception:
+            pass  # session died / already unpersisted — release anyway
+    _last_persisted.append(df.persist())
+    return df
+
 
 def _ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """Bucket id for 1-based ``rank`` of ``n`` rows, NTILE(tiles)
@@ -128,8 +147,8 @@ def exact_ntile(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
-        .persist()
     )
+    local = _persist_ring(local)
     rank = _offset_for(F.col("_pid")) + F.col("_lrn") + 1
     return (
         local.crossJoin(F.broadcast(_counts_row(local)))
@@ -190,8 +209,8 @@ def exact_ntile_multi(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
-        .persist()
     )
+    local = _persist_ring(local)
     grank = _offset_for(F.col("_pid")) + F.col("_lrn") + 1
     n_rows = _total() / F.lit(len(dims))  # exact: every row emits len(dims) pairs
     bucketed = (
