@@ -172,7 +172,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         s.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
 
@@ -216,8 +216,8 @@ def q7_nation_volume(spark, sf_dir):
     ) | ((F.col("cust_nation") == "NATION_9") & (F.col("supp_nation") == "NATION_6"))
     return (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
         .join(broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
         .where(pair)

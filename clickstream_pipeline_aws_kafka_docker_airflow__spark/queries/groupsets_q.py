@@ -75,7 +75,7 @@ def q8_market_share(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     rev = (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.year("o_orderdate").cast("bigint").alias("o_year"),

@@ -3,10 +3,17 @@ multi-way joins, semi/anti joins, ranking, TPC-H-style aggregations.
 
 Not present in the reference (SURVEY.md §2.3: its entire surface is
 scan->parse->project->filter->groupBy->sink); these exercise Catalyst's
-join selection. Scale notes per query; the common rule: dimension sides
-(region/nation/customer/supplier/part) are explicitly ``broadcast()`` so
-the fact table (lineitem/orders) never shuffles for a dim join, and
-fact-fact joins (orders⋈lineitem) shuffle-hash on the order key.
+join selection. Scale notes per query; the common rule: only BOUNDED
+tables (region/nation — fixed 5/25 rows at every scale factor — and
+single-row stat frames) carry an explicit ``broadcast()`` hint.
+Customer/supplier/part GROW with the corpus, so their joins stay
+ESTIMATE-DRIVEN: the planner (and AQE, with the true runtime size)
+broadcasts them while they fit under autoBroadcastJoinThreshold and
+flips to a shuffle join when they outgrow it — a forced hint would
+override that only safety valve (measured: a forced 10x-customer
+broadcast OOMs a memory-constrained executor where the estimate-driven
+plan completes; docs/PROBE_MEMORY.json). Fact-fact joins
+(orders⋈lineitem) shuffle-hash on the order key.
 """
 
 from __future__ import annotations
@@ -96,7 +103,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             dec_sum_round2(
@@ -138,9 +145,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     return (
         t["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -268,7 +275,7 @@ def q17_small_quantity(spark, sf_dir):
         F.sum(q100).alias("sum100"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(stats, F.col("s_partkey") == F.col("l_partkey"))
         .where(5 * q100 * F.col("cnt") < F.col("sum100"))
         .agg(

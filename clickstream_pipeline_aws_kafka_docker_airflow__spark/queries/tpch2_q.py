@@ -97,8 +97,8 @@ def q9_product_profit(spark, sf_dir):
     p = t["part"].where(F.col("p_name").like("%red%"))
     return (
         t["lineitem"]
-        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
@@ -150,7 +150,7 @@ def q10_returned_items(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(
@@ -201,7 +201,7 @@ def q14_promo_revenue(spark, sf_dir):
     promo_dec = F.sum(promo.cast("decimal(24,8)"))
     total_dec = F.sum(rev.cast("decimal(24,8)"))
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(promo_dec, 2).cast("double").alias("promo_revenue"),
             F.round(total_dec, 2).cast("double").alias("total_revenue"),
@@ -248,7 +248,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & q.between(q0, q1)
     )
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .where(
             branch("Brand#1", 1, 15, 1, 20)
             | branch("Brand#13", 5, 25, 10, 30)

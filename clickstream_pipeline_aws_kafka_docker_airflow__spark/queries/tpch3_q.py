@@ -57,7 +57,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(broadcast(mx))
         .where(F.col("rd") == F.col("mx"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "supplier_no",
             "s_name",
@@ -105,9 +105,9 @@ def q16_supplier_variety(spark, sf_dir):
     )
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -196,7 +196,7 @@ def q21_waiting_supplier(spark, sf_dir):
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        sole_late.join(broadcast(s), F.col("s_suppkey") == F.col("late_supp"))
+        sole_late.join(s, F.col("s_suppkey") == F.col("late_supp"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )

@@ -92,17 +92,20 @@ def q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
     )
     l = load_table(spark, sf_dir, "lineitem")
-    # the pre-rollup filters broadcast the SAME full p/esupp plans the
-    # final stitch joins use, so each broadcast exchange builds once
-    # and is reused (a projected .select twin would be a second build)
+    # the pre-rollup semi-filters use the SAME full p/esupp plans the
+    # final stitch joins use, so the exchange builds once and is reused
+    # (a projected .select twin would be a second build). No forced
+    # broadcast: both slices grow with the corpus, so the build side
+    # stays estimate-driven (AQE broadcasts them at this scale and
+    # flips to shuffle joins when they outgrow the threshold)
     cost = (
         l.join(
-            broadcast(p),
+            p,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
         .join(
-            broadcast(esupp),
+            esupp,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -117,8 +120,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     return (
         cost.withColumn("best_cost", best)
         .where(F.col("cost") == F.col("best_cost"))
-        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(esupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(esupp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
     )
 
@@ -165,7 +168,7 @@ def q11_important_value(spark, sf_dir):
     )
     l = load_table(spark, sf_dir, "lineitem")
     v = (
-        l.join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.expr(_NET_DEC)).alias("value_dec"))
     )
@@ -345,7 +348,7 @@ def q20_volume_share_suppliers(spark, sf_dir):
         )
     )
     q = (
-        l.join(broadcast(sel), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(sel, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.expr(_QTY_DEC)).alias("sup_qty"))
     )
@@ -360,7 +363,7 @@ def q20_volume_share_suppliers(spark, sf_dir):
             F.col("sup_qty") * Q20_SHARE_DENOM
             > F.col("part_qty") * Q20_SHARE_NUM
         )
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
         .distinct()

@@ -45,7 +45,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
+# every SF-GROWING table: the big five facts plus the TPC-H "dims"
+# that scale with the corpus (customer/supplier/part) — the r8 memory
+# probe showed a forced broadcast of a grown "dim" is the same hazard
+# class as a fact broadcast, so the inventory tracks them identically.
+# Only nation/region (fixed 25/5 rows) are exempt.
+FACTS = (
+    "lineitem", "orders", "events", "documents", "embeddings",
+    "customer", "supplier", "part",
+)
 
 # Operators that do NOT reduce cardinality: if the broadcast subtree
 # contains only these above the scan, the broadcast side is data-sized.

@@ -25,7 +25,12 @@ CEILINGS = {
     "q1_pricing_summary": 2,
     "q8_market_share": 6,
     "q21_waiting_supplier": 8,
-    "q2_min_cost_supplier": 10,
+    # 12 (was 10) since the forced-broadcast sweep: q2's p/esupp build
+    # sides are estimate-driven now, so AQE materializes them as two
+    # extra runtime-broadcast stages at tiny scale (wall measured
+    # BETTER, 0.78 -> 0.69 s) instead of the static hint that would
+    # force a corpus-grown broadcast at 100 TB (docs/PROBE_MEMORY.json)
+    "q2_min_cost_supplier": 12,
     "snapshot_diff": 3,
     "session_trigrams": 3,
     "mad_outliers": 6,
