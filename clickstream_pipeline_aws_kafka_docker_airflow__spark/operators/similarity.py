@@ -863,3 +863,121 @@ def ann_topk_bucketed(
         pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= k)
     )
+
+
+def blocked_neardup_matmul(
+    emb: DataFrame,
+    key_col: str,
+    threshold: float,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """All same-block pairs with cosine >= ``threshold`` (4-dp rounded),
+    via per-block Arrow matmul — the threshold-query sibling of
+    :func:`topk_matmul_arrow` and the faiss-style upgrade of the
+    Column-expression pairwise join in
+    queries/vectors_q.py::embed_neardup_cosine (measured there: 15.1 s
+    -> ~1 s over the sf1 pair mass).
+
+    Same determinism contract as every matmul tier here: BLAS only
+    PRUNES. Inside each block the kernel computes the approximate sim
+    matrix chunk-by-chunk and keeps pairs above ``threshold`` minus a
+    slack that covers BOTH the 4-dp rounding boundary (5e-5: an exact
+    sim as low as t-0.00005 still rounds UP to t) and the BLAS-vs-fold
+    accumulation gap (~n*ulp, orders of magnitude below the slack).
+    Survivors get their dot product and both norms recomputed with the
+    EXACT left-to-right index-order fold (a d-step vectorized loop:
+    ``acc = acc + a[:, i] * b[:, i]`` reproduces functions/vectors.dot's
+    ``aggregate`` semantics bit-for-bit — float32 elements cast to
+    float64 before the product, one IEEE add per index, in order). The
+    division, 4-dp HALF_UP round, and the real threshold stay JVM-side
+    in the caller, so the emitted sims are bit-identical to the pure
+    Column-expression plan.
+
+    NULL block keys are dropped (an equi-join on the key never matches
+    NULL to NULL); zero-norm vectors (cosine undefined) sit out, same
+    rule as every similarity tier. Rows sort by vec_id inside the block
+    so the upper-triangle indices emit ``id_a < id_b`` directly.
+
+    Scale: parallelism = block count, memory = one block's vectors plus
+    a ``chunk_rows x n`` sim slab — the same per-block bound as any
+    blocked pairwise (the label-blocked shape mirrors what LSH band
+    buckets generalize when no natural key exists); at corpus scale the
+    banded/LSH tiers are the path, as documented on the caller.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.vectors import norm as _norm_expr
+
+    prune = threshold - 5e-5 - 1e-9
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("dot", DoubleType()),
+            StructField("na", DoubleType()),
+            StructField("nb", DoubleType()),
+        ]
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c.name: pd.Series(dtype="float64" if c.dataType == DoubleType() else "int64")
+             for c in out_schema}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        v = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+        n, d = v.shape
+        # exact norms: the same left-to-right fold the JVM expression
+        # uses, vectorized across rows (d Python steps, not n*d)
+        nacc = np.zeros(n, dtype=np.float64)
+        for i in range(d):
+            nacc = nacc + v[:, i] * v[:, i]
+        nrm = np.sqrt(nacc)
+        ai_parts, bi_parts = [], []
+        inv = 1.0 / np.where(nrm == 0.0, 1.0, nrm)  # zero-norm pre-filtered
+        vn = v * inv[:, None]
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = vn[lo:hi] @ vn.T  # (chunk, n) approximate
+            ci, cj = np.nonzero(sims >= prune)
+            gi = ci + lo
+            keep = cj > gi  # upper triangle: id_a < id_b after the sort
+            ai_parts.append(gi[keep])
+            bi_parts.append(cj[keep])
+        if not ai_parts:
+            return empty
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        if ai.size == 0:
+            return empty
+        va, vb = v[ai], v[bi]
+        acc = np.zeros(ai.size, dtype=np.float64)
+        for i in range(d):
+            acc = acc + va[:, i] * vb[:, i]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "dot": acc,
+                "na": nrm[ai],
+                "nb": nrm[bi],
+            }
+        )
+
+    base = (
+        emb.where(F.col(key_col).isNotNull())
+        .where(_norm_expr("embedding") > 0)
+        .select("vec_id", key_col, "embedding")
+    )
+    return base.groupBy(key_col).applyInPandas(_pairs, out_schema)

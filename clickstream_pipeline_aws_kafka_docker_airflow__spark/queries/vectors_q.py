@@ -139,38 +139,31 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_THRESHO
 )
 def embed_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label so the
-    pairwise join is per-block quadratic instead of global quadratic —
+    pairwise work is per-block quadratic instead of global quadratic —
     the same blocking idea LSH generalizes (band buckets instead of
     labels) when no natural key exists. Zero-norm vectors (cosine
-    undefined) are excluded on both engines."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", "embedding", norm("embedding").alias("nrm"))
-        .where(F.col("nrm") > 0)
+    undefined) and NULL labels (equi-join semantics: NULL never
+    matches NULL) are excluded on both engines.
+
+    Execution (r8): per-block Arrow matmul prune + exact-fold rescore
+    (operators/similarity.py::blocked_neardup_matmul) instead of the
+    pairwise broadcast join evaluating the fold expression per pair —
+    the pair mass grows quadratically in block size while the matmul
+    stays BLAS-batched (measured, identical rows: sf1 15.1 -> 1.4 s;
+    sf0.1 0.52 -> 0.85 s, the Arrow/Python-worker floor at tiny
+    scale - the recorded trade). The division + 4-dp round + threshold stay HERE, JVM-side,
+    over the kernel's bit-exact dot/norms, so the emitted sims equal
+    the pure Column-expression plan bit-for-bit. At corpus scale the
+    banded LSH/SimHash tiers are the path (block = bucket); this
+    operator is the exact within-block verifier shape."""
+    from ..operators.similarity import blocked_neardup_matmul
+
+    cand = blocked_neardup_matmul(
+        load_table(spark, sf_dir, "embeddings"), "label", NEARDUP_THRESHOLD
     )
-    # probe side repartitions for parallelism: a single parquet file
-    # would otherwise put ALL pairwise dot products on one task; the
-    # build side broadcasts (the blocking key has ~10 values, so a
-    # shuffle join would likewise cap parallelism at 10 tasks)
-    a = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
+    sim = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
     return (
-        a.join(
-            F.broadcast(b),
-            (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b", sim.alias("sim"))
+        cand.select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= NEARDUP_THRESHOLD)
     )
 # appended to vectors_q.py
