@@ -72,6 +72,32 @@ def main() -> None:
         sys.exit(2)
     names = [n for n in names if n not in skip]
 
+    # SPARK_GRAFT_DUCKDB_WALLS=<json>: source the DuckDB side from a
+    # scripts/duckdb_walls.py artifact (one subprocess per oracle,
+    # min-of-N, memory + temp caps) instead of the shared in-process
+    # connection. Motivation (r8): the shared-process method showed
+    # 2-5x run-to-run swings on the heaviest oracle (ann_topk_ivfpq_res
+    # 17 -> 51 s same box, ~10 s isolated) — system-level memory churn
+    # from neighboring oracles, not connection state (measured: a fresh
+    # connection mid-run is equally slow, a quiet process is not).
+    # Isolation favors DuckDB (each oracle gets a quiet allocator) and
+    # matches the committed sf1 methodology, so the ratio is
+    # conservative and reproducible; the artifact self-describes via
+    # "duckdb_method".
+    walls_path = os.environ.get("SPARK_GRAFT_DUCKDB_WALLS")
+    iso_walls: dict[str, float] | None = None
+    iso_protocol = None
+    if walls_path:
+        with open(walls_path) as f:
+            wj = json.load(f)
+        iso_walls = wj["walls"]
+        iso_protocol = wj.get("protocol")
+        missing = sorted(set(names) - set(iso_walls) - set(wj.get("errors", {})))
+        if missing:
+            print(f"DUCKDB_WALLS missing queries: {missing}", file=sys.stderr)
+            sys.exit(2)
+        names = [n for n in names if n in iso_walls]
+
     con = duckdb.connect(":memory:")
     # Both engines share this process. Unbounded, DuckDB's buffer
     # manager (default limit: 80% of RAM) balloons over a 127-query
@@ -161,10 +187,14 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             s_best[name] = min(s_best[name], time.perf_counter() - t0)
+        if iso_walls is not None:
+            continue
         for name in names:
             t0 = time.perf_counter()
             con.execute(osql[name]).fetchall()
             d_best[name] = min(d_best[name], time.perf_counter() - t0)
+    if iso_walls is not None:
+        d_best = {n: iso_walls[n] for n in names}
     rows = {}
     for name in names:
         row = {
@@ -191,6 +221,10 @@ def main() -> None:
         "ratio": round(s_total / d_total, 3),
         "queries": rows,
     }
+    if iso_walls is not None:
+        out["duckdb_method"] = (
+            f"isolated subprocess walls from {walls_path} — {iso_protocol}"
+        )
     if cold_errors:
         out["cold_errors"] = cold_errors
     if skip:

@@ -38,7 +38,10 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-N_RUNS = 2
+# min-of-N per oracle; raise via DUCKDB_WALLS_RUNS when a deep plan is
+# scheduler-noisy (measured at sf0.1: ann_topk_ivfpq_res draws 8-48 s
+# across fresh processes on an otherwise-quiet 32-thread box)
+N_RUNS = int(os.environ.get("DUCKDB_WALLS_RUNS", "2"))
 TIMEOUT_S = 120
 TEMP_CAP = os.environ.get("DUCKDB_WALLS_TEMP_CAP", "24GB")
 
