@@ -225,6 +225,11 @@ def main() -> None:
         out["duckdb_method"] = (
             f"isolated subprocess walls from {walls_path} — {iso_protocol}"
         )
+        if wj.get("errors"):
+            # queries the walls run could not measure are EXCLUDED from
+            # the totals above — disclose them so the headline ratio is
+            # never read as full-surface coverage
+            out["duckdb_errors"] = wj["errors"]
     if cold_errors:
         out["cold_errors"] = cold_errors
     if skip:

@@ -40,26 +40,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _LOCAL_MASK = (1 << 33) - 1
 
-# One-slot ring of the previously persisted ranged frame: a shared
-# long-lived session (the driver runs every query twice per round)
-# would otherwise accumulate one pinned InMemoryRelation per call.
-# Unpersisting an OLD frame is safe even if its plan re-executes —
-# the InMemoryRelation stays in that plan and re-caches through the
-# SAME RDD identity, so both branches still read one materialization;
-# only the eagerly-held memory is released.
-_last_persisted: list[DataFrame] = []
-
-
-def _persist_ring(df: DataFrame) -> DataFrame:
-    while _last_persisted:
-        try:
-            _last_persisted.pop().unpersist()
-        except Exception:
-            pass  # session died / already unpersisted — release anyway
-    _last_persisted.append(df.persist())
-    return df
-
-
 def _ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """Bucket id for 1-based ``rank`` of ``n`` rows, NTILE(tiles)
     semantics: first ``n % tiles`` buckets get ``n div tiles + 1``
@@ -147,8 +127,16 @@ def exact_ntile(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+        # persist() intentionally has NO paired unpersist: cache
+        # substitution happens at EXECUTION time, so releasing an
+        # earlier frame before its consuming plan has run would let the
+        # ranks and counts branches recompute (and re-sample range
+        # boundaries) independently — the exact misalignment this pin
+        # exists to prevent. The footprint is one user-level frame per
+        # call, evicted under pressure; a long-lived server that knows
+        # a result is fully consumed may unpersist it explicitly.
+        .persist()
     )
-    local = _persist_ring(local)
     rank = _offset_for(F.col("_pid")) + F.col("_lrn") + 1
     return (
         local.crossJoin(F.broadcast(_counts_row(local)))
@@ -209,8 +197,16 @@ def exact_ntile_multi(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+        # persist() intentionally has NO paired unpersist: cache
+        # substitution happens at EXECUTION time, so releasing an
+        # earlier frame before its consuming plan has run would let the
+        # ranks and counts branches recompute (and re-sample range
+        # boundaries) independently — the exact misalignment this pin
+        # exists to prevent. The footprint is one user-level frame per
+        # call, evicted under pressure; a long-lived server that knows
+        # a result is fully consumed may unpersist it explicitly.
+        .persist()
     )
-    local = _persist_ring(local)
     grank = _offset_for(F.col("_pid")) + F.col("_lrn") + 1
     n_rows = _total() / F.lit(len(dims))  # exact: every row emits len(dims) pairs
     bucketed = (

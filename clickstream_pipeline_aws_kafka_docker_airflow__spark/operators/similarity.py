@@ -955,8 +955,6 @@ def blocked_neardup_matmul(
             keep = cj > gi  # upper triangle: id_a < id_b after the sort
             ai_parts.append(gi[keep])
             bi_parts.append(cj[keep])
-        if not ai_parts:
-            return empty
         ai = np.concatenate(ai_parts)
         bi = np.concatenate(bi_parts)
         if ai.size == 0:

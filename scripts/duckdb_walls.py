@@ -34,10 +34,9 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# single source of truth for the view set: bench_compare.TABLES —
+# the two harnesses must never drift while claiming "same views"
+from bench_compare import TABLES  # noqa: E402
 # min-of-N per oracle; raise via DUCKDB_WALLS_RUNS when a deep plan is
 # scheduler-noisy (measured at sf0.1: ann_topk_ivfpq_res draws 8-48 s
 # across fresh processes on an otherwise-quiet 32-thread box)
@@ -78,7 +77,14 @@ def main() -> None:
     osql = registry.oracle_sql()
     only = {n for n in os.environ.get("DUCKDB_WALLS_ONLY", "").split(",") if n}
     if only:
-        osql = {n: osql[n] for n in only if n in osql}
+        unknown = sorted(only - set(osql))
+        if unknown:
+            # a typo'd name exits loudly (house rule: BENCH_ONLY,
+            # AUDIT_ONLY, COMPARE_SKIP all do) instead of silently
+            # producing an empty walls artifact
+            print(f"DUCKDB_WALLS_ONLY: unknown queries {unknown}", file=sys.stderr)
+            sys.exit(2)
+        osql = {n: osql[n] for n in only}
     timeout_s = int(os.environ.get("DUCKDB_WALLS_TIMEOUT", TIMEOUT_S))
     child_src = _CHILD.replace("%TABLES%", repr(TABLES)).replace(
         "%N_RUNS%", str(N_RUNS)
@@ -87,10 +93,16 @@ def main() -> None:
     errors: dict[str, str] = {}
     with tempfile.TemporaryDirectory(prefix="duckdb_walls_") as tmp:
         for name in sorted(osql):
+            # per-query temp subdir, wiped after the child exits: a
+            # timeout-KILLED child skips DuckDB's own temp cleanup, and
+            # spill files surviving into later children would stack
+            # toward the disk-fill this harness exists to prevent
+            qtmp = os.path.join(tmp, name)
+            os.makedirs(qtmp, exist_ok=True)
             proc = None
             try:
                 proc = subprocess.run(
-                    [sys.executable, "-c", child_src, sf_dir, osql[name], tmp, TEMP_CAP],
+                    [sys.executable, "-c", child_src, sf_dir, osql[name], qtmp, TEMP_CAP],
                     capture_output=True,
                     text=True,
                     timeout=timeout_s,
@@ -98,8 +110,13 @@ def main() -> None:
             except subprocess.TimeoutExpired:
                 errors[name] = f"timeout>{timeout_s}s"
                 continue
+            finally:
+                import shutil as _shutil
+
+                _shutil.rmtree(qtmp, ignore_errors=True)
             if proc.returncode != 0:
-                errors[name] = proc.stderr.strip().splitlines()[-1][:200] if proc.stderr else "failed"
+                tail = proc.stderr.strip().splitlines() if proc.stderr else []
+                errors[name] = tail[-1][:200] if tail else f"exit {proc.returncode}"
                 continue
             # the marker may be mid-line if anything else printed first
             marker = proc.stdout.rfind('{"wall"')

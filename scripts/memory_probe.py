@@ -28,9 +28,9 @@ failure. Everything else is deterministic (the queries are the
 registered oracled surface).
 
 Usage:
-    python scripts/make_sf1.py /tmp/sf1          # once
-    python scripts/memory_probe.py               # parent: both tiers
-    python scripts/memory_probe.py --child 1g    # (internal)
+    python scripts/make_sf1.py /tmp/sf1            # once
+    python scripts/memory_probe.py                 # parent: all tiers
+    python scripts/memory_probe.py --child 1g [8m] # (internal)
 """
 
 from __future__ import annotations
@@ -173,9 +173,16 @@ def main() -> None:
         args = [sys.executable, os.path.abspath(__file__), "--child", mem]
         if thr is not None:
             args.append(thr)
-        p = subprocess.run(
-            args, capture_output=True, text=True, env=env, timeout=3600,
-        )
+        try:
+            p = subprocess.run(
+                args, capture_output=True, text=True, env=env, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a thrashing tier must not void the tiers already measured
+            # — record it and keep writing the artifact
+            tiers[tag] = {"tier_timeout_s": 3600}
+            print(json.dumps({tag: tiers[tag]}), flush=True)
+            continue
         line = next(
             (l for l in p.stdout.splitlines() if l.startswith("CHILD_JSON:")),
             None,
