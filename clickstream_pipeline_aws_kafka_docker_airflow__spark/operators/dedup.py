@@ -346,10 +346,18 @@ def incremental_admission(
 
     sh_new = shingles.join(new_ids.select("doc_id"), "doc_id", "left_semi")
     bands_new = band_table(minhash_signatures(sh_new, k), k, band_size)
-    # referenced twice below (verify join, jac left join) — within the
-    # one action that is a ReusedExchange, not a recompute, so no
-    # checkpoint (measured: a localCheckpoint here splits the plan into
-    # extra jobs and forfeits the reuse)
+    # ``cand`` is referenced twice below (verify join, jac left join)
+    # and, measured at HEAD, exchange REUSE does NOT fire — the
+    # executed plan carries two copies of the signing chain
+    # (ReusedExchange: 0, 12 scans). Still no checkpoint, because the
+    # recompute WINS anyway: the duplicated branches overlap in the
+    # same stages, while pinning cand (or sh_new too) with a lazy
+    # localCheckpoint adds job boundaries and measured slower at both
+    # scales — sf0.1 1.38 s / 13 jobs vs 1.49 s / 17 jobs pinned, sf1
+    # 4.38 s vs 4.82-4.90 s pinned (interleaved min-of-3/4, identical
+    # rows). Determinism is not at stake here (unlike rankstats'
+    # boundary-sampling pin): both evaluations of cand are pure
+    # functions of the same inputs.
     cand = (
         bands_new.select(F.col("doc_id").alias("id_new"), "band", "bkey")
         .join(

@@ -11,12 +11,12 @@ SF": a plan that only works because the whole partition fits in RAM
 fails this probe loudly.
 
 Protocol: ``spark.driver.memory`` is builder-time static, so the
-parent spawns ONE SUBPROCESS PER HEAP TIER (same pattern as
-scaling_curve.py): local[{CPUS}] at 8g (baseline) then 1g — an 8x cut
-in memory per core, chosen to model a dense production executor (a
-real cluster runs ~1-2 GB/core; local[32]@8g is ~0.25 GB/core already,
-so the 1g tier is ~32 MB/core — far past production density). Fixed
-core count so ONLY memory varies. Per query: wall (min of 2
+parent spawns ONE SUBPROCESS PER TIER (same pattern as
+scaling_curve.py): local[{CPUS}] at 8g (baseline), 1g (an 8x cut in
+memory per core — a real cluster runs ~1-2 GB/core, so ~128 MB/core is
+far past production density), and 1g with a heap-proportional 8 MB
+broadcast threshold (see TIERS note). Fixed core count so ONLY the
+memory axis varies. Per query: wall (min of 2
 interleaved passes), completion, and the memory/disk spill bytes of
 the stages that completed during the query (status REST API). The
 queries are the heaviest shuffle/sort/window/join shapes at sf1 —
