@@ -14,6 +14,7 @@ window suite, and the as-of join.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 import shutil
 
@@ -26,7 +27,14 @@ from clickstream_pipeline_aws_kafka_docker_airflow__spark.testing import compare
 
 from tests.test_layout_invariance import ADV_SF
 
-SEEDS = [11, 22, 33, 44, 55]
+# default seeds are FIXED (a failure reproduces exactly, CI is
+# deterministic); FUZZ_SEEDS=66,77,... runs a fresh campaign without
+# touching the committed defaults — used for per-round extended sweeps
+SEEDS = [
+    int(s)
+    for s in os.environ.get("FUZZ_SEEDS", "11,22,33,44,55").split(",")
+    if s.strip()
+]
 
 
 def _fuzz_events(rng: random.Random, n: int = 120) -> list[tuple]:
