@@ -49,12 +49,26 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
 
     Called from every loader/operator entry point so the engine behaves
     identically whether it created the session or was handed one.
+
+    ``$SPARK_GRAFT_EXTRA_CONFS`` ("k=v;k=v") is re-applied LAST on
+    every call: a deliberate deployment override (e.g. a broadcast
+    threshold sized to a small executor heap) must survive the engine's
+    own re-application, which otherwise silently clobbers it back to
+    the defaults from inside every load_table — measured by the r8
+    memory probe, whose per-tier threshold overrides were being undone
+    query-by-query until this hook ran here rather than only at
+    get_spark build time.
     """
     for k, v in ENGINE_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            with contextlib.suppress(Exception):  # static-only conf
+                spark.conf.set(k.strip(), v.strip())
     return spark
 
 

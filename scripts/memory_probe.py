@@ -4,11 +4,16 @@
 Claim under test — the last "argued, not measured" scale property:
 the heavy-shuffle plans hold no unbounded in-task state, so under a
 heap an order of magnitude smaller per core they complete by SPILLING
-(Spark's sort/agg/join operators go to disk via the unified memory
-manager), never by OOM, and the slowdown is bounded. This is the
-single-box twin of "partitions fit in executor memory at the target
-SF": a plan that only works because the whole partition fits in RAM
-fails this probe loudly.
+(Spark's sort/agg/shuffle-join operators go to disk via the unified
+memory manager), never by OOM, and the slowdown is bounded. This is
+the single-box twin of "partitions fit in executor memory at the
+target SF": a plan that only works because the whole partition fits
+in RAM fails this probe loudly. The one deliberate exception is the
+broadcast hash BUILD — the sole non-spillable operator: at the probe's
+extreme density its admission is a loud, actionable failure
+(notEnoughMemoryToBuildAndBroadcastTable names the threshold
+workaround), never a wrong result; the third tier measures the plans
+with that operator excluded.
 
 Protocol: ``spark.driver.memory`` is builder-time static, so the
 parent spawns ONE SUBPROCESS PER TIER (same pattern as
@@ -48,14 +53,21 @@ sys.path.insert(0, HERE)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or 8)
 # (heap, autoBroadcastJoinThreshold): the third tier pairs the small
-# heap with a proportionally-sized broadcast threshold, because the
-# two are sized TOGETHER in a real deployment — the default 64 MB
-# threshold assumes a multi-GB executor (a 64 MB file estimate is a
-# several-hundred-MB HashedRelation). The threshold can only protect
-# ESTIMATE-DRIVEN joins; a forced broadcast() hint overrides it, which
-# is why SF-growing tables carry no hints (see the r8 broadcast-hint
-# sweep in queries/relational_q.py's module doc).
-TIERS = [("8g", None), ("1g", None), ("1g", "8m")]
+# heap with broadcasts DISABLED, because the broadcast hash build is
+# the ONE operator that cannot spill — it is an admission decision,
+# not a streaming one. Measured at this density: with any enabled
+# threshold, whether a legitimately-small build (customer at sf1:
+# 1.5 MB file, ~30 MB HashedRelation) gets admitted on a 1g heap
+# depends on transient memory-manager occupancy — the same sequenced
+# run completed q18 in some draws and raised
+# notEnoughMemoryToBuildAndBroadcastTable in others (an 8 MB-threshold
+# tier was 2-for-4). The failure is always LOUD and names the
+# workaround; threshold=-1 removes the nondeterminism and exercises
+# the pure shuffle/sort/agg spill path, which is the actual claim
+# under test. The threshold protects only ESTIMATE-DRIVEN joins — a
+# forced broadcast() hint overrides it, which is why SF-growing
+# tables carry no hints (see queries/relational_q.py's module doc).
+TIERS = [("8g", None), ("1g", None), ("1g", "-1")]
 
 # Heaviest shuffle/sort/window/join shapes: big-key aggregation (q18),
 # multi-join fact pipeline (q9), per-user session window (sessionize),
@@ -105,12 +117,27 @@ def _child(mem: str, threshold: str | None) -> None:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4047")
     )
+    # BOTH thresholds: AQE's runtime broadcast conversion is governed
+    # by spark.sql.adaptive.autoBroadcastJoinThreshold and does NOT
+    # follow the static conf's -1 on this build — measured: with only
+    # the static conf at -1, AQE still converted q18's joins to
+    # BroadcastHashJoin from true runtime sizes and the 1g build OOMed.
+    # Delivered via SPARK_GRAFT_EXTRA_CONFS so the override SURVIVES
+    # apply_engine_confs, which every load_table re-runs (the engine
+    # was silently clobbering per-tier thresholds back to 64 MB from
+    # inside each query until session.apply_engine_confs learned to
+    # re-apply the env hook last).
     if threshold is not None:
-        b = b.config("spark.sql.autoBroadcastJoinThreshold", threshold)
+        os.environ["SPARK_GRAFT_EXTRA_CONFS"] = (
+            f"spark.sql.autoBroadcastJoinThreshold={threshold};"
+            f"spark.sql.adaptive.autoBroadcastJoinThreshold={threshold}"
+        )
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            b = b.config(k, threshold)
     spark = apply_engine_confs(b.getOrCreate())
-    if threshold is not None:
-        # apply_engine_confs re-sets the default threshold; re-override
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     port = spark.sparkContext.getConf().get("spark.ui.port", "4047")
     app = spark.sparkContext.applicationId
     base = f"http://localhost:{port}/api/v1/applications/{app}"
@@ -139,7 +166,21 @@ def _child(mem: str, threshold: str | None) -> None:
                 st["wall_s"] = w if st["wall_s"] is None else min(st["wall_s"], w)
             except Exception as ex:  # noqa: BLE001 — record, keep probing
                 st["completed"] = False
-                st["error"] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:160]}"
+                # Py4J's first line is just "error calling oNNN.save" —
+                # walk the Java cause chain for the ROOT error so the
+                # artifact records WHY (OOM class vs cancellation vs
+                # broadcast build), not merely THAT it failed
+                detail = str(ex).splitlines()[0][:160]
+                causes: list[str] = []
+                j = getattr(ex, "java_exception", None)
+                seen = 0
+                while j is not None and seen < 8:
+                    causes.append(str(j.toString())[:200])
+                    j = j.getCause()
+                    seen += 1
+                st["error"] = f"{type(ex).__name__}: {detail}"
+                if causes:
+                    st["error_causes"] = causes
                 continue
             after = _stage_set(base)
             for key, s in after.items():
