@@ -40,6 +40,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _LOCAL_MASK = (1 << 33) - 1
 
+# memoized quartile-cut sets, keyed by (applicationId, plan semanticHash,
+# per-file (path, mtime, size) fingerprint, tiles, dim names, tie_break):
+# the cuts are a bounded data-derived artifact (<= dims x (tiles-1) rows),
+# exactly the class of collect the ANN operators memoize
+# (operators/similarity.py collect_query_vectors). File-identity in the
+# key means a rewritten parquet at the same path re-derives; frames with
+# no file lineage (createDataFrame tests) are never memoized.
+_CUTS_CACHE: dict = {}
+_CUTS_CACHE_MAX = 64
+
+
+def clear_cuts_cache() -> None:
+    """Drop every memoized cut set (test / invalidation hook)."""
+    _CUTS_CACHE.clear()
+
 def _ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """Bucket id for 1-based ``rank`` of ``n`` rows, NTILE(tiles)
     semantics: first ``n % tiles`` buckets get ``n div tiles + 1``
@@ -231,3 +246,189 @@ def exact_ntile_multi(
             for i, (name, _) in enumerate(dims)
         ]
     )
+
+
+def _skinny_ranged(
+    df: DataFrame, dims: list[tuple[str, Column]], tie_break: str, n_part: int
+) -> DataFrame:
+    """SKINNY exploded frame for cut derivation: only (tie_break, _dim,
+    _k) — never the caller's full row width — range-partitioned and
+    locally sorted on the composite ordering, with ``_mid`` carrying
+    (partition id << 33 | 0-based local rank) so a global rank maps to
+    one ``_mid`` key once per-partition counts are known. Exposed (vs
+    inlined) so the plan contract — rangepartitioning, zero WindowExec —
+    stays testable after the cuts collapse to driver literals in the
+    consuming query's final plan."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).cast("int").alias("_dim"),
+                    key.cast("double").alias("_k"),
+                )
+                for i, (_, key) in enumerate(dims)
+            ]
+        )
+    )
+    skinny = df.select(F.col(tie_break).alias("_tb"), pairs.alias("_e")).select(
+        "_tb", F.col("_e._dim").alias("_dim"), F.col("_e._k").alias("_k")
+    )
+    order = [F.asc("_dim"), F.asc("_k"), F.asc("_tb")]
+    return (
+        skinny.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        # nondeterministic, so pinned above the sort (see module doc)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+
+
+def _cut_ranks(n: int, tiles: int) -> list[int]:
+    """Cumulative 1-based ranks of the last row of buckets 1..tiles-1
+    under NTILE sizing (first n%tiles buckets hold n//tiles + 1 rows):
+    b_j = j*q + min(j, r). Duplicate ranks (n < tiles) are correct —
+    they make the trailing buckets empty, which the strict-less cut
+    count reproduces."""
+    q, r = divmod(n, tiles)
+    return [j * q + min(j, r) for j in range(1, tiles)]
+
+
+def ntile_cuts_multi(
+    df: DataFrame,
+    tiles: int,
+    dims: list[tuple[str, Column]],
+    tie_break: str,
+    num_partitions: int | None = None,
+    fingerprint_frame: DataFrame | None = None,
+) -> list[list[tuple[float, object]]]:
+    """EXACT per-dim NTILE cut rows — for each dim the (key, tie_break)
+    composite at cumulative ranks b_1..b_{tiles-1} — derived with range
+    partitioning + per-partition counts, no WindowExec, and collected
+    to the driver (bounded: dims x (tiles-1) rows, never data-sized).
+
+    Three bounded jobs: (1) the range partitioner's sample pass, (2)
+    per-partition counts over the skinny exploded frame (32-ish rows
+    collected), (3) a cached-read filter picking the <= dims*(tiles-1)
+    cut rows by ``_mid``. Memoized per source-file identity, so a
+    second call in the same session (bench second pass, repeated
+    serving) is free. Keys must be NaN-free doubles (callers coalesce /
+    negate; rfm's are) — NaN sorts greatest but compares unequal, which
+    would desync derivation from assignment.
+
+    ``fingerprint_frame``: source-file identity for the memo key is
+    read from this frame when given, else from ``df``. Needed when
+    ``df`` is persisted — ``inputFiles()`` walks the OPTIMIZED plan,
+    where the CacheManager has already substituted InMemoryRelation
+    for the cached aggregate (no FileRelation leaf -> empty
+    fingerprint -> no memoization). Pass the raw source scan (e.g. the
+    events ``load_table`` frame); ``df.semanticHash()`` still keys the
+    aggregation plan itself (analyzed plan, pre-substitution)."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    key = None
+    try:
+        from .similarity import _source_fingerprint
+
+        fp = _source_fingerprint(
+            df if fingerprint_frame is None else fingerprint_frame
+        )
+        if fp:  # empty/None lineage (e.g. createDataFrame): never memoize
+            key = (
+                spark.sparkContext.applicationId,
+                df.semanticHash(),
+                fp,
+                tiles,
+                tuple(name for name, _ in dims),
+                tie_break,
+                n_part,
+            )
+    except Exception:
+        key = None
+    if key is not None and key in _CUTS_CACHE:
+        return _CUTS_CACHE[key]
+
+    ranged = _skinny_ranged(df, dims, tie_break, n_part).persist()
+    counts = sorted(
+        (int(r["_pid"]), int(r["_pc"]))
+        for r in ranged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    n = total // len(dims)  # exact: every input row emits len(dims) pairs
+    if n == 0:
+        ranged.unpersist()
+        return [[] for _ in dims]
+
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+
+    def mid_of(global_rank: int) -> int:
+        for pid, c in counts:
+            if global_rank <= offsets[pid] + c:
+                return (pid << 33) | (global_rank - offsets[pid] - 1)
+        raise AssertionError(f"rank {global_rank} beyond {total} rows")
+
+    bs = _cut_ranks(n, tiles)
+    targets = [
+        mid_of(d * n + b) for d in range(len(dims)) for b in bs
+    ]
+    by_mid = {
+        int(r["_mid"]): (float(r["_k"]), r["_tb"])
+        for r in ranged.where(F.col("_mid").isin(targets))
+        .select("_mid", "_k", "_tb")
+        .collect()
+    }
+    # fully consumed (cuts are driver literals now) — safe to release,
+    # unlike the exact_ntile persists whose consumers run later
+    ranged.unpersist()
+    cuts = [
+        [by_mid[mid_of(d * n + b)] for b in bs] for d in range(len(dims))
+    ]
+    if key is not None:
+        while len(_CUTS_CACHE) >= _CUTS_CACHE_MAX:
+            _CUTS_CACHE.pop(next(iter(_CUTS_CACHE)))
+        _CUTS_CACHE[key] = cuts
+    return cuts
+
+
+def exact_ntile_broadcast(
+    df: DataFrame,
+    tiles: int,
+    dims: list[tuple[str, Column]],
+    tie_break: str,
+    num_partitions: int | None = None,
+    fingerprint_frame: DataFrame | None = None,
+) -> DataFrame:
+    """All of ``NTILE(tiles) OVER (ORDER BY k_i, tie_break)`` as pure
+    broadcast-literal comparisons: derive the exact cut composites once
+    (:func:`ntile_cuts_multi`, bounded driver state), then assign
+    ``bucket = 1 + #{cuts strictly below the row}`` — for a total order
+    ``cut_j < row  <=>  b_j < rank(row)``, so the count is exactly
+    ``bucket - 1``, including empty trailing buckets when n < tiles.
+
+    vs :func:`exact_ntile_multi` (the r8 shape): no wide explode, no
+    persist of the full-width frame, and no pivot groupBy over every
+    base column — the assignment is a shuffle-free projection, so the
+    consuming plan adds ZERO exchanges to the input frame's own. The
+    skinny derivation cost is paid once per (source identity, dims) and
+    memoized. Same total-order requirement: ``tie_break`` unique per
+    row, keys NaN-free."""
+    cuts = ntile_cuts_multi(
+        df, tiles, dims, tie_break, num_partitions, fingerprint_frame
+    )
+    out = df
+    for (name, key), dim_cuts in zip(dims, cuts):
+        k = key.cast("double")
+        expr = F.lit(1).cast("bigint")
+        for ck, ctb in dim_cuts:
+            below = (F.lit(ck) < k) | (
+                (F.lit(ck) == k) & (F.lit(ctb) < F.col(tie_break))
+            )
+            expr = expr + F.when(below, 1).otherwise(0)
+        out = out.withColumn(name, expr.cast("bigint"))
+    return out

@@ -38,7 +38,9 @@ CEILINGS = {
     "ann_topk_ivfpq_res": 9,
     "corpus_curation": 7,
     "q22_dormant_value": 5,
-    "rfm_segments": 10,
+    # r9 cut-broadcast shape: warm run = ONE cached-scan projection job
+    # (quartile cuts memoized per source identity, zero exchanges added)
+    "rfm_segments": 1,
 }
 
 

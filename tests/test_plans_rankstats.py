@@ -11,7 +11,9 @@ from pyspark.sql import Window, functions as F
 
 from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
 from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.rankstats import (
+    _skinny_ranged,
     exact_ntile,
+    exact_ntile_broadcast,
     exact_ntile_multi,
 )
 from clickstream_pipeline_aws_kafka_docker_airflow__spark.plans.explain import (
@@ -107,18 +109,84 @@ def test_exact_ntile_multi_matches_three_windows(spark):
     assert got == exp
 
 
+def test_exact_ntile_broadcast_matches_three_windows(spark):
+    """The r9 cut-broadcast variant reproduces three independent window
+    NTILEs per-row bit-exactly, including empty frames, n < tiles
+    (duplicate cut ranks = empty trailing buckets), heavy ties resolved
+    by the tie-break, the +inf NULLS-LAST sentinel, and DESC negation."""
+    for n_rows in (0, 1, 2, 3, 5, 203):
+        df = _frame(spark, n_rows, seed=100 + n_rows)
+        got = {
+            r["id"]: (r["a_q"], r["b_q"], r["c_q"])
+            for r in exact_ntile_broadcast(
+                df,
+                4,
+                [
+                    (
+                        "a_q",
+                        F.coalesce(
+                            F.col("v").cast("double"), F.lit(float("inf"))
+                        ),
+                    ),
+                    ("b_q", -F.col("w").cast("double")),
+                    ("c_q", F.col("w").cast("double")),
+                ],
+                "id",
+            ).collect()
+        }
+        exp = {
+            r["id"]: (r["a_q"], r["b_q"], r["c_q"])
+            for r in df.select(
+                "id",
+                F.ntile(4)
+                .over(Window.orderBy(F.asc_nulls_last("v"), F.asc("id")))
+                .cast("bigint")
+                .alias("a_q"),
+                F.ntile(4)
+                .over(Window.orderBy(F.desc("w"), F.asc("id")))
+                .cast("bigint")
+                .alias("b_q"),
+                F.ntile(4)
+                .over(Window.orderBy(F.asc("w"), F.asc("id")))
+                .cast("bigint")
+                .alias("c_q"),
+            ).collect()
+        }
+        assert got == exp, n_rows
+
+
 def test_rfm_segments_plan_has_no_window(spark):
-    """The point of the rewrite: the executed rfm plan must contain NO
-    WindowExec at all (the old plan's three unpartitioned ntile windows
-    were a single-partition sort of the whole user table) and no
-    SinglePartition exchange."""
+    """The point of the rewrites: the FINAL rfm plan must contain NO
+    WindowExec (the r7 plan's three unpartitioned ntile windows were a
+    single-partition sort of the whole user table), no SinglePartition
+    exchange, and — since r9's cut-broadcast shape — no exchange at all
+    beyond the user aggregation's own hash shuffle: quartile assignment
+    is a projection over broadcast literals."""
     df = _Q["rfm_segments"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "Window" not in plan, plan
-    # the scale shape: quartiles ride range partitioning
+    assert "SinglePartition" not in plan, plan
+    # above the cache boundary (the InMemoryRelation holds the user
+    # aggregation, whose own hash exchange prints inside its cached
+    # plan) the assignment must add NOTHING: no exchange, no sort —
+    # pure projection over broadcast literals
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in above_cache, plan
+    assert "Exchange" not in above_cache, plan
+    assert "Sort" not in above_cache, plan
+
+
+def test_cut_derivation_rides_range_partitioning(spark):
+    """The derivation path (driver-side literals in the final plan, so
+    pinned on its own frame): the skinny exploded frame must be range
+    partitioned — never a global sort, never a window — and carry only
+    the 3 derivation columns + _mid, not the caller's row width."""
+    df = _frame(spark, 50, seed=1)
+    ranged = _skinny_ranged(
+        df, [("a_q", F.col("w").cast("double"))], "id", 8
+    )
+    plan = formatted_plan(ranged)
     assert "rangepartitioning" in plan.lower(), plan
-    # exactly ONE SinglePartition exchange is allowed: the offsets
-    # collect_list over the per-partition COUNTS (<= shuffle-partition
-    # rows, bounded by cluster config, never by the corpus)
-    assert plan.count("SinglePartition") == 1, plan
-    assert "collect_list" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert set(ranged.columns) == {"_tb", "_dim", "_k", "_mid"}, ranged.columns
