@@ -23,9 +23,19 @@ settings we would ship on a real cluster:
 from __future__ import annotations
 
 import contextlib
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_log = logging.getLogger(__name__)
+
+# sessions (by applicationId) whose non-empty SPARK_GRAFT_EXTRA_CONFS
+# application has already been announced — the hook re-applies on every
+# load_table, so logging each application would be noise, but NEVER
+# logging means a stale env var inherited from a parent shell silently
+# alters engine behavior in every query with no trace (ADVICE r8)
+_EXTRA_CONFS_ANNOUNCED: set[str] = set()
 
 # Confs that are safe to set on a *running* session (driver owns the
 # session in the harness). All are runtime-settable SQLConfs.
@@ -58,13 +68,26 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
     memory probe, whose per-tier threshold overrides were being undone
     query-by-query until this hook ran here rather than only at
     get_spark build time.
+
+    Format limits: the separator is ';' and the FIRST '=' splits key
+    from value, so a value may itself contain '=' (partition("=") keeps
+    the remainder intact) but never ';'. A non-empty hook is logged
+    once per session so an inherited stale env var leaves a trace.
     """
     for k, v in ENGINE_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
-    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+    raw = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    if raw:
+        app = spark.sparkContext.applicationId
+        if app not in _EXTRA_CONFS_ANNOUNCED:
+            _EXTRA_CONFS_ANNOUNCED.add(app)
+            _log.warning(
+                "applying SPARK_GRAFT_EXTRA_CONFS overrides: %s", raw
+            )
+    for kv in raw.split(";"):
         k, _, v = kv.partition("=")
         if k.strip():
             with contextlib.suppress(Exception):  # static-only conf

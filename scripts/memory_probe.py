@@ -90,9 +90,16 @@ QUERIES = [
 ]
 
 
-def _stage_set(base: str) -> dict[tuple[int, int], dict]:
-    with urllib.request.urlopen(f"{base}/stages") as r:
-        stages = json.load(r)
+def _stage_set(base: str) -> dict[tuple[int, int], dict] | None:
+    """Stage snapshot from the status REST API, or None when the UI is
+    unreachable — spill accounting then degrades to 'unavailable'
+    instead of killing the child and misrecording the tier as
+    jvm_died (ADVICE r8: the first urlopen failure used to escape)."""
+    try:
+        with urllib.request.urlopen(f"{base}/stages") as r:
+            stages = json.load(r)
+    except Exception:
+        return None
     return {(s["stageId"], s["attemptId"]): s for s in stages}
 
 
@@ -138,9 +145,12 @@ def _child(mem: str, threshold: str | None) -> None:
         ):
             b = b.config(k, threshold)
     spark = apply_engine_confs(b.getOrCreate())
-    port = spark.sparkContext.getConf().get("spark.ui.port", "4047")
+    # the ACTUALLY-BOUND UI URL, not the configured port: when 4047 is
+    # busy Spark walks spark.port.maxRetries to 4048+, and getConf()
+    # still reports the configured value (ADVICE r8)
+    ui = spark.sparkContext.uiWebUrl or "http://localhost:4047"
     app = spark.sparkContext.applicationId
-    base = f"http://localhost:{port}/api/v1/applications/{app}"
+    base = f"{ui}/api/v1/applications/{app}"
 
     qs = registry.queries()
     out: dict[str, dict] = {}
@@ -183,6 +193,9 @@ def _child(mem: str, threshold: str | None) -> None:
                     st["error_causes"] = causes
                 continue
             after = _stage_set(base)
+            if before is None or after is None:
+                st["spill_unavailable"] = True  # UI unreachable; walls stand
+                continue
             for key, s in after.items():
                 if key not in before and s.get("status") == "COMPLETE":
                     st["spill_mem_mb"] += round(
@@ -211,6 +224,11 @@ def main() -> None:
         tag = mem if thr is None else f"{mem}-thr{thr}"
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(CPUS)
+        # no-threshold tiers must measure the DEFAULTS: an inherited
+        # SPARK_GRAFT_EXTRA_CONFS from a parent shell would silently
+        # skew them relative to the protocol (ADVICE r8)
+        if thr is None:
+            env.pop("SPARK_GRAFT_EXTRA_CONFS", None)
         args = [sys.executable, os.path.abspath(__file__), "--child", mem]
         if thr is not None:
             args.append(thr)
