@@ -349,15 +349,16 @@ def incremental_admission(
     # ``cand`` is referenced twice below (verify join, jac left join)
     # and, measured at HEAD, exchange REUSE does NOT fire — the
     # executed plan carries two copies of the signing chain
-    # (ReusedExchange: 0, 12 scans). Still no checkpoint, because the
-    # recompute WINS anyway: the duplicated branches overlap in the
-    # same stages, while pinning cand (or sh_new too) with a lazy
-    # localCheckpoint adds job boundaries and measured slower at both
-    # scales — sf0.1 1.38 s / 13 jobs vs 1.49 s / 17 jobs pinned, sf1
-    # 4.38 s vs 4.82-4.90 s pinned (interleaved min-of-3/4, identical
-    # rows). Determinism is not at stake here (unlike rankstats'
-    # boundary-sampling pin): both evaluations of cand are pure
-    # functions of the same inputs.
+    # (ReusedExchange: 0, 12 scans). persist() pins ONE evaluation
+    # (bounded: batch x collisions rows) WITHOUT the job boundaries a
+    # localCheckpoint adds — the r8 measurement that rejected pinning
+    # used localCheckpoint (sf0.1 1.38 s / 13 jobs vs 1.49 s / 17 jobs
+    # pinned, sf1 4.38 vs 4.82-4.90 s); the cache instead materializes
+    # inside the first consuming stage and repeat calls reuse it —
+    # measured r9: sf0.1 13 -> 10 warm jobs, 2.67 -> 1.57 s bench
+    # min-of-2, identical rows. Determinism is not at stake
+    # (unlike rankstats' boundary-sampling pin) — the pin is purely a
+    # cost contract.
     cand = (
         bands_new.select(F.col("doc_id").alias("id_new"), "band", "bkey")
         .join(
@@ -366,6 +367,7 @@ def incremental_admission(
         )
         .select("id_new", "id_old")
         .distinct()
+        .persist()
     )
     if sizes is None:
         sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

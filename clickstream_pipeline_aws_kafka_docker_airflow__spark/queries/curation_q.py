@@ -238,16 +238,21 @@ def dataset_card(spark, sf_dir):
     incidence from the scrub stage (queries/pii_q.py's planted-PII
     fixture feeds the detector here exactly as in pii_scrub).
 
-    Scale: two rollups shuffled on ``source`` (the doc-level aggregate
-    and the language mode) joined on the tiny per-source result; PII
-    detection is JVM regex in the same scan as the token counts.
-    Integer permille — no float division under the hash. The PII/token
-    branch takes the ``widen()`` exchange (same three-regex-pass cost
-    model as pii_scrub; measured min-of-4 interleaved: sf1 2.12 →
-    1.12 s, sf0.1 0.87 → 1.03 s — the tiny-scale exchange cost is the
-    recorded trade for the 2× at 10×, and at production split counts
-    widen is a no-op); the language-mode branch stays a bare scan —
-    it is a light groupBy that never touches ``text``."""
+    Scale: ONE corpus scan feeding ONE (source, lang) rollup that
+    carries every sum (docs, tokens, chars, PII docs) — map-side
+    partial aggregation, bounded output (sources x languages rows) —
+    then two tiny branches over the pinned rollup: the per-source
+    re-aggregate (n_langs = count of non-null lang rows, exactly
+    COUNT(DISTINCT lang) since the rollup is keyed on lang — no
+    countDistinct, so no Expand row duplication over the corpus) and
+    the language mode window. The r8 shape scanned documents twice
+    (regex branch + language branch) and planned Expand for the mixed
+    COUNT DISTINCT; measured sf0.1 warm path 7 -> 4 jobs, 1.48 ->
+    0.80 s bench min-of-2, identical rows. PII detection is JVM regex in the same
+    scan as the token counts; integer permille — no float division
+    under the hash. The scan takes the ``widen()`` exchange (same
+    three-regex-pass cost model as pii_scrub; at production split
+    counts widen is a no-op)."""
     from pyspark.sql import Window
 
     from ..functions.text import ws_token_count
@@ -269,12 +274,27 @@ def dataset_card(spark, sf_dir):
             (counts["n_emails"] + counts["n_phones"] + counts["n_ips"]) > 0
         ).cast("int").alias("has_pii"),
     )
-    agg = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.sum("has_pii").cast("bigint").alias("pii_docs"),
+    # bounded (sources x languages); persisted so the per-source
+    # re-aggregate and the mode window read one materialization
+    rollup = (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_tokens").alias("t_tokens"),
+            F.sum("n_chars").alias("t_chars"),
+            F.sum("has_pii").alias("t_pii"),
+        )
+        .persist()
+    )
+    agg = rollup.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        # rollup is keyed on lang, so counting its non-null lang rows
+        # IS the distinct-language count (NULL excluded on both
+        # engines' COUNT(DISTINCT lang))
+        F.count("lang").cast("bigint").alias("n_langs"),
+        F.sum("t_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("t_chars").cast("bigint").alias("total_chars"),
+        F.sum("t_pii").cast("bigint").alias("pii_docs"),
     )
     # NULL lang pinned LAST (Spark ASC default is nulls-FIRST, DuckDB's
     # is nulls-LAST): the unknown language must not win count ties
@@ -282,9 +302,7 @@ def dataset_card(spark, sf_dir):
         F.desc("c"), F.asc_nulls_last("lang")
     )
     tl = (
-        d.groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(w))
+        rollup.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("source", F.col("lang").alias("top_lang"))
     )

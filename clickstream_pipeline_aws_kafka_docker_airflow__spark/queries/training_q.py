@@ -125,14 +125,17 @@ def tfidf_top_terms(spark, sf_dir):
     Scale: the corpus is tokenized, exploded, and aggregated in ONE
     linear chain — (token, source, doc_id) rollup, then (source, token)
     rollup carrying BOTH the term frequency (sum of counts) and the
-    per-source document count. Document frequency is the sum of those
-    per-source doc counts (a doc has exactly one source), so the df
-    branch re-aggregates the vocabulary-x-sources table, never the
-    corpus-cardinality rollup — no second tokenize pass, no checkpoint,
-    no corpus-sized shuffle past the first two. The per-source ranking
-    compiles to WindowGroupLimit (per-partition top-K before the
-    shuffle), so the full vocabulary never sorts globally. The N_docs
-    scalar joins in as a broadcast literal row.
+    per-source document count. Document frequency is a WINDOW SUM of
+    those per-source doc counts over partitionBy(token) (a doc has
+    exactly one source): each token's partition group is <= n_sources
+    rows, so the window is bounded and skew-free at any corpus size,
+    and it replaces the r8 shape's df re-aggregation + token-keyed join
+    (two extra exchanges — measured sf0.1 warm path 10 -> 7 jobs,
+    1.95 -> 1.14 s bench min-of-2; identical rows). No second tokenize pass, no
+    checkpoint, no corpus-sized shuffle past the first two. The
+    per-source ranking compiles to WindowGroupLimit (per-partition
+    top-K before the shuffle), so the full vocabulary never sorts
+    globally. The N_docs scalar joins in as a broadcast literal row.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = (
@@ -149,10 +152,10 @@ def tfidf_top_terms(spark, sf_dir):
     tf = g1.groupBy("source", "token").agg(
         F.sum("c").alias("tf"), F.count(F.lit(1)).alias("n_docs_st")
     )
-    dfreq = tf.groupBy("token").agg(F.sum("n_docs_st").alias("df"))
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    wt = Window.partitionBy("token")
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("df", F.sum("n_docs_st").over(wt))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "source",

@@ -33,8 +33,16 @@ CEILINGS = {
     "q2_min_cost_supplier": 12,
     "snapshot_diff": 3,
     "session_trigrams": 3,
-    "mad_outliers": 6,
-    "incremental_dedup_batch": 16,
+    # r9 job diet (verdict item 3): histogram/candidate pins moved from
+    # localCheckpoint (a job boundary per call, never shared) to
+    # persist (materializes inside the first consuming stage, repeat
+    # calls reuse); tfidf's df re-agg + token join became a bounded
+    # window sum; dataset_card collapsed to one corpus scan + one
+    # (source, lang) rollup
+    "mad_outliers": 2,
+    "incremental_dedup_batch": 10,
+    "tfidf_top_terms": 7,
+    "dataset_card": 4,
     "ann_topk_ivfpq_res": 9,
     "corpus_curation": 7,
     "q22_dormant_value": 5,
