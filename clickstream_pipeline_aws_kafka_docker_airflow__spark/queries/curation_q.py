@@ -77,6 +77,20 @@ def corpus_curation(spark, sf_dir, quality=None, clusters=None, contam=None):
     (MinHash, shingle overlap) keep their own bounded shapes documented
     in their operators. The quality/split predicates are cheap
     projections evaluated before any join fans out.
+
+    The quality frame is PINNED (persist) before the floor filter:
+    Catalyst pushes a deterministic predicate straight through
+    quality_score's widen() RoundRobin exchange, which re-sinks the
+    whole regex/token expression into the NARROW pre-widen scan — the
+    exact serialization widen exists to prevent (measured r9,
+    cross-process interleaved bench pairs: the composite ran its text
+    pass in a 2-task scan stage — sf1 4.3/7.6 s unpinned vs 1.9/2.0 s
+    pinned, sf0.1 2.1/2.9 vs 1.1/1.8 s; standalone quality_score is
+    0.53 s at sf1. Identical rows; in-session A/B is invalid here
+    because CacheManager substitutes the pinned cache into the
+    unpinned plan). The pin is bounded (doc_id, quality) and is also
+    the composite's design point — inject the same frame to share one
+    materialization across curation products.
     """
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") >= N_BENCH_DOCS
@@ -87,7 +101,7 @@ def corpus_curation(spark, sf_dir, quality=None, clusters=None, contam=None):
         clusters = cluster_labels_table(spark, sf_dir)
     if contam is None:
         contam = contamination_table(spark, sf_dir)
-    q = quality.select("doc_id", "quality")
+    q = quality.select("doc_id", "quality").persist()
     keep = clusters.where(F.col("is_canonical")).select("doc_id")
     split = train_split(spark, sf_dir).where(F.col("split") == "train").select(
         "doc_id"

@@ -58,8 +58,14 @@ from pyspark.sql.types import StringType, StructField, StructType  # noqa: E402
 TICKS = 100
 SEED = 1337
 DOWNSTREAM_EVERY = 5  # raw-zone consumers drain every N ticks
-EVENTS_PER_TICK = 40
-DOCS_PER_TICK = 15
+# SOAK_VOLUME_X scales per-tick batch volume through the SAME crash
+# schedule (r8 verdict item 6: reference-cadence ticks bound replay
+# correctness, sf1-sized ticks bound per-batch STATE growth — the
+# dedup-admission and CMS zones are the interesting ones). The
+# artifact self-names by volume (docs/SOAK.json vs SOAK_10X.json).
+VOLUME_X = int(os.environ.get("SOAK_VOLUME_X", "1"))
+EVENTS_PER_TICK = 40 * VOLUME_X
+DOCS_PER_TICK = 15 * VOLUME_X
 
 _EVENT_SCHEMA = (
     "ts timestamp, user_id string, event_type string, value double"
@@ -391,6 +397,9 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
     out: dict = {
         "ticks": ticks,
         "seed": seed,
+        "volume_x": VOLUME_X,
+        "events_per_tick": EVENTS_PER_TICK,
+        "docs_per_tick": DOCS_PER_TICK,
         "crash_schedule": {str(t): s for t, s in sorted(crash_ticks.items())},
     }
     runs = {}
@@ -442,10 +451,11 @@ def main() -> None:
     spark = get_spark(app_name="soak")
     out = run_soak(spark, ticks, seed)
     print(json.dumps(out), flush=True)
+    fname = "SOAK.json" if VOLUME_X == 1 else f"SOAK_{VOLUME_X}X.json"
     p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
-        "SOAK.json",
+        fname,
     )
     with open(p, "w") as f:
         json.dump(out, f, indent=1)
