@@ -96,6 +96,11 @@ def q8_market_share(spark, sf_dir):
     ).otherwise(F.lit(0).cast("decimal(38,8)"))
     return rev.groupBy("o_year").agg(
         F.round(
-            (F.sum(china) / F.sum("volume")).cast("double"), 6
+            # try_divide: a year whose total volume is exactly 0
+            # (hostile data) must yield NULL like DuckDB's division,
+            # not an ANSI DIVIDE_BY_ZERO — the q14 class the r9 fuzz
+            # campaign caught (seed 202); decimal/decimal division is
+            # the throwing case on this build
+            F.try_divide(F.sum(china), F.sum("volume")).cast("double"), 6
         ).alias("mkt_share")
     )

@@ -87,10 +87,20 @@ def q9_product_profit(spark, sf_dir):
     nation and order year.
 
     Scale: part (LIKE-filtered), supplier, and nation broadcast; the
-    only shuffle join is orders⋈lineitem on the order key. The
-    (nation, year) group key is tiny — AQE coalesces the final
-    exchange. The LIKE filter can't push to parquet as a range, but it
-    prunes the broadcast side before the join, which is what matters.
+    orders⋈lineitem leg carries a MERGE hint so the fact⋈fact join on
+    the order key shuffles instead of broadcasting — without it the
+    planner's estimate for the 2-column orders slice sat under the
+    threshold at the 10x surface and the wall absorbed a driver-side
+    single-threaded 1.5M-row HashedRelation build (the q4 hazard
+    class; r9 stage census: 2.6 s serial/driver gap at 32c).
+    Interleaved min-of-4 at sf1/32c: none 1.59 s, shuffle_hash 1.33,
+    merge 1.42 — merge adopted over the slightly-faster shuffle_hash
+    because SMJ spills and AQE skew-split applies, the safe shape for
+    a fact⋈fact join at 100 TB; sf0.1 is floor-flat (0.52–0.59 s all
+    variants). Identical rows all variants. The (nation, year) group
+    key is tiny — AQE coalesces the final exchange. The LIKE filter
+    can't push to parquet as a range, but it prunes the broadcast side
+    before the join, which is what matters.
     """
     t = {n: load_table(spark, sf_dir, n) for n in
          ("lineitem", "part", "supplier", "orders", "nation")}
@@ -99,7 +109,10 @@ def q9_product_profit(spark, sf_dir):
         t["lineitem"]
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["orders"].hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .join(broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -186,7 +199,12 @@ def q14_promo_revenue(spark, sf_dir):
     computed from the two order-independent DECIMAL sums cast to
     double — both engines divide bit-identical doubles, so the final
     2-dp round is deterministic (unlike rounding an order-dependent
-    double sum).
+    double sum). ``try_divide`` for the share: when the month's total
+    revenue is exactly 0 (possible under hostile data — the r9 fuzz
+    campaign's seed 202 corpus produced it), DuckDB's division returns
+    NULL while Spark's ANSI division THROWS (this build raises
+    DIVIDE_BY_ZERO even for double/double); try_divide returns NULL,
+    matching the oracle bit-for-bit.
 
     Scale: part broadcasts; the month filter pushes to the lineitem
     scan; ungrouped aggregate -> partials combine, no shuffle.
@@ -206,7 +224,10 @@ def q14_promo_revenue(spark, sf_dir):
             F.round(promo_dec, 2).cast("double").alias("promo_revenue"),
             F.round(total_dec, 2).cast("double").alias("total_revenue"),
             F.round(
-                F.lit(100.0) * promo_dec.cast("double") / total_dec.cast("double"),
+                F.try_divide(
+                    F.lit(100.0) * promo_dec.cast("double"),
+                    total_dec.cast("double"),
+                ),
                 2,
             ).alias("promo_pct"),
         )

@@ -138,6 +138,15 @@ def tfidf_top_terms(spark, sf_dir):
     globally. The N_docs scalar joins in as a broadcast literal row.
     """
     d = load_table(spark, sf_dir, "documents")
+    # widen() TRIED AND REVERTED (r9): the tokenize+explode map side
+    # of the first aggregation runs on the scan's 2 tasks at the sf1
+    # single-file layout (stage census: 2.19 s runtime in a 2-task
+    # stage), and widening it measured sf1/32c 3.39 -> 2.93 s but
+    # sf0.1 1.14 -> 3.09 s — shuffling raw text costs more than the
+    # tokenize parallelism buys at bench scale, unlike the 3-regex
+    # PII scans where widen pays at both scales. The narrowness is
+    # the probe layout's row-group bound (docs/SCALING_CURVE.json
+    # row_groups), gone at any production split count.
     tok = (
         d.select(
             "doc_id",
