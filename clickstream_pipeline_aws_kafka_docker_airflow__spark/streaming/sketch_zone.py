@@ -24,7 +24,20 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..session import temp_confs
 
-SKETCH_LG_K = 14
+# lg_k PINNED TO 12 — the DataSketches union gadget's default lgMaxK,
+# which Spark's hll_union_agg does not widen (plan signature
+# hll_union_agg(sk, false, 0, 0)): every merge DOWNSIZES its inputs to
+# lg_k 12, so sketching finer buys nothing after the first union and,
+# measured (r9 10x soak), makes merged ESTIMATES depend on the merge
+# GROUPING — i.e. on micro-batch boundaries and crash replay. At 12,
+# register-max union is lossless and the zone estimate is a pure
+# function of the day's key set (grouping/replay independent; verified
+# by the 10x crash soak, docs/SOAK_10X.json). A one-shot batch sketch
+# still differs from the merged zone within HLL error (HIP vs
+# composite estimator — DataSketches abandons the HIP accumulator on
+# union), which is why batch-twin comparisons use a tolerance, never
+# equality, past sparse mode.
+SKETCH_LG_K = 12
 
 
 def start_sketch_zone(

@@ -288,10 +288,16 @@ class Soak:
                 for r in df.select(*sorted(cols)).collect()
             )
 
-        # HLL REGISTER state is merge-order-independent (so the
-        # estimate is exact-equal across batchings and replays) but the
-        # datasketches SERIALIZATION is not (sparse/dense mode follows
-        # the merge path) — the zone identity is (day, estimate)
+        # Zone identity is (day, estimate), not sketch bytes
+        # (datasketches serialization follows the merge path). At the
+        # zone's lg_k 12 — the union gadget's own lgMaxK — register-max
+        # union is lossless, so the estimate is grouping/replay
+        # independent and clean-vs-crashed compares EXACTLY. (At any
+        # finer lg_k the union DOWNSIZES mid-merge and the estimate
+        # follows micro-batch boundaries — found by this soak's 10x
+        # variant, r9.) The one-shot BATCH twin still differs within
+        # HLL error once dense (HIP vs composite estimator), so the
+        # twin check is tolerance-based below.
         sketch = spark.read.parquet(self.sketch).select(
             "dt", F.hll_sketch_estimate("sk").alias("est")
         )
@@ -357,9 +363,13 @@ def batch_twins(spark, soak: Soak) -> dict:
     )
     flagged = ev.withColumn("violations", viol)
     kpi = _kpi_transform(windowed_kpis(ev))
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.streaming.sketch_zone import (
+        SKETCH_LG_K,
+    )
+
     sketch = (
         ev.groupBy(F.to_date("ts").cast("string").alias("dt"))
-        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K)).alias("sk"))
         .select("dt", F.hll_sketch_estimate("sk").alias("est"))
     )
     docs = spark.read.schema("doc_id long, text string").json(soak.src_docs)
@@ -383,6 +393,24 @@ def batch_twins(spark, soak: Soak) -> dict:
         "sketch": rows(sketch),
         "corpus": rows(survivors.select("doc_id", "text")),
     }
+
+
+SKETCH_TWIN_RTOL = 0.05  # 3 sigma at lg_k 12 (rse = 1.04 / sqrt(2^12))
+
+
+def _sketch_twin_close(
+    zone_rows: list[tuple], twin_rows: list[tuple]
+) -> bool:
+    """(dt, est) rows equal per-day within SKETCH_TWIN_RTOL, same
+    day set (rows are the sorted str-tuples from digests())."""
+    za = {r[0]: float(r[1]) for r in zone_rows}
+    tw = {r[0]: float(r[1]) for r in twin_rows}
+    if za.keys() != tw.keys():
+        return False
+    return all(
+        abs(za[d] - tw[d]) <= SKETCH_TWIN_RTOL * max(tw[d], 1.0)
+        for d in tw
+    )
 
 
 def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
@@ -428,6 +456,16 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
             zone_vals = sorted(x for r in d_clean[z] for x in r)
             twin_vals = sorted(x for r in twins[z] for x in r)
             twin_match = set(twin_vals) <= set(zone_vals)
+        elif z == "sketch":
+            # merged zone sketch vs one-shot batch sketch: identical
+            # only while sparse (coupon-exact); once dense the
+            # estimator paths differ (HIP vs composite — union
+            # abandons the HIP accumulator), so the twin contract is
+            # per-day RELATIVE error within the lg_k 12 HLL bound
+            # (rse 1.04/2^6 = 1.6%; gate at 3 sigma ~ 5%). The
+            # clean-vs-crashed comparison above stays EXACT equality
+            # — replay determinism is not relaxed.
+            twin_match = _sketch_twin_close(d_clean[z], twins[z])
         else:
             twin_match = d_clean[z] == twins[z]
         out["zones"][z] = {

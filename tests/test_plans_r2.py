@@ -26,11 +26,15 @@ def test_q6_pushdown_no_join(spark):
 
 
 def test_q9_dims_broadcast(spark):
-    # part (LIKE-filtered), supplier, nation must broadcast; lineitem
-    # never sort-merge-joins at this size
+    # part (LIKE-filtered), supplier, nation must broadcast; the
+    # orders⋈lineitem leg is EXACTLY ONE sort-merge join at every
+    # scale (r9 merge hint — the planner's estimate otherwise
+    # broadcast the raw 1.5M-row orders slice at the 10x surface, a
+    # single-threaded driver HashedRelation build; see the q9
+    # docstring for the measured A/B)
     f = plan_facts(_Q["q9_product_profit"](spark, SF_SMOKE))
     assert f.broadcast_joins >= 3, f.text
-    assert f.sortmerge_joins == 0
+    assert f.sortmerge_joins == 1, f.text
     assert f.python_evals == 0
 
 
