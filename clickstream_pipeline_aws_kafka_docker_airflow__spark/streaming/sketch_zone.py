@@ -28,15 +28,22 @@ from ..session import temp_confs
 # which Spark's hll_union_agg does not widen (plan signature
 # hll_union_agg(sk, false, 0, 0)): every merge DOWNSIZES its inputs to
 # lg_k 12, so sketching finer buys nothing after the first union and,
-# measured (r9 10x soak), makes merged ESTIMATES depend on the merge
-# GROUPING — i.e. on micro-batch boundaries and crash replay. At 12,
-# register-max union is lossless and the zone estimate is a pure
-# function of the day's key set (grouping/replay independent; verified
-# by the 10x crash soak, docs/SOAK_10X.json). A one-shot batch sketch
-# still differs from the merged zone within HLL error (HIP vs
-# composite estimator — DataSketches abandons the HIP accumulator on
-# union), which is why batch-twin comparisons use a tolerance, never
-# equality, past sparse mode.
+# measured (r9 10x soak), makes DENSE merged estimates depend on the
+# merge GROUPING (2-way vs 3-way splits of 4000 keys: 3987 vs 3996 at
+# lg_k 14, both 3987 at 12 — the 10x crash soak is grouping-stable at
+# 12, docs/SOAK_10X.json).
+#
+# What NO lg_k buys: bit-exact replay determinism of the ESTIMATE.
+# Near sparse->dense promotion the estimate can wiggle within error
+# with the merge path even at lg_k 12 (measured: a crash/restart at
+# 400 keys/day flipped two days 400 -> 399/401; the same schedule at
+# lg_k 20 — deep-sparse, exact — returns 400 everywhere, proving the
+# registersets lose NOTHING: it is estimator wiggle, not data). A
+# one-shot batch sketch additionally differs from any merged sketch
+# once dense (HIP vs composite estimator — union abandons the HIP
+# accumulator). The zone's contract is therefore: day SET exact,
+# per-day estimate within the lg_k error bound under ANY batching,
+# crash schedule, or rebuild — what the crash soak asserts.
 SKETCH_LG_K = 12
 
 

@@ -449,7 +449,20 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
     out["zones"] = {}
     ok = True
     for z in d_clean:
-        clean_vs_crash = d_clean[z] == d_crash[z]
+        if z == "sketch":
+            # approximate zone: day set exact, per-day estimate within
+            # the lg_k 12 HLL bound — for the CRASHED run too, because
+            # DataSketches estimates are not a pure function of the
+            # key set near mode promotions (measured: a crash/replay
+            # at 400 keys/day flips estimates 400 -> 399/401 at
+            # lg_k 12, while lg_k 20 — exact at that scale — returns
+            # 400 everywhere, so the registers lose nothing; see
+            # streaming/sketch_zone.py). Exactness here would pin a
+            # property the library does not have at any lg_k that
+            # still goes dense at 100 TB cardinalities.
+            clean_vs_crash = _sketch_twin_close(d_clean[z], d_crash[z])
+        else:
+            clean_vs_crash = d_clean[z] == d_crash[z]
         # metrics twin is a single-row total vs the summed zone — the
         # values must agree, the shapes differ; compare value bags
         if z == "metrics":
@@ -472,6 +485,9 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
             "rows": len(d_clean[z]),
             "crashed_run_identical": clean_vs_crash,
             "batch_twin_match": twin_match,
+            # sketch estimates compare within SKETCH_TWIN_RTOL (day
+            # set exact); every other zone is exact row equality
+            "comparison": "tolerance" if z == "sketch" else "exact",
         }
         ok = ok and clean_vs_crash and twin_match
     out["all_equal"] = ok
