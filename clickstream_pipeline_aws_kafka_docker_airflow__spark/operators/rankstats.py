@@ -334,12 +334,20 @@ def ntile_cuts_multi(
             df if fingerprint_frame is None else fingerprint_frame
         )
         if fp:  # empty/None lineage (e.g. createDataFrame): never memoize
+            # Key the dim expressions SEMANTICALLY, not by display name:
+            # two calls with identical names but different key Columns
+            # (a sign flip, a different coalesce sentinel) must not
+            # collide on stale cuts. select().semanticHash() canonicalizes
+            # the analyzed expressions without running a job.
             key = (
                 spark.sparkContext.applicationId,
                 df.semanticHash(),
                 fp,
                 tiles,
                 tuple(name for name, _ in dims),
+                df.select(
+                    *[k.alias(f"_k{i}") for i, (_, k) in enumerate(dims)]
+                ).semanticHash(),
                 tie_break,
                 n_part,
             )
@@ -348,44 +356,47 @@ def ntile_cuts_multi(
     if key is not None and key in _CUTS_CACHE:
         return _CUTS_CACHE[key]
 
+    # try/finally: the persist pins monotonically_increasing_id between
+    # the counts job and the _mid-keyed filter; release it on EVERY exit
+    # (fully consumed — cuts are driver literals — unlike the exact_ntile
+    # persists whose consumers run later).
     ranged = _skinny_ranged(df, dims, tie_break, n_part).persist()
-    counts = sorted(
-        (int(r["_pid"]), int(r["_pc"]))
-        for r in ranged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
-        .agg(F.count(F.lit(1)).alias("_pc"))
-        .collect()
-    )
-    total = sum(c for _, c in counts)
-    n = total // len(dims)  # exact: every input row emits len(dims) pairs
-    if n == 0:
-        ranged.unpersist()
-        return [[] for _ in dims]
+    try:
+        counts = sorted(
+            (int(r["_pid"]), int(r["_pc"]))
+            for r in ranged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+            .agg(F.count(F.lit(1)).alias("_pc"))
+            .collect()
+        )
+        total = sum(c for _, c in counts)
+        n = total // len(dims)  # exact: every row emits len(dims) pairs
+        if n == 0:
+            return [[] for _ in dims]
 
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, c in counts:
-        offsets[pid] = acc
-        acc += c
-
-    def mid_of(global_rank: int) -> int:
+        offsets: dict[int, int] = {}
+        acc = 0
         for pid, c in counts:
-            if global_rank <= offsets[pid] + c:
-                return (pid << 33) | (global_rank - offsets[pid] - 1)
-        raise AssertionError(f"rank {global_rank} beyond {total} rows")
+            offsets[pid] = acc
+            acc += c
 
-    bs = _cut_ranks(n, tiles)
-    targets = [
-        mid_of(d * n + b) for d in range(len(dims)) for b in bs
-    ]
-    by_mid = {
-        int(r["_mid"]): (float(r["_k"]), r["_tb"])
-        for r in ranged.where(F.col("_mid").isin(targets))
-        .select("_mid", "_k", "_tb")
-        .collect()
-    }
-    # fully consumed (cuts are driver literals now) — safe to release,
-    # unlike the exact_ntile persists whose consumers run later
-    ranged.unpersist()
+        def mid_of(global_rank: int) -> int:
+            for pid, c in counts:
+                if global_rank <= offsets[pid] + c:
+                    return (pid << 33) | (global_rank - offsets[pid] - 1)
+            raise AssertionError(f"rank {global_rank} beyond {total} rows")
+
+        bs = _cut_ranks(n, tiles)
+        targets = [
+            mid_of(d * n + b) for d in range(len(dims)) for b in bs
+        ]
+        by_mid = {
+            int(r["_mid"]): (float(r["_k"]), r["_tb"])
+            for r in ranged.where(F.col("_mid").isin(targets))
+            .select("_mid", "_k", "_tb")
+            .collect()
+        }
+    finally:
+        ranged.unpersist()
     cuts = [
         [by_mid[mid_of(d * n + b)] for b in bs] for d in range(len(dims))
     ]

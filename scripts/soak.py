@@ -476,8 +476,10 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
             # abandons the HIP accumulator), so the twin contract is
             # per-day RELATIVE error within the lg_k 12 HLL bound
             # (rse 1.04/2^6 = 1.6%; gate at 3 sigma ~ 5%). The
-            # clean-vs-crashed comparison above stays EXACT equality
-            # — replay determinism is not relaxed.
+            # clean-vs-crashed comparison above uses the SAME
+            # tolerance (day set exact, estimate within the bound) —
+            # see the block comment there for why exact replay
+            # equality is not a property the estimator has.
             twin_match = _sketch_twin_close(d_clean[z], twins[z])
         else:
             twin_match = d_clean[z] == twins[z]
