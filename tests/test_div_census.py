@@ -1,0 +1,151 @@
+"""Static division-by-zero census (r9 verdict next-round #1): every
+ANSI-throwing division/remainder/pmod site in every registered query's
+ANALYZED plan, classified and pinned against an adjudicated allowlist
+— closing the class the r9 fuzz campaign only sampled
+(`q14_promo_revenue` / `q8_market_share`, both fixed with
+``try_divide``), the way the r7 nullable-order-key sweep closed NULL
+ordering.
+
+Why the ANALYZED plan: this Spark build runs ANSI mode (default on in
+4.x), where ``a / 0`` throws ``DIVIDE_BY_ZERO`` for EVERY numeric type
+— including double/double — while DuckDB (the oracle semantics)
+returns NULL. ``try_divide`` is only distinguishable from a throwing
+``/`` in the analyzed plan; the optimizer rewrites it to a ``/`` whose
+TRY eval mode is invisible in the string (verified empirically).
+
+Adjudicated classes — each structurally-nonzero by construction:
+
+* ``literal`` (allowed everywhere, filtered before classification):
+  the denominator is a nonzero constant, possibly under nested casts
+  (``/ 25.0``, ``% cast(7 as bigint)``, the 1e4 round-scale family).
+* ``cosine-norm-product``: ``dot / (qn * nrm)`` where BOTH factors are
+  L2 norms of frames filtered ``norm > 0`` upstream on both engines
+  (zero-norm vectors carry no cosine direction — the exclusion is the
+  documented semantics, mirrored in every oracle). Guard sites:
+  similarity.py:592,608 (IVF), 843,850 (LSH), 668 (matmul prune +
+  rescore), 978 (blocked matmul kernel -> na/nb);
+  pq.py:349/357, 447/455, 599/607 (PQ tiers); vectors_q.py
+  sim_topk_bruteforce (one shared filtered frame feeds both sides).
+* ``jaccard-union``: ``n_common / n_union`` in incremental admission
+  (dedup.py:417-425). ``n_a``/``n_b`` are ``COUNT(*)`` of non-empty
+  shingle groups (>= 1) or ``raise_error`` when the sizes artifact has
+  no row (dedup.py:387-406); ``n_union = n_a + n_b - n_common >=
+  max(n_a, n_b) >= 1`` since ``n_common <= min(n_a, n_b)``.
+
+Pandas-UDF interiors are invisible to plan strings, audited by grep
+(one site): the matmul prune's ``(v @ qmat.T) / np.outer(vnorm,
+qnorm)`` — inputs filtered ``norm > 0`` before ``mapInPandas``
+(similarity.py:668), and numpy division never raises (it would yield
+inf/nan, not an ANSI throw) — and its output is a PRUNE KEY only;
+emitted sims come from the JVM-side rescore.
+
+A NEW non-literal division in any plan fails this suite until it is
+adjudicated here with a structurally-nonzero argument or rewritten to
+``try_divide`` (NULL-on-zero, the DuckDB semantics).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+
+from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+
+from conftest import SF_SMOKE
+
+_spec = importlib.util.spec_from_file_location(
+    "div_census",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "div_census.py",
+    ),
+)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+division_sites = _mod.division_sites
+is_safe_literal = _mod.is_safe_literal
+
+_CLASSES: list[tuple[str, re.Pattern[str]]] = [
+    # both factors are norms of `norm > 0`-filtered frames (see module
+    # docstring for the guard sites); matches the inline-recomputed
+    # SQRT(aggregate(...)) fold and the aliased qn/nn/nrm/na/nb forms
+    (
+        "cosine-norm-product",
+        re.compile(
+            r"^/ \((qn|na) \* (nn|nrm|nb|SQRT\(aggregate\(zip_with\("
+            r"embedding, embedding, )"
+        ),
+    ),
+    ("jaccard-union", re.compile(r"^/ cast\(n_union as double\)$")),
+]
+
+ALLOWED: dict[str, set[str]] = {
+    "ann_topk_ivf": {"cosine-norm-product"},
+    "ann_topk_ivfpq": {"cosine-norm-product"},
+    "ann_topk_ivfpq_res": {"cosine-norm-product"},
+    "ann_topk_lsh": {"cosine-norm-product"},
+    "ann_topk_pq": {"cosine-norm-product"},
+    "embed_neardup_cosine": {"cosine-norm-product"},
+    "neardup_embedding_check": {"cosine-norm-product"},
+    "sim_topk_bruteforce": {"cosine-norm-product"},
+    "sim_topk_vectorized": {"cosine-norm-product"},
+    "incremental_dedup_batch": {"jaccard-union"},
+}
+
+
+def _classify(sig: str) -> str:
+    for name, pat in _CLASSES:
+        if pat.search(sig):
+            return name
+    return f"other:{sig[:160]}"
+
+
+def test_division_census_matches_allowlist(spark):
+    # wide Projects truncate at maxToStringFields and would HIDE sites
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    try:
+        unexpected: dict[str, object] = {}
+        for name, fn in sorted(registry.queries().items()):
+            plan = (
+                fn(spark, SF_SMOKE)
+                ._jdf.queryExecution()
+                .analyzed()
+                .toString()
+            )
+            assert "more fields" not in plan, (
+                f"{name}: plan string truncated — census would be blind"
+            )
+            classes = {
+                _classify(s)
+                for s in division_sites(plan)
+                if not is_safe_literal(s)
+            }
+            extra = classes - ALLOWED.get(name, set())
+            if extra:
+                unexpected[name] = sorted(extra)
+        assert not unexpected, (
+            "NEW non-literal division site(s) outside the adjudicated "
+            "census — ANSI mode throws DIVIDE_BY_ZERO where DuckDB "
+            "returns NULL (the q14/q8 class). Either record a "
+            "structurally-nonzero-denominator argument in ALLOWED/"
+            "_CLASSES or rewrite the site with F.try_divide: "
+            f"{unexpected}"
+        )
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+
+
+def test_try_divide_sites_still_present(spark):
+    """The two r9 fuzz-found fixes stay try_divide (analyzed-plan
+    visible) — a refactor back to `/` would reopen the bug."""
+    for qname in ("q14_promo_revenue", "q8_market_share"):
+        plan = (
+            registry.queries()[qname](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "try_divide(" in plan, f"{qname} lost its try_divide"
