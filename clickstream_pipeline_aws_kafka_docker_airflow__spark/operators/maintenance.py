@@ -132,6 +132,30 @@ def vacuum_date_partitions(
 ZORDER_BITS = 16
 
 
+def release_query_caches(spark: SparkSession) -> int:
+    """Dataset-switch cache hygiene for long-lived sessions.
+
+    Nine query-path ``persist()`` sites ship without a paired
+    ``unpersist`` by design (see ``tests/test_cache_census.py`` for
+    the adjudicated census): each pinned frame is bounded (users,
+    sources x langs, histogram rows, batch-candidate pairs) and the
+    CacheManager dedupes repeat calls on plan identity, so WITHIN one
+    dataset the footprint is a constant number of small frames. The
+    accretion hazard is ACROSS datasets — a session that touches many
+    sf dirs / batches accumulates one entry set per source identity
+    and relies on LRU eviction; evicting a pin mid-plan re-triggers
+    the duplicated recompute the pin exists to avoid. Drivers that
+    iterate datasets (scale probes, multi-sf benches) should call this
+    at each dataset boundary.
+
+    Returns the number of cached RDDs released (post-clear storage is
+    asserted empty)."""
+    sc = spark.sparkContext
+    n = len(sc._jsc.sc().getRDDStorageInfo())
+    spark.catalog.clearCache()
+    return n
+
+
 def morton_key(a: F.Column | str, b: F.Column | str, bits: int = ZORDER_BITS) -> F.Column:
     """Interleave the low ``bits`` of two non-negative integer columns
     into one Z-order (Morton) key: bit i of ``a`` lands at position

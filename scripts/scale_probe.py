@@ -487,10 +487,18 @@ def probe_dedup(spark) -> dict:
         pagerank_int,
     )
 
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.maintenance import (
+        release_query_caches,
+    )
+
     d = tempfile.mkdtemp(prefix="probe_dedup_")
     out: dict = {"probe": "dedup"}
     n1 = 10_000
     for tag, n in (("x1", n1), ("x10", n1 * 10)):
+        # dataset boundary: drop the previous corpus's pinned frames
+        # (cand persists etc.) instead of accreting one entry set per
+        # source identity across the probe's datasets
+        release_query_caches(spark)
         out[tag] = _dedup_at_scale(spark, d, n)
     for k in ("lsh_candidates", "ppjoin_candidates"):
         out[f"{k}_growth"] = round(out["x10"][k] / max(out["x1"][k], 1), 1)
