@@ -344,7 +344,14 @@ def incremental_admission(
     """
     from pyspark.sql import Window
 
-    sh_new = shingles.join(new_ids.select("doc_id"), "doc_id", "left_semi")
+    # sh_new feeds the signing chain AND the verify join's batch leg;
+    # unpinned, the second consumer re-scans + re-explodes the corpus
+    # staging table (measured sf0.1: a duplicated 69-task scan job).
+    # Bounded: batch docs x shingles-per-doc. Same no-unpersist cost
+    # contract as ``cand`` below (tests/test_cache_census.py).
+    sh_new = shingles.join(
+        new_ids.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
     bands_new = band_table(minhash_signatures(sh_new, k), k, band_size)
     # ``cand`` is referenced twice below (verify join, jac left join)
     # and, measured at HEAD, exchange REUSE does NOT fire — the

@@ -36,10 +36,13 @@ _PKG = os.path.join(
 # (module-relative path, enclosing function) -> (site count, bound class)
 ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/dedup.py", "incremental_admission"): (
-        1,
-        "cand pairs: bounded by batch size x band collisions (the "
-        "band_df_cap keeps floods linear); released across datasets "
-        "by release_query_caches",
+        2,
+        "cand pairs (batch x band collisions, band_df_cap keeps floods "
+        "linear) + sh_new batch-side shingle slice (batch docs x "
+        "shingles-per-doc; r10 — its second consumer, the verify "
+        "join's batch leg, re-scanned + re-exploded the staging table "
+        "without the pin: 10 -> 9 warm jobs); released across "
+        "datasets by release_query_caches",
     ),
     ("operators/rankstats.py", "exact_ntile"): (
         1,
@@ -82,7 +85,7 @@ PERSISTING_QUERIES = {
     "rfm_segments": 1,
     "corpus_curation": 1,
     "dataset_card": 1,
-    "incremental_dedup_batch": 1,
+    "incremental_dedup_batch": 2,
     "mad_outliers": 2,
 }
 

@@ -40,10 +40,18 @@ CEILINGS = {
     # window sum; dataset_card collapsed to one corpus scan + one
     # (source, lang) rollup
     "mad_outliers": 2,
-    "incremental_dedup_batch": 10,
+    # r10: sh_new pin — the verify join's batch leg read the cache
+    # instead of re-scanning + re-exploding the staging table (10 -> 9)
+    "incremental_dedup_batch": 9,
     "tfidf_top_terms": 7,
     "dataset_card": 4,
-    "ann_topk_ivfpq_res": 9,
+    # r10: re-measured warm counts (ivfpq_res had drifted DOWN since
+    # its r9 pin; ivfpq and q9 newly pinned at their measured counts —
+    # q9's 7 includes the merge hint's +1, the recorded spill-safety
+    # price; AQE cannot coalesce it away, the exchange is required)
+    "ann_topk_ivfpq": 7,
+    "ann_topk_ivfpq_res": 6,
+    "q9_product_profit": 7,
     "corpus_curation": 7,
     "q22_dormant_value": 5,
     # r9 cut-broadcast shape: warm run = ONE cached-scan projection job
