@@ -1018,6 +1018,23 @@ def probe_users(spark) -> dict:
             if s0 is not None and s1 is not None:
                 q["shuffle_mb"] = round((s1 - s0) / 1e6, 1)
             row[name] = q
+        # r10 (verdict #5): the broadcast-ntile rfm plan derives its
+        # quartile cuts ONCE per source identity and memoizes the
+        # composites on the driver — prove that state is dims x
+        # (tiles-1), flat in n_users (the collect that could have been
+        # data-sized is the per-partition counts, n_part rows).
+        from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators import (
+            rankstats,
+        )
+
+        per_entry = [
+            sum(len(dim) for dim in cuts)
+            for cuts in rankstats._CUTS_CACHE.values()
+        ]
+        row["rfm_cut_driver_state"] = {
+            "memo_entries": len(per_entry),
+            "max_composites_per_entry": max(per_entry, default=0),
+        }
         out[tag] = row
     for name in USERS_FAMILY:
         f1 = out["x1"][name].get("straggler_factor")
