@@ -138,6 +138,61 @@ def test_division_census_matches_allowlist(spark):
         spark.conf.set("spark.sql.debug.maxToStringFields", prev)
 
 
+# --- element_at census: the SECOND divergent ANSI class ------------------
+#
+# Probed r10: DuckDB `list_extract(xs, i)` returns NULL out-of-bounds
+# while ANSI `element_at` throws (INVALID_ARRAY_INDEX). The adjacent
+# classes are NOT divergent and need no census: decimal-overflow casts
+# and temporal parse failures ERROR on BOTH engines (probed:
+# `CAST(1e20 AS DECIMAL(24,8))` and `strptime('zz','%Y')` raise in
+# DuckDB too), so cross-engine parity is preserved fail-loud there.
+#
+# Every element_at site is structurally in-range by construction:
+# * generator.py:46,270,276 — `(r * len)::int + 1` with r in [0,1)
+#   (shiftright-normalized hash) and `pmod(...)+1` page/referrer picks:
+#   indices in [1, len].
+# * pq.py:186,270-272 — `s+1` over a Python loop / sequence(0, n_sub-1)
+#   against arrays built with exactly n_sub entries; the inner LUT
+#   lookup `codes[s]+1` is in [1, 256] for any artifact written by
+#   encode_pq (8-bit codes). A STALE artifact with wider codes throws
+#   LOUDLY here — preferred over DuckDB's silent NULL, which would
+#   corrupt distances instead of failing the read.
+# * multimodal.py:47 — `doc_id % |types| + 1`; doc_id >= 0 in every
+#   source (testdata, fuzz, generator), and Spark's sign-of-dividend %
+#   only reaches index 0 for doc_id < 0.
+# * maintenance.py:247 — tile = shiftright(morton, ...) of a
+#   non-negative grid key: in [0, n_tiles-1].
+ELEMENT_AT_ALLOWED = {
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_res",
+    "ann_topk_pq",
+    "gen_synthetic_events",
+    "kafka_payload_roundtrip",
+    "media_frame_sample",
+    "media_histogram",
+}
+
+
+def test_element_at_census_matches_allowlist(spark):
+    found = set()
+    for name, fn in sorted(registry.queries().items()):
+        plan = (
+            fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        if "element_at(" in plan.replace("try_element_at(", ""):
+            found.add(name)
+    new = found - ELEMENT_AT_ALLOWED
+    assert not new, (
+        "NEW element_at site(s): ANSI throws on out-of-bounds where "
+        "DuckDB list_extract returns NULL — adjudicate the index as "
+        "structurally in-range here, or use F.try_element_at: "
+        f"{sorted(new)}"
+    )
+
+
 def test_try_divide_sites_still_present(spark):
     """The two r9 fuzz-found fixes stay try_divide (analyzed-plan
     visible) — a refactor back to `/` would reopen the bug."""
