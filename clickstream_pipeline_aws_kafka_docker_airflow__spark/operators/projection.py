@@ -145,6 +145,15 @@ def gram_partials(emb: DataFrame, dim: int = _DIM, col: str = "embedding"):
     return emb.select(col).mapInPandas(_partial, schema)
 
 
+# fitted (comps, vals, mean) per (app, plan, data identity, params) —
+# the same bounded-memoized-collect pattern as the IVF/LSH state and
+# rankstats' cut cache: k x dim + dim doubles per entry, never
+# corpus-sized. Without it every pca_project8 call re-runs the Gram
+# collect (a full corpus scan) that the serve path doesn't need.
+_PCA_CACHE: dict = {}
+_PCA_CACHE_MAX = 16
+
+
 def pca_components(
     emb: DataFrame, k: int = PCA_K, dim: int = _DIM, col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -152,7 +161,27 @@ def pca_components(
     (mean-centered Gram) via the distributed partial pass + driver
     ``eigh``. Deterministic orientation: each component's
     largest-|coordinate| entry is made positive (eigh sign is
-    otherwise arbitrary)."""
+    otherwise arbitrary). Memoized per source-file identity (path +
+    mtime + size, the artifact_key identity); plans with un-stat-able
+    lineage never cache."""
+    key = None
+    try:
+        from .similarity import _source_fingerprint
+
+        fp = _source_fingerprint(emb)
+        if fp:
+            key = (
+                emb.sparkSession.sparkContext.applicationId,
+                emb.semanticHash(),
+                fp,
+                k,
+                dim,
+                col,
+            )
+    except Exception:
+        key = None
+    if key is not None and key in _PCA_CACHE:
+        return _PCA_CACHE[key]
     rows = gram_partials(emb, dim, col).collect()
     n = sum(r["n"] for r in rows)
     g = np.zeros((dim, dim))
@@ -169,7 +198,12 @@ def pca_components(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    return comps, vals[order], mean
+    result = (comps, vals[order], mean)
+    if key is not None:
+        while len(_PCA_CACHE) >= _PCA_CACHE_MAX:
+            _PCA_CACHE.pop(next(iter(_PCA_CACHE)))
+        _PCA_CACHE[key] = result
+    return result
 
 
 def pca_project(
@@ -179,11 +213,15 @@ def pca_project(
     col: str = "embedding",
     comps: np.ndarray | None = None,
     mean: np.ndarray | None = None,
+    extra: tuple = (),
 ) -> DataFrame:
-    """(vec_id, c0..c{k-1}) — mean-centered projection onto the top-k
-    principal components. The transform is a pure projection (component
-    rows as literals — at real dim x k the broadcast route of
-    _assign_to_centroids applies identically)."""
+    """(vec_id, *extra, c0..c{k-1}) — mean-centered projection onto the
+    top-k principal components. The transform is a pure projection
+    (component rows as literals — at real dim x k the broadcast route
+    of _assign_to_centroids applies identically). ``extra``: additional
+    Columns evaluated on the SAME scan — callers that need a companion
+    per-vector quantity (a norm, a label) avoid a second corpus scan +
+    join by passing it here."""
     if comps is None or mean is None:
         comps, _, mean = pca_components(emb, k, dim, col)
     mean_t = tuple(float(x) for x in mean)
@@ -198,4 +236,4 @@ def pca_project(
         cols.append(
             (_fold_dot_col(F.col(col), plane) - F.lit(const)).alias(f"c{i}")
         )
-    return emb.select("vec_id", *cols)
+    return emb.select("vec_id", *extra, *cols)

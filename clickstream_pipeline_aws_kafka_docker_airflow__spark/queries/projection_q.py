@@ -84,7 +84,6 @@ def pca_project8(spark, sf_dir):
     )
     mean_norm = float(np.sqrt(float((mean * mean).sum())))
 
-    proj = pca_project(emb, comps=comps, mean=mean)
     norm2 = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -94,13 +93,19 @@ def pca_project8(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # norm2 rides the projection's OWN scan (r10): the previous shape
+    # joined proj back to a second embeddings scan on vec_id — one
+    # whole extra corpus scan + a shuffle for a per-row companion
+    # column. Measured sf0.1 warm: 1.1-1.3 s / 3 jobs -> 0.7-0.9 s /
+    # 2 jobs (with the fit memoized per source identity; the residual
+    # wall is the 8x64-dim fold compute itself)
+    with_norm = pca_project(
+        emb, comps=comps, mean=mean, extra=(norm2.alias("_n2"),)
+    )
     sum_c2 = None
     for i in range(comps.shape[0]):
         term = F.col(f"c{i}") * F.col(f"c{i}")
         sum_c2 = term if sum_c2 is None else sum_c2 + term
-    with_norm = proj.join(
-        emb.select("vec_id", norm2.alias("_n2")), "vec_id"
-    )
     bound = (F.sqrt(F.col("_n2")) + F.lit(mean_norm)) ** 2
     return with_norm.select(
         "vec_id",

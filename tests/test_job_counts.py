@@ -52,6 +52,9 @@ CEILINGS = {
     "ann_topk_ivfpq": 7,
     "ann_topk_ivfpq_res": 6,
     "q9_product_profit": 7,
+    # r10: fit memoized per source identity + norm2 on the projection's
+    # own scan (was: second embeddings scan + vec_id join)
+    "pca_project8": 2,
     "corpus_curation": 7,
     "q22_dormant_value": 5,
     # r9 cut-broadcast shape: warm run = ONE cached-scan projection job
