@@ -493,6 +493,24 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
         }
         ok = ok and clean_vs_crash and twin_match
     out["all_equal"] = ok
+    # cache-lifetime census, soak leg (r9 verdict #4): the zones call
+    # no persisting QUERY path, but upsert/corpus_ingest truncate
+    # per-batch lineage with localCheckpoint, whose blocks sit in RDD
+    # storage until the driver GCs the unreferenced RDDs and the
+    # ContextCleaner reclaims them (measured: 100 ticks end at ~81
+    # pending entries, a forced GC drops a 30-tick run 18 -> 7). The
+    # CONTRACT is therefore: after GC the count is O(zones) — only the
+    # LIVE per-zone state checkpoints — never O(ticks). Old batches'
+    # blocks are also safe to evict under pressure: their state was
+    # folded forward and they are never read again.
+    sc = spark.sparkContext
+    out["cached_rdds_at_end"] = len(sc._jsc.sc().getRDDStorageInfo())
+    import gc as _gc
+
+    _gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(3)
+    out["cached_rdds_after_gc"] = len(sc._jsc.sc().getRDDStorageInfo())
     shutil.rmtree(base, ignore_errors=True)
     return out
 
