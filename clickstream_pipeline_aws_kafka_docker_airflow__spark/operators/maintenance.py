@@ -148,12 +148,25 @@ def release_query_caches(spark: SparkSession) -> int:
     iterate datasets (scale probes, multi-sf benches) should call this
     at each dataset boundary.
 
-    Returns the number of cached RDDs released (post-clear storage is
-    asserted empty)."""
+    Scope: clears Spark's CacheManager (the ``persist()`` pins) only.
+    Driver-side memo dicts (``projection._PCA_CACHE``,
+    ``rankstats._CUTS_CACHE``, ``similarity`` artifact state) are
+    intentionally NOT cleared: their keys embed the source-file
+    fingerprint (path+mtime+size), so a dataset switch misses rather
+    than poisons, and the entries are LRU-bounded small driver arrays.
+    ``localCheckpoint`` blocks held by streaming zones are likewise
+    out of scope — ``catalog.clearCache()`` does not release them
+    (they are reclaimed by the zones' explicit release / GC path).
+
+    Returns the number of CacheManager-held RDDs actually released:
+    the storage-info delta across ``clearCache()``, not the raw
+    pre-clear count (which would overcount by any live checkpoint
+    blocks in soak-style sessions)."""
     sc = spark.sparkContext
-    n = len(sc._jsc.sc().getRDDStorageInfo())
+    n_before = len(sc._jsc.sc().getRDDStorageInfo())
     spark.catalog.clearCache()
-    return n
+    n_after = len(sc._jsc.sc().getRDDStorageInfo())
+    return n_before - n_after
 
 
 def morton_key(a: F.Column | str, b: F.Column | str, bits: int = ZORDER_BITS) -> F.Column:

@@ -199,6 +199,11 @@ def pca_components(
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     result = (comps, vals[order], mean)
+    # freeze before caching: the cache hands out these SAME arrays by
+    # reference on every hit, so a caller mutating them in place would
+    # silently poison all later hits — make that a loud ValueError
+    for arr in result:
+        arr.setflags(write=False)
     if key is not None:
         while len(_PCA_CACHE) >= _PCA_CACHE_MAX:
             _PCA_CACHE.pop(next(iter(_PCA_CACHE)))

@@ -96,9 +96,10 @@ def pca_project8(spark, sf_dir):
     # norm2 rides the projection's OWN scan (r10): the previous shape
     # joined proj back to a second embeddings scan on vec_id — one
     # whole extra corpus scan + a shuffle for a per-row companion
-    # column. Measured sf0.1 warm: 1.1-1.3 s / 3 jobs -> 0.7-0.9 s /
-    # 2 jobs (with the fit memoized per source identity; the residual
-    # wall is the 8x64-dim fold compute itself)
+    # column. Committed r9->r10 jobs map: 5 -> 2 warm jobs (fit
+    # memoized per source identity removes the Gram re-collect; the
+    # in-scan companion removes the join leg); bench wall 1.68 ->
+    # 0.53 s. Residual wall is the 8x64-dim fold compute itself.
     with_norm = pca_project(
         emb, comps=comps, mean=mean, extra=(norm2.alias("_n2"),)
     )

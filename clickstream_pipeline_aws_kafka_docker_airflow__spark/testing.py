@@ -108,6 +108,30 @@ def _col_class(series: pd.Series) -> str | None:
     return None
 
 
+def value_hash(pdf: pd.DataFrame) -> str:
+    """Stable content hash of a result frame under the SAME
+    canonicalization as ``compare_frames`` (sorted columns, canon
+    cells, order-insensitive rows). Purpose: a diffable per-query
+    fingerprint for the committed sweep artifacts (docs/SWEEP_r*.json)
+    — two rounds produced identical values iff the hashes match.
+    ``repr`` of canonicalized cells is stable across processes (floats
+    via repr round-trip exactly; datetimes via isoformat)."""
+    import hashlib
+
+    def _cell(v):
+        if isinstance(v, _dt.datetime):
+            return v.isoformat()
+        if isinstance(v, tuple):
+            return tuple(_cell(x) for x in v)
+        return v
+
+    h = hashlib.sha256()
+    h.update(repr(sorted(pdf.columns)).encode())
+    for row in _canon_rows(pdf):
+        h.update(repr(tuple(_cell(v) for v in row)).encode())
+    return h.hexdigest()[:16]
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []

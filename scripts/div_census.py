@@ -106,11 +106,6 @@ def division_sites(plan: str) -> set[str]:
     return out
 
 
-_LITERAL = re.compile(
-    r"^[/%](?:pmod)? ?|^(?:/|%|pmod) "
-)
-
-
 def is_safe_literal(sig: str) -> bool:
     """True when the denominator is a nonzero constant literal
     (possibly cast): structurally can never be zero."""
