@@ -16,6 +16,10 @@ mode, verified empirically) and extract every ANSI-throwing site:
 * ``(num / den)``   — Divide
 * ``(num % den)``   — Remainder
 * ``pmod(num, den)`` — Pmod
+* ``(num div den)`` — IntegralDivide (added r11: the generative ANSI
+  fuzzer found ``x div 0`` throws DIVIDE_BY_ZERO where DuckDB ``//``
+  returns NULL — a class this census had missed because it only
+  scanned the ``/ % pmod`` spellings; 23 plans carry ``div`` sites)
 
 ``try_divide(...)`` / ``try_mod(...)`` calls are skipped (their inner
 rendering is the function form, not the operator form). Each site's
@@ -34,7 +38,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-_OPS = (" / ", " % ")
+_OPS = (" / ", " % ", " div ")
+_OP_SIG = {" / ": "/", " % ": "%", " div ": "div"}
 
 
 def _denominator_after(s: str, pos: int) -> str:
@@ -97,7 +102,7 @@ def division_sites(plan: str) -> set[str]:
                     break
                 den = _denominator_after(line, j + len(op))
                 if den:
-                    out.add(("%" if op == " % " else "/") + " " + normalize(den))
+                    out.add(_OP_SIG[op] + " " + normalize(den))
                 start = j + len(op)
         for m in re.finditer(r"\bpmod\(", line):
             den = _pmod_denominator(line, m.end() - 1)
@@ -109,7 +114,7 @@ def division_sites(plan: str) -> set[str]:
 def is_safe_literal(sig: str) -> bool:
     """True when the denominator is a nonzero constant literal
     (possibly cast): structurally can never be zero."""
-    body = re.sub(r"^(?:/|%|pmod) ", "", sig)
+    body = re.sub(r"^(?:/|%|pmod|div) ", "", sig)
     # strip arbitrarily nested casts: cast(X as type)
     prev = None
     while prev != body:

@@ -79,6 +79,49 @@ _CLASSES: list[tuple[str, re.Pattern[str]]] = [
         ),
     ),
     ("jaccard-union", re.compile(r"^/ cast\(n_union as double\)$")),
+    # --- IntegralDivide (` div `) classes, added r11: the generative
+    # ANSI fuzzer (scripts/ansi_fuzzer.py) found `x div 0` throws
+    # DIVIDE_BY_ZERO where DuckDB `//` returns NULL — and the r10
+    # census never swept the `div` spelling. Adjudications:
+    #
+    # div-group-count: denominator is COUNT(*)/COUNT(1) of an existing
+    #   group (or a product of such counts) — a group only exists with
+    #   >= 1 row, so the count is >= 1. Sites: chi2 n/r/c; curation
+    #   c/t permille scaling; dataset_card n_docs; key_skew n_rows
+    #   (count window over rows being divided); repetition n_grams
+    #   (COUNT of grams grouped per doc); session_transitions _tot;
+    #   tfidf df (count of docs containing the term); trimmed_mean
+    #   count(1).
+    (
+        "div-group-count",
+        re.compile(
+            r"^div (n|c|t|r|df|n_docs|n_rows|n_grams|_tot|count\(1\)"
+            r"|\(\(cast\(1000 as bigint\) \* c\) \* t\)"
+            r"|\(\(n \* r\) \* c\))$"
+        ),
+    ),
+    # div-nullif-guarded: denominator is nullif(COUNT(x), 0) * scale —
+    #   a zero count becomes NULL and `x div NULL` is NULL on BOTH
+    #   engines (null propagation, no throw); the trunc4-avg pattern
+    #   (functions/scalars.py:76).
+    (
+        "div-nullif-guarded",
+        re.compile(r"^div cast\(\(nullif\(count\("),
+    ),
+    # div-filter-guarded: denominator filtered > 0 upstream on both
+    #   engines — n_chars (curation_q.py priority sampling, WHERE
+    #   n_chars > 0 mirrored in the oracle) and wt (pipeline_q.py
+    #   mixture_resample, .where(wt > 0) / WHERE wt > 0).
+    (
+        "div-filter-guarded",
+        re.compile(r"^div (n_chars|cast\(wt as bigint\))$"),
+    ),
+    # div-positive-sum-product: revenue_gini's (n * s) — n a group
+    #   count >= 1, s = SUM of integer-cent o_totalprice, positive in
+    #   the TPC-H domain (and the oracle computes the identical
+    #   expression, so a hostile zero-mass stratum fails LOUDLY on
+    #   both engines rather than silently diverging).
+    ("div-positive-sum-product", re.compile(r"^div \(n \* s\)$")),
 ]
 
 ALLOWED: dict[str, set[str]] = {
@@ -92,6 +135,27 @@ ALLOWED: dict[str, set[str]] = {
     "sim_topk_bruteforce": {"cosine-norm-product"},
     "sim_topk_vectorized": {"cosine-norm-product"},
     "incremental_dedup_batch": {"jaccard-union"},
+    # IntegralDivide sites (r11)
+    "chi2_type_by_weekday": {"div-group-count"},
+    "corpus_curation": {"div-group-count"},
+    "quality_score": {"div-group-count"},
+    "quota_sample": {"div-group-count"},
+    "source_curation_stats": {"div-group-count", "div-nullif-guarded"},
+    "dataset_card": {"div-group-count"},
+    "key_skew_report": {"div-group-count"},
+    "repetition_score": {"div-group-count"},
+    "session_transitions": {"div-group-count"},
+    "tfidf_top_terms": {"div-group-count"},
+    "trimmed_mean_value": {"div-group-count"},
+    "embed_norms_by_label": {"div-nullif-guarded"},
+    "json_props_agg": {"div-nullif-guarded"},
+    "label_centroid_inertia": {"div-nullif-guarded"},
+    "multimodal_meta": {"div-nullif-guarded"},
+    "q1_pricing_summary": {"div-nullif-guarded"},
+    "text_stats_by_lang": {"div-nullif-guarded"},
+    "mixture_resample": {"div-filter-guarded"},
+    "priority_sample_weighted": {"div-filter-guarded"},
+    "revenue_gini": {"div-positive-sum-product"},
 }
 
 
