@@ -172,6 +172,8 @@ def compact_cms_zone(spark: SparkSession, zone_dir: str) -> int:
     is already a single compacted layer). Crash-safe at every point:
     the manifest commits atomically with the sums (same partition
     write), so readers never double-count and a re-run converges."""
+    from .release import checkpoint_release_scope
+
     zone = spark.read.parquet(zone_dir)
     visible, folded, uncommitted, manifest_of = _zone_state(zone)
     stale = (folded | uncommitted) - set(visible)
@@ -180,6 +182,15 @@ def compact_cms_zone(spark: SparkSession, zone_dir: str) -> int:
         if stale:
             _gc_layers(spark, zone_dir, stale, manifest_of)
         return 0
+    with checkpoint_release_scope(spark):
+        return _compact_body(
+            spark, zone_dir, zone, visible, stale, uncommitted, manifest_of
+        )
+
+
+def _compact_body(
+    spark, zone_dir, zone, visible, stale, uncommitted, manifest_of
+) -> int:
     new_id = min([i for i in manifest_of] + [i for i in uncommitted] + [0]) - 1
     merged = _visible_cells(zone).groupBy("dt", "s", "b").agg(
         F.sum("cnt").alias("cnt")

@@ -44,6 +44,7 @@ from ..operators.dedup import (
     shingle_table,
 )
 from ..session import temp_confs
+from .release import checkpoint_release_scope
 
 # admit a new doc only if its signature agrees with every stored
 # signature on FEWER than this many of the NUM_HASHES minhashes
@@ -67,6 +68,16 @@ def _dedup_one_batch(
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
+    # the keep/sigs/rejected checkpoints below are dead once both zone
+    # writes commit — release them with the batch instead of waiting
+    # for driver GC (streaming/release.py)
+    with checkpoint_release_scope(spark):
+        _dedup_one_batch_body(spark, batch_df, batch_id, corpus_dir, redact)
+
+
+def _dedup_one_batch_body(
+    spark, batch_df: DataFrame, batch_id: int, corpus_dir: str, redact: bool
+) -> None:
     docs = batch_df.select("doc_id", "text")
     if redact:
         # compliance-first: mask PII BEFORE dedup, so signatures, the

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..session import temp_confs
+from .release import checkpoint_release_scope
 
 
 def start_partition_upsert(
@@ -54,6 +55,13 @@ def start_partition_upsert(
         if out.isEmpty():
             return
         spark = out.sparkSession
+        # batch-local localCheckpoint blocks die WITH the batch —
+        # deterministic storage occupancy instead of wait-for-GC
+        # (streaming/release.py)
+        with checkpoint_release_scope(spark):
+            _upsert_body(spark, out)
+
+    def _upsert_body(spark, out: DataFrame) -> None:
         if keys:
             # key-level merge: keep the affected partitions' rows whose
             # group key is NOT being re-emitted in this batch

@@ -368,11 +368,6 @@ DISPOSITIONS: dict[tuple[str, str, str], dict] = {
     ("mod_d", "error", "value"): {
         "status": "censused", "note": "x % 0.0: test_div_census.py",
     },
-    ("intdiv", "error", "null"): {
-        "status": "absent",
-        "note": "x div 0 throws vs DuckDB // NULL; no `div` operator "
-                "in any analyzed plan",
-    },
     ("pmod", "error", "null"): {
         "status": "censused",
         "note": "pmod(x, 0): test_div_census.py sweeps pmod sites",
@@ -389,6 +384,95 @@ DISPOSITIONS: dict[tuple[str, str, str], dict] = {
                 "where DuckDB list_extract(xs, 0) returns NULL — same "
                 "census as index-out-of-bounds",
     },
+    # --- classes FOUND by this fuzzer in r11, adjudicated ---
+    ("intdiv", "error", "null"): {
+        "status": "censused",
+        "note": "x div 0 throws DIVIDE_BY_ZERO vs DuckDB // NULL; the "
+                "r10 division census missed the div spelling — "
+                "scripts/div_census.py now sweeps ' div ' and "
+                "tests/test_div_census.py adjudicates all 23 "
+                "div-carrying plans (r11)",
+    },
+    ("cast_d_i", "value", "value"): {
+        "status": "censused",
+        "note": "CAST(double AS INT): Spark truncates toward zero "
+                "(-2.5 -> -2), DuckDB ROUNDS (-2.5 -> -3) — silent "
+                "value divergence on any fractional source. "
+                "tests/test_ansi_divergence.py::test_cast_to_int_census "
+                "pins every cast-to-int site in all 128 analyzed plans "
+                "to integer/boolean-valued sources",
+    },
+    ("slice", "error", "value"): {
+        "status": "censused",
+        "note": "slice(arr, 0, n) / negative length throws "
+                "INVALID_PARAMETER_VALUE where list_slice returns a "
+                "value; test_slice_census pins the 3 sites (start >= "
+                "1, constant positive length)",
+    },
+    ("slice", "value", "error"): {
+        "status": "censused",
+        "note": "complementary direction (huge start: Spark [] vs "
+                "DuckDB end-bound overflow error) — same 3 pinned "
+                "sites, structurally in-range",
+    },
+    ("split_part", "error", "value"): {
+        "status": "censused",
+        "note": "index 0: INVALID_INDEX_OF_ZERO vs DuckDB '' — "
+                "test_split_part_absent asserts the function appears "
+                "in no plan",
+    },
+    ("split_part", "null", "value"): {
+        "status": "censused",
+        "note": "NULL input: Spark NULL-propagates, DuckDB returns '' "
+                "— same absence census",
+    },
+    ("array_contains", "null", "value"): {
+        "status": "censused",
+        "note": "NULL element + missing needle: Spark three-valued "
+                "NULL vs list_contains FALSE — "
+                "test_array_contains_census pins the single site "
+                "(split() output, elements never NULL)",
+    },
+    ("try_element_at", "error", "null"): {
+        "status": "censused",
+        "note": "try_element_at(arr, INT_MIN) throws java.lang."
+                "IndexOutOfBoundsException (negation overflow in the "
+                "from-end path) instead of NULL — "
+                "test_try_element_at_census pins the one site as a "
+                "MAP-key lookup (no positional path)",
+    },
+    ("floor", "value", "error"): {
+        "status": "censused",
+        "note": "FLOOR(|x| >= 2^63) clamps to the BIGINT extremes "
+                "where DuckDB's conversion errors — "
+                "test_floor_ceil_census pins the 3 sites as bounded "
+                "by construction",
+    },
+    ("ceil", "value", "error"): {
+        "status": "censused",
+        "note": "same clamp class as floor — same census",
+    },
+    ("fold_elision", "null", "error"): {
+        "status": "fail-loud",
+        "note": "one engine's constant folding / null propagation "
+                "skipped a throwing child the other engine evaluated "
+                "(e.g. x < NULL folds to NULL before x's error "
+                "surfaces). One side ALWAYS errors, so the oracle "
+                "gate (sweep + driver) surfaces any real instance "
+                "loudly — it cannot silently corrupt a green pair",
+    },
+    ("fold_elision", "value", "error"): {
+        "status": "fail-loud",
+        "note": "see (fold_elision, null, error)",
+    },
+    ("fold_elision", "error", "null"): {
+        "status": "fail-loud",
+        "note": "see (fold_elision, null, error); reverse direction",
+    },
+    ("fold_elision", "error", "value"): {
+        "status": "fail-loud",
+        "note": "see (fold_elision, null, error); reverse direction",
+    },
 }
 
 
@@ -404,19 +488,41 @@ def _diverges(spark, duck: "Duck", node: Node):
     return True, so, do
 
 
-def shrink(spark, duck: "Duck", node: Node) -> tuple[Node, tuple, tuple]:
-    """Minimal divergent subtree: if any proper descendant already
-    diverges on its own, the root op is an innocent carrier — classify
-    by the deepest divergent subtree instead (post-order scan). A few
-    extra evals per FIND, not per expression."""
+def shrink(spark, duck: "Duck", node: Node):
+    """(minimal divergent subtree, spark_outcome, duck_outcome,
+    saw_both_error): if any proper descendant already diverges on its
+    own, the root op is an innocent carrier — classify by the deepest
+    divergent subtree instead (post-order scan). ``saw_both_error``
+    marks a descendant on which BOTH engines threw: when the minimal
+    node then shows one-side-error divergence, the mechanism is
+    error-elision-by-folding (one engine's constant folding / null
+    propagation skipped a throwing child the other engine evaluated)
+    rather than an op-specific semantic — classified as the synthetic
+    ``fold_elision`` class regardless of carrier op. A few extra evals
+    per FIND, not per expression."""
+    saw_both_error = False
     for sub in node.subtrees():
         if sub.op == "literal":
             continue
-        d, so, do = _diverges(spark, duck, sub)
-        if d:
-            return sub, so, do
-    d, so, do = _diverges(spark, duck, node)
-    return node, so, do
+        so = spark_outcome(spark, sub.sp)
+        do = duck.outcome(sub.dk)
+        sk, dkk = outcome_kind(so), outcome_kind(do)
+        if sk == "error" and dkk == "error":
+            saw_both_error = True
+            continue
+        if sk == dkk and (sk != "value" or values_agree(so[1], do[1])):
+            continue
+        return sub, so, do, saw_both_error
+    _d, so, do = _diverges(spark, duck, node)
+    return node, so, do, saw_both_error
+
+
+def classify_key(mini: Node, mso, mdo, saw_both_error: bool):
+    sk, dkk = outcome_kind(mso), outcome_kind(mdo)
+    one_side_error = (sk == "error") != (dkk == "error")
+    if saw_both_error and one_side_error:
+        return ("fold_elision", sk, dkk)
+    return (mini.op, sk, dkk)
 
 
 def main() -> int:
@@ -460,8 +566,8 @@ def main() -> int:
             if not d:
                 n_agree += 1
                 continue
-            mini, mso, mdo = shrink(spark, duck, tree)
-            key = (mini.op, outcome_kind(mso), outcome_kind(mdo))
+            mini, mso, mdo, sbe = shrink(spark, duck, tree)
+            key = classify_key(mini, mso, mdo, sbe)
             c = classes.setdefault(
                 key, {"n": 0, "examples": [], "seeds": set()}
             )

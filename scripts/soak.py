@@ -493,16 +493,16 @@ def run_soak(spark, ticks: int = TICKS, seed: int = SEED) -> dict:
         }
         ok = ok and clean_vs_crash and twin_match
     out["all_equal"] = ok
-    # cache-lifetime census, soak leg (r9 verdict #4): the zones call
-    # no persisting QUERY path, but upsert/corpus_ingest truncate
-    # per-batch lineage with localCheckpoint, whose blocks sit in RDD
-    # storage until the driver GCs the unreferenced RDDs and the
-    # ContextCleaner reclaims them (measured: 100 ticks end at ~81
-    # pending entries, a forced GC drops a 30-tick run 18 -> 7). The
-    # CONTRACT is therefore: after GC the count is O(zones) — only the
-    # LIVE per-zone state checkpoints — never O(ticks). Old batches'
-    # blocks are also safe to evict under pressure: their state was
-    # folded forward and they are never read again.
+    # cache-lifetime census, soak leg (r9 verdict #4; contract
+    # tightened r11): the zones call no persisting QUERY path, and
+    # since r11 upsert/corpus_ingest/cms-compaction release their
+    # per-batch localCheckpoint blocks DETERMINISTICALLY at batch end
+    # (streaming/release.py checkpoint_release_scope) instead of
+    # waiting for driver GC + ContextCleaner — the r10 soaks measured
+    # 0..~81 pending entries after 100 ticks depending on GC timing.
+    # The CONTRACT is now: cached_rdds_at_end == 0 on EVERY run (no
+    # zone holds cross-tick checkpoint state; the after-GC probe stays
+    # as a regression sentinel and must also read 0).
     sc = spark.sparkContext
     out["cached_rdds_at_end"] = len(sc._jsc.sc().getRDDStorageInfo())
     import gc as _gc
@@ -533,7 +533,8 @@ def main() -> None:
     )
     with open(p, "w") as f:
         json.dump(out, f, indent=1)
-    sys.exit(0 if out["all_equal"] else 1)
+    # r11: deterministic-release contract is part of the gate
+    sys.exit(0 if out["all_equal"] and out["cached_rdds_at_end"] == 0 else 1)
 
 
 if __name__ == "__main__":
