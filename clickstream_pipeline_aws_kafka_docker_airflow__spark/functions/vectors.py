@@ -38,3 +38,42 @@ def cosine_prenormed(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from precomputed pieces — compute norms once per row, not
     once per pair, before a pairwise join."""
     return dot_ab / (norm_a * norm_b)
+
+
+def _ns_dot_body(a: str, b: str) -> str:
+    # list_sum over per-element products is bit-identical to
+    # list_dot_product on clean doubles (probed: 0 mismatches in 20k
+    # random 64-dim vectors — both fold sequentially) but never ERRORS
+    # on NULL elements; COALESCE restores Spark's 0.0 fold seed for
+    # empty arrays (list_sum([]) is NULL)
+    return (
+        f"COALESCE(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2])), 0.0)"
+    )
+
+
+def ns_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``dot`` with the ENGINE's NULL semantics made
+    explicit (r11 nullish-vector fuzz find): Spark's fold returns NULL
+    for a vector containing any NULL element (``acc + NULL``), while
+    DuckDB's ``list_dot_product`` ERRORS ('can not contain NULL
+    values'). The CASE mirrors the fold — NULL when either side has a
+    NULL element (or IS NULL: ``len(NULL)`` is NULL and the comparison
+    collapses the CASE to NULL), the exact dot otherwise. The THEN
+    branch must itself be error-free because DuckDB's CASE is EAGER
+    over vectorized chunks (probed: a guarded list_dot_product still
+    throws on dirty rows in the same chunk) — hence the list_sum form,
+    not list_dot_product."""
+    return (
+        f"CASE WHEN list_aggregate({a}, 'count') = len({a}) "
+        f"AND list_aggregate({b}, 'count') = len({b}) "
+        f"THEN {_ns_dot_body(a, b)} END"
+    )
+
+
+def ns_selfdot_sql(a: str) -> str:
+    """``ns_dot_sql(a, a)`` with a single NULL-element check."""
+    return (
+        f"CASE WHEN list_aggregate({a}, 'count') = len({a}) "
+        f"THEN {_ns_dot_body(a, a)} END"
+    )

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from ..functions.vectors import ns_selfdot_sql
 from ..io import load_table
 from ..operators.artifacts import materialized
 from ..operators.clustering import connected_components
@@ -539,12 +540,13 @@ def contamination_table(spark, sf_dir):
 WITH pairs AS (
     SELECT * FROM ({_minhash_oracle()}) q WHERE jaccard >= {DUP_JACCARD}
 ), e AS (
+    -- NULL-safe norm (r11): Spark's fold NULL-propagates on NULL
+    -- elements where list_dot_product errors; NULL norm fails the
+    -- > 0 guard on both engines, so such vectors drop out identically
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                 CAST(embedding AS DOUBLE[]))) AS nrm
+           sqrt({ns_selfdot_sql("CAST(embedding AS DOUBLE[])")}) AS nrm
     FROM embeddings
-    WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-                           CAST(embedding AS DOUBLE[])) > 0
+    WHERE {ns_selfdot_sql("CAST(embedding AS DOUBLE[])")} > 0
 )
 SELECT p.id_a, p.id_b, p.jaccard,
        -- + 0.0 canonicalizes IEEE negative zero (the projection.py

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from ..functions.scalars import dec_avg_trunc_sql
+from ..functions.vectors import ns_selfdot_sql
 from ..io import load_table
 from ..operators.similarity import (
     ANN_BITS,
@@ -92,13 +93,16 @@ def ann_topk_lsh(spark, sf_dir):
     )
 
 
-# identical semantics to sim_topk_bruteforce (vectors_q.py) -> same oracle
+# identical semantics to sim_topk_bruteforce (vectors_q.py) -> same
+# oracle; base norm is the NULL-safe form (r11 nullish-vector fuzz —
+# Spark's fold NULL-propagates where list_dot_product errors), pair
+# dots below only see vectors that survived the norm guard
 _BRUTE_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, {_E} AS v,
-           sqrt(list_dot_product({_E}, {_E})) AS nrm
+           sqrt({ns_selfdot_sql(_E)}) AS nrm
     FROM embeddings
-    WHERE list_dot_product({_E}, {_E}) > 0
+    WHERE {ns_selfdot_sql(_E)} > 0
 ),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
 p AS (

@@ -25,7 +25,7 @@ from ..functions.scalars import (
     dec_avg_trunc4_sql,
     dec_avg_trunc_sql,
 )
-from ..functions.vectors import dot, norm
+from ..functions.vectors import dot, norm, ns_dot_sql, ns_selfdot_sql
 from ..io import load_table
 from ..registry import register
 
@@ -34,6 +34,11 @@ TOPK_NQUERIES = 10  # vec_id < 10 are the query vectors
 NEARDUP_THRESHOLD = 0.35  # driver embeddings are unclustered; 0.35 ~ p99.9
 
 _E_DOUBLE = "CAST(embedding AS DOUBLE[])"
+# NULL-safe self-dot (r11 nullish-vector fuzz): Spark's fold returns
+# NULL for vectors containing NULL elements where DuckDB's
+# list_dot_product ERRORS — the oracles mirror the engine's NULL
+# propagation explicitly (functions/vectors.py::ns_selfdot_sql)
+_NS_SELFDOT = ns_selfdot_sql(_E_DOUBLE)
 
 
 @register(
@@ -44,7 +49,7 @@ SELECT label,
        {dec_avg_trunc4_sql("nrm", "duckdb")} AS avg_norm,
        ROUND(MIN(nrm), 4) AS min_norm,
        ROUND(MAX(nrm), 4) AS max_norm
-FROM (SELECT label, sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
+FROM (SELECT label, sqrt({_NS_SELFDOT}) AS nrm
       FROM embeddings)
 GROUP BY label
 """,
@@ -70,9 +75,9 @@ def embed_norms_by_label(spark, sf_dir):
     oracle=f"""
 WITH e AS (
     SELECT vec_id, {_E_DOUBLE} AS v,
-           sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
+           sqrt({_NS_SELFDOT}) AS nrm
     FROM embeddings
-    WHERE list_dot_product({_E_DOUBLE}, {_E_DOUBLE}) > 0
+    WHERE {_NS_SELFDOT} > 0
 ),
 q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < {TOPK_NQUERIES}),
 p AS (
@@ -127,9 +132,9 @@ def sim_topk_bruteforce(spark, sf_dir):
     oracle=f"""
 WITH e AS (
     SELECT vec_id, label, {_E_DOUBLE} AS v,
-           sqrt(list_dot_product({_E_DOUBLE}, {_E_DOUBLE})) AS nrm
+           sqrt({_NS_SELFDOT}) AS nrm
     FROM embeddings
-    WHERE list_dot_product({_E_DOUBLE}, {_E_DOUBLE}) > 0
+    WHERE {_NS_SELFDOT} > 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
@@ -188,9 +193,9 @@ WITH e AS (
     SELECT label, list(coord ORDER BY pos) AS c FROM cent GROUP BY label
 ), d2 AS (
     SELECT e.label,
-           list_dot_product(e.v, e.v)
-           - 2 * list_dot_product(e.v, carr.c)
-           + list_dot_product(carr.c, carr.c) AS d2
+           {ns_selfdot_sql("e.v")}
+           - 2 * {ns_dot_sql("e.v", "carr.c")}
+           + {ns_selfdot_sql("carr.c")} AS d2
     FROM e JOIN carr ON carr.label = e.label
 )
 SELECT label, COUNT(*) AS n_vecs,

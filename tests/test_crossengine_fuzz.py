@@ -576,6 +576,92 @@ def test_crossengine_vec_fuzz(spark, vec_fuzz_dirs, name):
         )
 
 
+def _fuzz_embeddings_nullish(rng: random.Random, n: int = 40) -> list[tuple]:
+    """r11 lane (r10 verdict next-round #6): embeddings where the
+    VALUES themselves go NULL — whole-row NULL embeddings, vectors
+    with a contiguous NULL slice, and one all-NULL vector — the
+    cosine-guard edge the zero-vector fixture can't reach. A NULL
+    element makes every norm/dot fold NULL on BOTH engines, so the
+    ``norm > 0`` guards must drop these rows identically (NULL is not
+    > 0); a divergence here means one engine's fold short-circuits
+    where the other propagates."""
+    dim = 64
+    rows: list[tuple] = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.10:
+            v = None  # whole embedding NULL
+        elif r < 0.20:
+            v = [round(rng.uniform(-0.5, 0.5), 6) for _ in range(dim)]
+            start = rng.randrange(dim - 8)
+            for j in range(start, start + 8):
+                v[j] = None  # contiguous NULL slice
+        elif r < 0.24:
+            v = [None] * dim  # all-NULL vector
+        elif r < 0.30:
+            v = [0.0] * dim
+        else:
+            v = [round(rng.uniform(-0.5, 0.5), 6) for _ in range(dim)]
+        rows.append((i, v, None if rng.random() < 0.1 else rng.randrange(10)))
+    return rows
+
+
+# the JVM-fold cosine/norm family — their NULL semantics are defined
+# (fold propagates NULL, norm>0 drops it; oracles mirror via
+# functions/vectors.py::ns_selfdot_sql). EXCLUDED by documented input
+# contract: the quantizer-trained tiers (ann_topk_*, pq_codes,
+# semantic_dedup) and the Arrow projection paths (pca_project8,
+# rp_project16) — their k-means training defines non-null input, and
+# a NULL-element vector fails loudly at train/encode time on both
+# engines rather than silently diverging.
+NULLISH_VEC_QUERIES = [
+    "embed_norms_by_label",
+    "sim_topk_bruteforce",
+    "embed_neardup_cosine",
+    "label_centroid_inertia",
+    "neardup_embedding_check",
+    "sim_topk_vectorized",
+]
+
+
+@pytest.fixture(scope="module")
+def nullish_vec_dirs(spark, tmp_path_factory):
+    dirs = {}
+    for seed in SEEDS[:2]:
+        rng = random.Random(seed + 5000)
+        root = tmp_path_factory.mktemp(f"nullvec{seed}")
+        for t in TABLES:
+            shutil.copy(f"{ADV_SF}/{t}.parquet", root / f"{t}.parquet")
+        _write_ref_schema(
+            _fuzz_embeddings_nullish(rng),
+            "embeddings",
+            root / "embeddings.parquet",
+        )
+        dirs[seed] = str(root)
+    return dirs
+
+
+@pytest.mark.parametrize("name", NULLISH_VEC_QUERIES)
+def test_crossengine_nullish_vec_fuzz(spark, nullish_vec_dirs, name):
+    for seed, sf in nullish_vec_dirs.items():
+        sdf = E.queries()[name](spark, sf).toPandas()
+        con = duckdb.connect(":memory:")
+        try:
+            for t in TABLES:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            ddf = con.sql(E.oracle_sql()[name]).df()
+        finally:
+            con.close()
+        problems = compare_frames(sdf, ddf)
+        assert not problems, (
+            f"[{name}] seed={seed} nullish-vec mismatch:\n"
+            + "\n".join(problems)
+        )
+
+
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_crossengine_fuzz(spark, fuzz_dirs, name):
     for seed, sf in fuzz_dirs.items():
