@@ -320,6 +320,51 @@ def test_anchor_intdiv_zero(spark, duck):
     assert duck.sql("SELECT 1 // 0").fetchone()[0] is None
 
 
+def test_element_at_boundary_actually_exercised(spark):
+    """r10 verdict next-round #6 (boundary seed): the element_at census
+    adjudicates every index as structurally in-range — this asserts
+    the BOUNDARY of that range is actually reached on real data, so
+    the in-range proof is load-bearing, not vacuous. The generator's
+    uniform picks must hit BOTH ends of [1, len] (an off-by-one in the
+    shiftright normalization would shrink the reachable range or throw
+    INVALID_ARRAY_INDEX at len+1), and the multimodal type pick must
+    reach index 3 of the 3-element MEDIA_TYPES array."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.sources.generator import (
+        PAGES,
+        REFERRERS,
+        generate_events_batch_deterministic,
+    )
+
+    ev = (
+        generate_events_batch_deterministic(spark, 4000)
+        .select("page", "referrer")
+        .collect()
+    )
+    pages = {r["page"] for r in ev}
+    refs = {r["referrer"] for r in ev}
+    # first and last list elements = element_at indices 1 and len
+    assert PAGES[0] in pages and PAGES[-1] in pages, sorted(pages)
+    assert REFERRERS[0] in refs and REFERRERS[-1] in refs, sorted(refs)
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import (
+        load_table,
+    )
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.multimodal import (
+        MEDIA_TYPES,
+        attach_fake_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mt = {
+        r["media_type"]
+        for r in attach_fake_media(docs)
+        .select("media_type")
+        .distinct()
+        .collect()
+    }
+    assert mt == set(MEDIA_TYPES), mt
+
+
 def test_anchor_floor_clamp(spark, duck):
     assert _spark_val(spark, "floor(1e308)") == (1 << 63) - 1
     import duckdb as _d
