@@ -80,12 +80,23 @@ def materialized(
     and if the destination still isn't complete the call raises rather
     than serve a partial/foreign table.
     """
+    from ..streaming.release import checkpoint_release_scope
+
     os.makedirs(ARTIFACT_ROOT, mode=0o700, exist_ok=True)
     path = os.path.join(ARTIFACT_ROOT, artifact_key(src_path, name, params))
     if not _complete(path):
         t0 = time.perf_counter()
         tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        # Build inside a checkpoint-release scope: builders that iterate
+        # (connected_components' per-round localCheckpoint) register
+        # RDD-storage blocks that are dead the moment the parquet write
+        # below commits — the artifact is re-READ from disk, never from
+        # the build lineage. Without the scope those blocks linger until
+        # a driver GC happens to run, which made cold-cache storage
+        # occupancy nondeterministic (the cache-accretion suite caught
+        # exactly this on a fresh /tmp).
+        with checkpoint_release_scope(spark):
+            build().write.mode("overwrite").parquet(tmp)
         try:
             os.replace(tmp, path)
         except OSError:
