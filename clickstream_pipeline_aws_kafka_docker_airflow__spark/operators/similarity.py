@@ -184,12 +184,18 @@ def hyperplanes(nbits: int = ANN_BITS, dim: int = ANN_DIM, seed: int = ANN_SEED)
 def _plane_dot(emb: Column | str, plane: tuple[float, ...]) -> Column:
     # one parsed literal, not len(plane) py4j F.lit calls (driver-time
     # hotspot at n_tables x nbits planes); CAST('repr' AS DOUBLE)
-    # round-trips float64 exactly
-    arr = F.expr(
-        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
-    )
-    c = F.col(emb) if isinstance(emb, str) else emb
-    prods = F.zip_with(c, arr, lambda x, y: x.cast("double") * y)
+    # round-trips float64 exactly. For plain column names the WHOLE
+    # fold is one SQL parse (r11: the DSL zip_with/aggregate pair cost
+    # ~45 ms of py4j chatter per plane — at nbits planes per bucket
+    # expression that dominated LSH-query plan construction).
+    arr_sql = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
+    if isinstance(emb, str):
+        return F.expr(
+            f"aggregate(zip_with({emb}, {arr_sql}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    prods = F.zip_with(emb, F.expr(arr_sql), lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 

@@ -84,15 +84,9 @@ def pca_project8(spark, sf_dir):
     )
     mean_norm = float(np.sqrt(float((mean * mean).sum())))
 
-    norm2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("embedding"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from ..functions.vectors import dot
+
+    norm2 = dot("embedding", "embedding")
     # norm2 rides the projection's OWN scan (r10): the previous shape
     # joined proj back to a second embeddings scan on vec_id — one
     # whole extra corpus scan + a shuffle for a per-row companion

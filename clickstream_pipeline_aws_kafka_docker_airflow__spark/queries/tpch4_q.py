@@ -69,14 +69,22 @@ def q2_min_cost_supplier(spark, sf_dir):
     accumulation, so both engines pick bit-identical minima and the
     equality join is exact.
 
-    Scale: region suppliers are dim-sized (broadcast twice); the part
-    filter is pushed BELOW the cost rollup as a broadcast semi-join
-    (per-part cost is independent across parts, so restricting to the
-    surviving parts first is exact — a join-through-aggregation
-    pushdown Catalyst does not do itself), cutting the only big shuffle
-    by the part filter's selectivity. The per-part MIN is a window over
-    the rolled-up cost table (thousands of rows), not a second
-    aggregation + self-join.
+    Scale: region suppliers are dim-sized (nation/region broadcast);
+    the part filter is pushed BELOW the cost rollup as a broadcast
+    semi-join (per-part cost is independent across parts, so
+    restricting to the surviving parts first is exact — a
+    join-through-aggregation pushdown Catalyst does not do itself),
+    cutting the only big shuffle by the part filter's selectivity. The
+    esupp filter rides the SAME join that delivers the output's
+    supplier attributes: the attributes travel through the rollup as
+    extra group keys (functionally dependent on l_suppkey — supplier
+    PK), so esupp is scanned, joined, and (if the planner shuffles it)
+    exchanged exactly once. Measured r11: the former left_semi +
+    final-stitch form built the esupp subtree twice and left an
+    AQE-stranded lineitem shuffle behind the runtime SMJ->BHJ
+    conversion — 12 -> 8 warm jobs, one lineitem pass instead of two.
+    The per-part MIN is a window over the rolled-up cost table
+    (thousands of rows), not a second aggregation + self-join.
     """
     from pyspark.sql import Window
 
@@ -92,24 +100,20 @@ def q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
     )
     l = load_table(spark, sf_dir, "lineitem")
-    # the pre-rollup semi-filters use the SAME full p/esupp plans the
-    # final stitch joins use, so the exchange builds once and is reused
-    # (a projected .select twin would be a second build). No forced
-    # broadcast: both slices grow with the corpus, so the build side
-    # stays estimate-driven (AQE broadcasts them at this scale and
-    # flips to shuffle joins when they outgrow the threshold)
+    # inner join (not semi): esupp is unique per s_suppkey, so row
+    # multiplicity is unchanged, and grouping on the carried attributes
+    # cannot split a (l_partkey, l_suppkey) group. No forced broadcast:
+    # esupp grows with the corpus, so the build side stays
+    # estimate-driven (AQE broadcasts at this scale and flips to a
+    # shuffle join when it outgrows the threshold)
     cost = (
         l.join(
             p,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
-        .join(
-            esupp,
-            F.col("s_suppkey") == F.col("l_suppkey"),
-            "left_semi",
-        )
-        .groupBy("l_partkey", "l_suppkey")
+        .join(esupp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name")
         .agg(
             F.min(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "cost"
@@ -121,7 +125,6 @@ def q2_min_cost_supplier(spark, sf_dir):
         cost.withColumn("best_cost", best)
         .where(F.col("cost") == F.col("best_cost"))
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(esupp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
     )
 
@@ -332,9 +335,22 @@ def q20_volume_share_suppliers(spark, sf_dir):
     Determinism: both quantity sums are exact decimals and the share
     compare is cross-multiplied in decimal space — no double division.
 
-    Scale: the part list broadcasts; sup/part rollups share the partkey
-    shuffle; dims broadcast; DISTINCT runs on a supplier-sized set.
+    Scale: the part list broadcasts; the per-part total is a WINDOW sum
+    over the (part, supplier) rollup — the rolled-up table is shuffled
+    once on l_partkey instead of being re-aggregated and joined back,
+    which also kept the plan from computing the whole rollup (and
+    scanning lineitem) twice (measured r11: the groupBy+self-join
+    form's exchange was NOT reused — two full lineitem scans and two
+    rollup aggregations in the final plan; 9 -> 7 warm jobs). The
+    decimal window SUM is order-independent, so the values are
+    bit-identical to the re-aggregation. DISTINCT runs on the bare
+    suppkey BEFORE the dim joins (suppkey is the supplier PK, so the
+    projected row set is unchanged) — the dedup shuffle carries one
+    bigint instead of three mixed columns and the dim joins see only
+    distinct keys.
     """
+    from pyspark.sql import Window
+
     sel = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
@@ -352,19 +368,18 @@ def q20_volume_share_suppliers(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.expr(_QTY_DEC)).alias("sup_qty"))
     )
-    tot = q.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("sup_qty").alias("part_qty")
-    )
+    part_qty = F.sum("sup_qty").over(Window.partitionBy("l_partkey"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        q.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        q.withColumn("part_qty", part_qty)
         .where(
             F.col("sup_qty") * Q20_SHARE_DENOM
             > F.col("part_qty") * Q20_SHARE_NUM
         )
+        .select("l_suppkey")
+        .distinct()
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
-        .distinct()
     )

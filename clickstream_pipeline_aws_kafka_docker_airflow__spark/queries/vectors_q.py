@@ -243,15 +243,11 @@ def label_centroid_inertia(spark, sf_dir):
             lambda s: s["coord"],
         ).alias("c")
     )
-    vv = F.aggregate(
-        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, t: s + t
-    )
-    vc = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: a * b), F.lit(0.0), lambda s, t: s + t
-    )
-    cc = F.aggregate(
-        F.zip_with("c", "c", lambda a, b: a * b), F.lit(0.0), lambda s, t: s + t
-    )
+    # dot()'s single-parse SQL path; its CAST(x AS DOUBLE) over the
+    # already-double arrays is erased by SimplifyCasts, leaving the
+    # identical product-fold expression the DSL lambdas built (r11:
+    # three DSL folds cost ~0.5 s of py4j chatter per construction)
+    vv, vc, cc = dot("v", "v"), dot("v", "c"), dot("c", "c")
     d2 = (vv - 2 * vc + cc).alias("d2")
     return (
         e.join(F.broadcast(carr), "label")

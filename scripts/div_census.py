@@ -83,8 +83,10 @@ def _pmod_denominator(s: str, open_paren: int) -> str:
 
 def normalize(sig: str) -> str:
     sig = re.sub(r"#\d+L?", "", sig)
-    # lambda variable ids are session-order-dependent (x_13, y_14, ...)
-    sig = re.sub(r"\blambda [a-z]+_\d+\b", "lambda v", sig)
+    # lambda variable ids are session-order-dependent (x_13, y_14, ...);
+    # SQL-parsed lambdas keep their written names (x, acc, ...) with no
+    # numeric suffix — normalize both spellings of the same arithmetic
+    sig = re.sub(r"\blambda [a-z]+(_\d+)?\b", "lambda v", sig)
     sig = re.sub(r"\s+", " ", sig).strip()
     return sig
 

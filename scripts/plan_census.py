@@ -19,7 +19,9 @@ sys.path.insert(0, "/root/repo")
 
 def _normalize(sig: str) -> str:
     sig = re.sub(r"#\d+L?", "", sig)
-    sig = re.sub(r"\blambda [a-z]+_\d+\b", "lambda v", sig)
+    # DSL lambdas get numeric suffixes (x_13); SQL-parsed lambdas keep
+    # their written names (x, acc) — normalize both
+    sig = re.sub(r"\blambda [a-z]+(_\d+)?\b", "lambda v", sig)
     sig = re.sub(r"\s+", " ", sig).strip()
     return sig
 
