@@ -68,17 +68,38 @@ def funnel_conversion(spark, sf_dir):
     joins and partial aggs instead of buffering in a WindowExec frame.
     No broadcast: at 100 TB the per-step user sets are themselves
     fact-sized.
+
+    v and c are PINNED (r11): each is consumed twice (the next step's
+    derivation joins it INNER — inferring ``isnotnull(user_id)`` that
+    pushes into that copy's scan — while the final count chain joins it
+    LEFT with no such inference; the asymmetric filter makes the two
+    copies canonicalize differently, so AQE exchange reuse cannot fire
+    and the final plan re-aggregated each frame from a fresh events
+    scan: 6 exchanges, 8 warm jobs). An explicit isnotnull on both
+    sides would fix reuse but CHANGE results — the oracle counts the
+    NULL-user group in step 1. The pins compute each frame once — 6
+    warm jobs, one events pass per step; bounded by |users| rows (the
+    rfm_segments pin class). This supersedes the r8-measured negatives
+    above only in mechanism — the repartition base and the checkpoint
+    pin both failed for reasons (filter-split, job boundaries) the
+    CacheManager pin does not share.
     """
     e = load_table(spark, sf_dir, "events")
     et = norm_event_type("event_type")
 
-    v = e.where(et == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    v = (
+        e.where(et == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .persist()
+    )
     c = (
         e.where(et == "click")
         .join(v, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     p = (
         e.where(et == "purchase")

@@ -44,13 +44,25 @@ def q15_top_supplier(spark, sf_dir):
     Scale: one shuffle (supplier rollup); the max is a one-row
     broadcast; supplier dim broadcasts. Ties return every tied
     supplier on both engines, identically.
+
+    The rollup is PINNED (r11): the supplier equi-join infers
+    ``isnotnull(l_suppkey)`` and pushes it through the aggregation into
+    the join branch's scan copy only — the MAX branch's copy stays
+    unfiltered (its NULL-suppkey group must stay in the MAX, matching
+    the oracle), so the two subtrees canonicalize differently and AQE
+    exchange reuse can NOT fire (measured: two full lineitem scans in
+    the final plan, 6 warm jobs). The pin makes the rollup compute once
+    — 4 warm jobs, one fact pass; bounded by |suppliers| rows (the
+    rfm_segments entity-rollup pin class, tests/test_cache_census.py).
     """
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.expr(_REV_DEC)).alias("rd")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.expr(_REV_DEC)).alias("rd"))
+        .persist()
     )
     mx = rev.agg(F.max("rd").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")

@@ -77,6 +77,22 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "per-user RFM rollup: |users| rows, the plan's one shuffle",
     ),
+    ("queries/funnel_q.py", "funnel_conversion"): (
+        2,
+        "per-user step frames v and c: |users| rows each; both are "
+        "consumed twice and the inner-join-inferred isnotnull(user_id) "
+        "specializes one copy's scan, defeating AQE exchange reuse "
+        "(r11 measured: 8 -> 6 warm jobs, one events pass per step "
+        "instead of two)",
+    ),
+    ("queries/tpch3_q.py", "q15_top_supplier"): (
+        1,
+        "per-supplier revenue rollup: |suppliers| rows, the plan's one "
+        "shuffle; the supplier join's inferred isnotnull(l_suppkey) "
+        "specializes the join branch's scan copy, defeating exchange "
+        "reuse against the MAX branch (r11 measured: 6 -> 4 warm jobs, "
+        "one lineitem pass instead of two)",
+    ),
 }
 
 # Registered queries whose execution creates persistent cache entries,
@@ -87,6 +103,8 @@ PERSISTING_QUERIES = {
     "dataset_card": 1,
     "incremental_dedup_batch": 2,
     "mad_outliers": 2,
+    "funnel_conversion": 2,
+    "q15_top_supplier": 1,
 }
 
 

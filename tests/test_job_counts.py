@@ -25,12 +25,21 @@ CEILINGS = {
     "q1_pricing_summary": 2,
     "q8_market_share": 6,
     "q21_waiting_supplier": 8,
-    # 12 (was 10) since the forced-broadcast sweep: q2's p/esupp build
-    # sides are estimate-driven now, so AQE materializes them as two
-    # extra runtime-broadcast stages at tiny scale (wall measured
-    # BETTER, 0.78 -> 0.69 s) instead of the static hint that would
-    # force a corpus-grown broadcast at 100 TB (docs/PROBE_MEMORY.json)
-    "q2_min_cost_supplier": 12,
+    # r11: esupp rides the attribute-carrying inner join through the
+    # rollup (was: a left_semi + a second esupp build + an AQE-stranded
+    # lineitem shuffle behind the runtime SMJ->BHJ conversion): 12 -> 8
+    "q2_min_cost_supplier": 8,
+    # r11: per-part total as a window SUM over the (part,supp) rollup
+    # (was: re-aggregation joined back — the rollup and its lineitem
+    # scan executed twice); suppkey-level DISTINCT before the dims
+    "q20_volume_share_suppliers": 7,
+    # r11: supplier-rollup pin — the stitch join's inferred
+    # isnotnull(l_suppkey) specialized the join branch's scan copy and
+    # defeated exchange reuse against the MAX branch (6 -> 4)
+    "q15_top_supplier": 4,
+    # r11: v/c pins for the same inferred-isnotnull reuse failure
+    # (inner step-derivation joins vs the final left-join chain): 8 -> 6
+    "funnel_conversion": 6,
     "snapshot_diff": 3,
     "session_trigrams": 3,
     # r9 job diet (verdict item 3): histogram/candidate pins moved from
