@@ -15,7 +15,11 @@ from pyspark.sql import Column, functions as F
 
 # Plain-identifier column references can take the single-parse SQL
 # spelling below; anything else (qualified names, Column expressions)
-# stays on the Column-DSL path.
+# stays on the Column-DSL path. Matched names are additionally
+# backtick-quoted in the generated SQL so a name the parser would
+# otherwise read as a niladic function keyword (current_date,
+# current_user, ...) still resolves as the COLUMN — exactly what the
+# DSL path's F.col would do.
 _NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
@@ -23,18 +27,31 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def _dot_sql(a: str, b: str) -> str:
-    # the EXACT expression the DSL path builds — zip_with products in
-    # double, strict left fold from 0.0 — spelled as one SQL string so
-    # the whole tree is built by a single JVM parse instead of ~25 py4j
-    # round-trips (measured r11: each DSL dot/norm cost ~45 ms of
-    # driver-side socket chatter; the ANN queries build several per
-    # plan, so construction alone ran 0.9-2.3 s per query)
+def fold_dot_sql(a: str, b: str, cast_right: bool = True) -> str:
+    """The EXACT fold expression the Column-DSL path builds — zip_with
+    products in double, strict left fold from 0.0 — spelled as one SQL
+    string so the whole tree is built by a single JVM parse instead of
+    ~25 py4j round-trips (measured r11: each DSL dot/norm cost ~45 ms
+    of driver-side socket chatter; the ANN queries build several per
+    plan, so construction alone ran 0.9-2.3 s per query).
+
+    ``a``/``b`` are raw SQL operand strings (already validated /
+    quoted by the caller, or literal array(...) text); shared by
+    operators/projection.py and operators/similarity.py so the three
+    fast-path sites cannot drift apart — the plan censuses normalize
+    on this one spelling. ``cast_right=False`` mirrors the DSL sites
+    whose right operand is an already-double literal plane (their
+    lambda casts only the left side)."""
+    y = "CAST(y AS DOUBLE)" if cast_right else "y"
     return (
         f"aggregate(zip_with({a}, {b}, "
-        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"(x, y) -> CAST(x AS DOUBLE) * {y}), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return fold_dot_sql(f"`{a}`", f"`{b}`")
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

@@ -73,6 +73,14 @@ def materialized(
     materialize. The parquet round-trip preserves every driver-checked
     type (bigint/double/string/bool/arrays).
 
+    Build-scope contract: the build runs inside
+    ``checkpoint_release_scope``, which on exit unpersists every
+    RDD-storage registration the build created — correct because the
+    artifact is re-READ from parquet, so build lineage is dead at
+    commit. A ``build`` callable must therefore NOT create cache pins
+    meant to outlive the build (none does today; a builder that needs
+    one should materialize it as its own artifact instead).
+
     Completion contract: a directory is an artifact ONLY if Spark's
     ``_SUCCESS`` marker exists. Losing the build race is fine (the
     winner's complete table is read); finding an INCOMPLETE directory

@@ -62,15 +62,20 @@ def _fold_dot_col(vec, plane: tuple[float, ...]) -> F.Column:
     # made plan CONSTRUCTION the dominant cost of rp_project16
     # (measured r11: 0.83 s construct vs 0.18 s execute). Identical
     # expression either way: per-element double products, strict left
-    # fold from 0.0.
-    if isinstance(vec, str):
+    # fold from 0.0 (cast_right=False: the plane literal is already
+    # double, matching the DSL lambda that casts only the left side).
+    from ..functions.vectors import _NAME, fold_dot_sql
+
+    if isinstance(vec, str) and _NAME.match(vec):
         return F.expr(
-            f"aggregate(zip_with({vec}, {_plane_lit_sql(plane)}, "
-            "(a, b) -> CAST(a AS DOUBLE) * b), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            fold_dot_sql(f"`{vec}`", _plane_lit_sql(plane), cast_right=False)
         )
-    prods = F.zip_with(vec, _plane_lit(plane), lambda a, b: a.cast("double") * b)
+    prods = F.zip_with(_col_of(vec), _plane_lit(plane), lambda a, b: a.cast("double") * b)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _col_of(vec) -> F.Column:
+    return F.col(vec) if isinstance(vec, str) else vec
 
 
 def rp_project(

@@ -187,15 +187,16 @@ def _plane_dot(emb: Column | str, plane: tuple[float, ...]) -> Column:
     # round-trips float64 exactly. For plain column names the WHOLE
     # fold is one SQL parse (r11: the DSL zip_with/aggregate pair cost
     # ~45 ms of py4j chatter per plane — at nbits planes per bucket
-    # expression that dominated LSH-query plan construction).
+    # expression that dominated LSH-query plan construction); the
+    # spelling is the shared functions.vectors.fold_dot_sql, with
+    # cast_right=False because the plane literal is already double.
+    from ..functions.vectors import _NAME, fold_dot_sql
+
     arr_sql = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
-    if isinstance(emb, str):
-        return F.expr(
-            f"aggregate(zip_with({emb}, {arr_sql}, "
-            "(x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-    prods = F.zip_with(emb, F.expr(arr_sql), lambda x, y: x.cast("double") * y)
+    if isinstance(emb, str) and _NAME.match(emb):
+        return F.expr(fold_dot_sql(f"`{emb}`", arr_sql, cast_right=False))
+    c = F.col(emb) if isinstance(emb, str) else emb
+    prods = F.zip_with(c, F.expr(arr_sql), lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 

@@ -86,7 +86,7 @@ def normalize(sig: str) -> str:
     # lambda variable ids are session-order-dependent (x_13, y_14, ...);
     # SQL-parsed lambdas keep their written names (x, acc, ...) with no
     # numeric suffix — normalize both spellings of the same arithmetic
-    sig = re.sub(r"\blambda [a-z]+(_\d+)?\b", "lambda v", sig)
+    sig = re.sub(r"\blambda [a-z]+(_\d+)?\b", "lambda v", sig)  # keep in sync with the twin normalizer (div_census.py <-> plan_census.py)
     sig = re.sub(r"\s+", " ", sig).strip()
     return sig
 

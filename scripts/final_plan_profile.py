@@ -49,9 +49,9 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     qs = registry.queries()
-    base = (
-        "http://localhost:4055/api/v1/applications/" + sc.applicationId
-    )
+    # uiWebUrl, not the configured port: Spark falls back to 4056+ when
+    # 4055 is busy, and this must follow it
+    base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
 
     def rest(path: str):
         with urllib.request.urlopen(base + path) as r:

@@ -21,7 +21,7 @@ def _normalize(sig: str) -> str:
     sig = re.sub(r"#\d+L?", "", sig)
     # DSL lambdas get numeric suffixes (x_13); SQL-parsed lambdas keep
     # their written names (x, acc) — normalize both
-    sig = re.sub(r"\blambda [a-z]+(_\d+)?\b", "lambda v", sig)
+    sig = re.sub(r"\blambda [a-z]+(_\d+)?\b", "lambda v", sig)  # keep in sync with the twin normalizer (div_census.py <-> plan_census.py)
     sig = re.sub(r"\s+", " ", sig).strip()
     return sig
 

@@ -33,8 +33,12 @@ def test_cold_cluster_labels_build_releases_checkpoints(spark, monkeypatch):
         artifacts, "ARTIFACT_ROOT", tempfile.mkdtemp(prefix="cold_artifacts_")
     )
     before = _blocks(spark)
+    # BUILD_WALLS is session-global and never reset — snapshot so the
+    # did-the-build-run guard can't be satisfied by an earlier test's
+    # build in the default root
+    wall_before = artifacts.BUILD_WALLS.get("cluster_labels", 0.0)
     df = cluster_labels_table(spark, SF_SMOKE)  # cold -> runs the CC build
-    assert artifacts.BUILD_WALLS.get("cluster_labels", 0.0) > 0.0, (
+    assert artifacts.BUILD_WALLS.get("cluster_labels", 0.0) > wall_before, (
         "build did not run — the cold-root monkeypatch failed"
     )
     assert _blocks(spark) == before, (

@@ -47,10 +47,24 @@ def test_fastpath_matches_dsl_path_bitwise(spark):
 
 def test_fastpath_rejects_non_identifier_inputs(spark):
     # qualified / expression inputs must take the DSL path, not be
-    # spliced into SQL text
+    # spliced into SQL text — including qualified STRING names, which
+    # is the case that actually exercises the _NAME guard (a Column
+    # arg bypasses it by type)
     df = _frame(spark).alias("t")
-    col_path = df.select(V.dot(F.col("t.a"), F.col("t.b")).alias("d"))
     name_path = df.select(V.dot("a", "b").alias("d"))
-    assert [r["d"] for r in col_path.collect()] == [
-        r["d"] for r in name_path.collect()
-    ]
+    qual_str = df.select(V.dot("t.a", "t.b").alias("d"))  # fails _NAME
+    col_path = df.select(V.dot(F.col("t.a"), F.col("t.b")).alias("d"))
+    expected = [r["d"] for r in name_path.collect()]
+    assert [r["d"] for r in qual_str.collect()] == expected
+    assert [r["d"] for r in col_path.collect()] == expected
+
+
+def test_fastpath_keyword_column_names_resolve_as_columns(spark):
+    # a column named like a niladic SQL function must resolve as the
+    # COLUMN on the fast path (backtick quoting), exactly like F.col
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])],
+        "current_date array<double>, current_user array<double>",
+    )
+    got = df.select(V.dot("current_date", "current_user").alias("d")).collect()
+    assert got[0]["d"] == 1.0 * 3.0 + 2.0 * 4.0
