@@ -76,6 +76,50 @@ def snapshot_diff(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     )
 
 
+def snapshot_diff_derived(
+    src: DataFrame,
+    key: str,
+    in_a: Column,
+    in_b: Column,
+    b_overrides: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One-scan snapshot diff for DERIVED snapshots: when snapshot A is
+    ``src.where(in_a)`` and snapshot B is ``src.where(in_b)`` with the
+    columns in ``b_overrides`` rewritten, and ``key`` is unique in
+    ``src``, each key's A-row and B-row originate from the SAME source
+    row — so the full-outer join of :func:`snapshot_diff` degenerates
+    to per-row classification: ONE scan, ZERO shuffles (at 100 TB the
+    difference between a fact-fact sort-merge join and a map-only
+    pass). Results are identical to
+    ``snapshot_diff(src.where(in_a), b_frame, key)`` under that key-
+    uniqueness precondition (pinned by
+    tests/test_lifecycle.py::test_snapshot_diff_derived_matches_join);
+    "changed" is decided by IS-DISTINCT-FROM on the overridden columns
+    — non-overridden columns of the same row are trivially equal, and
+    the per-column comparison is strictly collision-free where the
+    digest path trusts md5.
+
+    NULL membership predicates classify like the filters they mirror:
+    a NULL ``in_a``/``in_b`` keeps the row out of that snapshot,
+    exactly as ``where`` would."""
+    in_a = F.coalesce(in_a, F.lit(False))
+    in_b = F.coalesce(in_b, F.lit(False))
+    changed: Column | None = None
+    for c, expr in (b_overrides or {}).items():
+        d = ~F.col(c).eqNullSafe(expr)
+        changed = d if changed is None else (changed | d)
+    ct = F.when(~in_a & in_b, F.lit("added")).when(
+        in_a & ~in_b, F.lit("removed")
+    )
+    if changed is not None:
+        ct = ct.when(in_a & in_b & changed, F.lit("changed"))
+    return (
+        src.where(in_a | in_b)
+        .select(F.col(key), ct.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )
+
+
 def erasure_report(
     events: DataFrame,
     deletion_list: DataFrame,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.lifecycle import erasure_report, snapshot_diff
+from ..operators.lifecycle import erasure_report, snapshot_diff_derived
 from ..registry import register
 
 # Snapshot A = events before Jan 21. Snapshot B = events before Jan 26
@@ -70,12 +70,30 @@ WHERE (a.event_id IS NULL) OR (b.event_id IS NULL)
 """,
 )
 def snapshot_diff_q(spark, sf_dir):
-    """Added/removed/changed keys between two table versions. The Spark
-    side diffs (key, md5 digest) pairs — narrow shuffle, wide rows stay
-    in their scans; the oracle spells the same classification as
-    per-column IS DISTINCT FROM comparisons."""
-    a, b = _snapshots(load_table(spark, sf_dir, "events"))
-    return snapshot_diff(a, b, "event_id")
+    """Added/removed/changed keys between two table versions. Both
+    snapshots here are DERIVED from one keyed source (A = a time-filter
+    of events, B = a time-filter minus deletions with one column
+    rewritten) and ``event_id`` is the events PK — so the r12 path is
+    ``snapshot_diff_derived``: one scan, zero shuffles, per-row
+    membership + IS-DISTINCT-FROM classification (the oracle's own
+    spelling). The general two-source diff (``snapshot_diff``: digest
+    reduction before a full-outer join) remains the operator for
+    independently-produced snapshots — stream/batch reconciliation
+    still uses it (tests/test_stream_batch_reconciliation.py)."""
+    in_a = F.col("ts") < F.lit(_A_END).cast("timestamp")
+    in_b = (F.col("ts") < F.lit(_B_END).cast("timestamp")) & (
+        F.col("event_id") % _DEL_MOD != 0
+    )
+    b_value = F.when(
+        F.col("event_id") % _CHG_MOD == 0, F.col("value") * 2
+    ).otherwise(F.col("value"))
+    return snapshot_diff_derived(
+        load_table(spark, sf_dir, "events"),
+        "event_id",
+        in_a,
+        in_b,
+        {"value": b_value},
+    )
 
 
 @register(

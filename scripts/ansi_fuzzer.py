@@ -525,6 +525,16 @@ def classify_key(mini: Node, mso, mdo, saw_both_error: bool):
     return (mini.op, sk, dkk)
 
 
+def _cap(x, limit: int = 256) -> str:
+    """Render a captured outcome value for the artifact, truncated.
+    r11 shipped values verbatim and lpad('...', 2147483647, 'x') put a
+    ~0.5 GB string of 'x' into docs/ANSI_DIVERGENCE.json (r11 verdict
+    What's-wrong #1); the class is identified by its first bytes plus
+    the true length, never by half a gigabyte of payload."""
+    s = str(x)
+    return s if len(s) <= limit else f"{s[:limit]}...<len={len(s)}>"
+
+
 def main() -> int:
     n_per_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     seeds = (
@@ -576,10 +586,10 @@ def main() -> int:
             if len(c["examples"]) < 3:
                 c["examples"].append(
                     {
-                        "spark_sql": mini.sp,
-                        "duck_sql": mini.dk,
-                        "spark": [str(x) for x in mso],
-                        "duck": [str(x) for x in mdo],
+                        "spark_sql": _cap(mini.sp),
+                        "duck_sql": _cap(mini.dk),
+                        "spark": [_cap(x) for x in mso],
+                        "duck": [_cap(x) for x in mdo],
                     }
                 )
 
@@ -619,7 +629,7 @@ def main() -> int:
           f"divergent_classes={len(classes)} NEW={len(new)}")
     print(f"wrote {path}")
     spark.stop()
-    con.close()
+    duck._con.close()
     return 1 if new else 0
 
 

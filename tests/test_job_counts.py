@@ -40,7 +40,7 @@ CEILINGS = {
     # r11: v/c pins for the same inferred-isnotnull reuse failure
     # (inner step-derivation joins vs the final left-join chain): 8 -> 6
     "funnel_conversion": 6,
-    "snapshot_diff": 3,
+    "snapshot_diff": 1,
     "session_trigrams": 3,
     # r9 job diet (verdict item 3): histogram/candidate pins moved from
     # localCheckpoint (a job boundary per call, never shared) to

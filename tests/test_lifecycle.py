@@ -12,6 +12,7 @@ from clickstream_pipeline_aws_kafka_docker_airflow__spark.jobs import run_user_e
 from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators.lifecycle import (
     erasure_report,
     snapshot_diff,
+    snapshot_diff_derived,
 )
 
 
@@ -32,6 +33,78 @@ def test_snapshot_diff_null_vs_empty_string_differ(spark):
     b = spark.createDataFrame([(1, "")], "k bigint, v string")
     out = snapshot_diff(a, b, "k").collect()
     assert [(r["k"], r["change_type"]) for r in out] == [(1, "changed")]
+
+
+def test_snapshot_diff_derived_matches_join(spark):
+    """r12 one-scan path ≡ the join path on a hostile derived pair:
+    NULL membership predicates (NULL keeps the row out, like a filter),
+    NULL→value / value→NULL / 0→0 rewrites, and rows in neither
+    snapshot. Key is unique — the operator's documented precondition."""
+    src = spark.createDataFrame(
+        [
+            # (k, keep_a, keep_b raw flag, v)
+            (1, True, True, 2.0),    # changed: v -> 2v differs
+            (2, True, True, 0.0),    # unchanged: 0 -> 0
+            (3, True, True, None),   # unchanged: NULL -> NULL
+            (4, True, False, 5.0),   # removed
+            (5, False, True, 7.0),   # added
+            (6, None, False, 1.0),   # in neither (NULL in_a = filtered)
+            (7, True, None, 3.0),    # removed (NULL in_b = filtered)
+        ],
+        "k bigint, fa boolean, fb boolean, v double",
+    )
+    in_a, in_b = F.col("fa"), F.col("fb")
+    b_v = F.when(F.col("k") == 1, F.col("v") * 2).otherwise(F.col("v"))
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff_derived(
+            src, "k", in_a, in_b, {"v": b_v}
+        ).collect()
+    }
+    a = src.where(in_a).select("k", "v")
+    b = src.where(in_b).select("k", b_v.alias("v"))
+    want = {
+        r["k"]: r["change_type"] for r in snapshot_diff(a, b, "k").collect()
+    }
+    assert got == want == {1: "changed", 4: "removed", 5: "added", 7: "removed"}
+
+
+def test_snapshot_diff_query_matches_r11_join_formulation(spark):
+    """The r12 one-scan query must return exactly what the r11
+    join-of-derived-frames formulation returned on real data."""
+    from conftest import SF_SMOKE
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark import registry
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.io import load_table
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.lifecycle_q import (
+        _snapshots,
+    )
+
+    a, b = _snapshots(load_table(spark, SF_SMOKE, "events"))
+    want = sorted(
+        (r["event_id"], r["change_type"])
+        for r in snapshot_diff(a, b, "event_id").collect()
+    )
+    got = sorted(
+        (r["event_id"], r["change_type"])
+        for r in registry.queries()["snapshot_diff"](spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_snapshot_diff_derived_no_overrides(spark):
+    """With no column rewrites 'changed' is impossible — only
+    membership classification remains."""
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k bigint, v string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff_derived(
+            src, "k", F.col("k") <= 2, F.col("k") >= 2
+        ).collect()
+    }
+    assert got == {1: "removed", 3: "added"}
 
 
 def test_erasure_report_counts_and_null_user(spark):

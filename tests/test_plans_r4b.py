@@ -16,14 +16,17 @@ from conftest import SF_SMOKE
 _Q = registry.queries()
 
 
-def test_snapshot_diff_shuffles_digests_not_rows(spark):
-    """The full-outer join must exchange (key, md5 digest) pairs only —
-    if text-width columns (props, event_type) appear in an Exchange the
-    wide rows are being shuffled."""
+def test_snapshot_diff_is_one_scan_no_shuffle(spark):
+    """r12: both snapshots derive from ONE keyed source, so the diff is
+    per-row classification — the plan must be a single events scan with
+    NO Exchange and NO join (the r11 shape was a full-outer join over
+    two scans of the same parquet; at 100 TB that is a fact-fact
+    sort-merge join where a map-only pass suffices)."""
     plan = formatted_plan(_Q["snapshot_diff"](spark, SF_SMOKE))
-    for ex in re.findall(r"\(\d+\) Exchange\n(.*?)\n", plan):
-        assert "props" not in ex and "event_type" not in ex, ex
-    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # detail-block headers only (the tree section repeats each scan)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
 
 
 def test_user_erasure_broadcasts_deletion_list(spark):
