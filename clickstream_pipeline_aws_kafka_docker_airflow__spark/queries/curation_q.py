@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import dec_avg_trunc4, dec_avg_trunc4_sql
 from ..io import load_table
+from ..operators.dedup import token_hash32_sql
 from ..registry import register
 from .pipeline_q import (
     CONTAM_CTES,
@@ -31,7 +32,6 @@ from .pipeline_q import (
     _quality_subquery,
     cluster_labels_table,
     contamination_table,
-    train_split,
 )
 from .text_q import quality_score
 
@@ -103,16 +103,23 @@ def corpus_curation(spark, sf_dir, quality=None, clusters=None, contam=None):
         contam = contamination_table(spark, sf_dir)
     q = quality.select("doc_id", "quality").persist()
     keep = clusters.where(F.col("is_canonical")).select("doc_id")
-    split = train_split(spark, sf_dir).where(F.col("split") == "train").select(
-        "doc_id"
+    # r12: the train-slice membership is a PURE function of doc_id
+    # (train_split is hash(doc_id) % buckets — exactly how the oracle
+    # spells it as a direct WHERE), so the left-semi join against a
+    # second documents scan (docs ⋉ train_split, census
+    # docs/REUSE_CENSUS_r12.json) collapses to the predicate itself:
+    # one fewer fact scan + broadcast + join at every scale.
+    in_train = (
+        F.expr(token_hash32_sql("CAST(doc_id AS STRING)")) % SPLIT_BUCKETS
+        < SPLIT_TRAIN
     )
     rate = contam.select("doc_id", "contamination_rate")
     return (
         docs.select("doc_id")
+        .where(in_train)
         .join(q, "doc_id")
         .where(F.col("quality") >= QUALITY_FLOOR)
         .join(keep, "doc_id", "left_semi")
-        .join(split, "doc_id", "left_semi")
         .join(rate, "doc_id", "left")
         .withColumn(
             "contamination_rate", F.coalesce("contamination_rate", F.lit(0.0))

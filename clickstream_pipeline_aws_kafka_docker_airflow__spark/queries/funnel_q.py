@@ -167,22 +167,39 @@ def retention_cohorts(spark, sf_dir):
     date; each (cohort, day-offset) cell counts distinct users active
     that many days after first touch.
 
-    Scale: the first-touch frame and the activity join both key on
-    ``user_id`` (one exchange, reused); the final rollup's key space is
-    tiny (days x offsets), so its shuffle is negligible and AQE
-    coalesces it. The distinct-count is per-cell exact; swap in the
-    HLL variant from kpis.py if 2%% error is acceptable at 100 TB.
-    """
-    e = load_table(spark, sf_dir, "events")
-    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_dt"))
+    Scale (r12 single-pass shape): the r11 formulation joined events
+    back to a first-touch rollup — two fact scans (the inner join's
+    inferred ``isnotnull(user_id)`` split the scan subtrees, census
+    docs/REUSE_CENSUS_r12.json) — but everything each cell needs is a
+    function of one user's DISTINCT active dates, which are bounded by
+    the calendar, so ONE aggregation per user collects that date set
+    (map-side partials dedup before the only fact shuffle), the cohort
+    and day-offsets fall out per row, and the final cell count is a
+    plain COUNT over (user, day_n)-unique rows — exactly the join
+    formulation's COUNT(DISTINCT user): 1 scan / 2 exchanges instead
+    of 2 scans / join / distinct-expand. NULL users never survive the
+    original inner join, so the explicit filter is identity; a user's
+    NULL-ts activity keeps its (cohort, NULL) cell via the has_null
+    channel (collect_set drops NULLs)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set(F.to_date("ts"))).alias("ds"),
+        F.max(F.to_date("ts").isNull()).alias("has_null"),
+    )
+    cohort = F.get("ds", 0)  # min active date; NULL when all-ts-NULL
+    day_ns = F.transform(
+        "ds", lambda d: F.datediff(d, cohort).cast("bigint")
+    )
+    entries = F.when(
+        F.col("has_null"),
+        F.concat(day_ns, F.array(F.lit(None).cast("bigint"))),
+    ).otherwise(day_ns)
     return (
-        e.select("user_id", F.to_date("ts").alias("d"))
-        .join(f, "user_id")
-        .groupBy(
-            "cohort_dt",
-            F.datediff("d", "cohort_dt").cast("bigint").alias("day_n"),
+        per_user.select(
+            cohort.alias("cohort_dt"), F.explode(entries).alias("day_n")
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .groupBy("cohort_dt", "day_n")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

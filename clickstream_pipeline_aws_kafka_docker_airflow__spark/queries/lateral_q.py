@@ -81,25 +81,42 @@ FROM p FULL OUTER JOIN e ON p.dt = e.dt
 )
 def join_outer_daily(spark, sf_dir):
     """FULL OUTER join coverage: daily purchase vs error counts with
-    either side possibly absent."""
-    ev = load_table(spark, sf_dir, "events")
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("p_dt"))
-        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    either side possibly absent.
+
+    r12 shape: both join inputs were conditional rollups of ONE fact
+    table keyed the same way, so one scan + conditional counts replaces
+    two scans + a full-outer sort-merge join
+    (docs/REUSE_CENSUS_r12.json flagged the duplicate scans). The one
+    place the join is NOT a per-key zip is the NULL key — a full outer
+    join never matches NULL to NULL, so a NULL date with both purchases
+    and errors yields TWO half-rows — reproduced exactly by the
+    NULL-split explode below (exercised by the NULL-dense fuzz,
+    tests/test_crossengine_fuzz.py)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
     )
-    e = (
-        ev.where(F.col("event_type") == "error")
-        .groupBy(F.to_date("ts").alias("e_dt"))
-        .agg(F.count(F.lit(1)).alias("n_errors"))
+    g = ev.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("ne"),
     )
-    return (
-        p.join(e, F.col("p_dt") == F.col("e_dt"), "full_outer")
-        .select(
-            F.coalesce("p_dt", "e_dt").alias("dt"),
-            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
-            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
-        )
+    zero = F.lit(0).cast("bigint")
+    pair = lambda a, b: F.struct(a.alias("np"), b.alias("ne"))  # noqa: E731
+    empty = F.array().cast("array<struct<np:bigint,ne:bigint>>")
+    null_split = F.concat(
+        F.when(F.col("np") > 0, F.array(pair(F.col("np"), zero))).otherwise(
+            empty
+        ),
+        F.when(F.col("ne") > 0, F.array(pair(zero, F.col("ne")))).otherwise(
+            empty
+        ),
+    )
+    rows = F.when(
+        F.col("dt").isNotNull(), F.array(pair(F.col("np"), F.col("ne")))
+    ).otherwise(null_split)
+    return g.select("dt", F.explode(rows).alias("r")).select(
+        "dt",
+        F.col("r.np").alias("n_purchases"),
+        F.col("r.ne").alias("n_errors"),
     )
 
 

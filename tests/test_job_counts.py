@@ -64,7 +64,14 @@ CEILINGS = {
     # r10: fit memoized per source identity + norm2 on the projection's
     # own scan (was: second embeddings scan + vec_id join)
     "pca_project8": 2,
-    "corpus_curation": 7,
+    # r12: the train-slice left-semi join (a second documents scan +
+    # broadcast) collapsed to the hash(doc_id) predicate the oracle
+    # already spells: 7 -> 4
+    "corpus_curation": 4,
+    # r12: one-pass shapes from the reuse census (see those queries'
+    # docstrings): retention 5 -> 3, join_outer 3 -> 2
+    "retention_cohorts": 3,
+    "join_outer_daily": 2,
     "q22_dormant_value": 5,
     # r9 cut-broadcast shape: warm run = ONE cached-scan projection job
     # (quartile cuts memoized per source identity, zero exchanges added)
