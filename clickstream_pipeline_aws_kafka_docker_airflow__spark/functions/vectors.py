@@ -23,6 +23,15 @@ from pyspark.sql import Column, functions as F
 _NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
+def is_plain_name(s: object) -> bool:
+    """True when ``s`` is a plain-identifier string eligible for the
+    single-parse SQL fast paths. The shared three-site guard
+    (dot/norm here, operators/projection.py, operators/similarity.py)
+    made public per the r11 advice so refactors cannot silently
+    diverge it."""
+    return isinstance(s, str) and _NAME.match(s) is not None
+
+
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 

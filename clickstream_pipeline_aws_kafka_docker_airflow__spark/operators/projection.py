@@ -64,9 +64,9 @@ def _fold_dot_col(vec, plane: tuple[float, ...]) -> F.Column:
     # expression either way: per-element double products, strict left
     # fold from 0.0 (cast_right=False: the plane literal is already
     # double, matching the DSL lambda that casts only the left side).
-    from ..functions.vectors import _NAME, fold_dot_sql
+    from ..functions.vectors import fold_dot_sql, is_plain_name
 
-    if isinstance(vec, str) and _NAME.match(vec):
+    if is_plain_name(vec):
         return F.expr(
             fold_dot_sql(f"`{vec}`", _plane_lit_sql(plane), cast_right=False)
         )

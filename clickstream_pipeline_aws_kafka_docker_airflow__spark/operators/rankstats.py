@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.vectors import is_plain_name
+
 _LOCAL_MASK = (1 << 33) - 1
 
 # memoized quartile-cut sets, keyed by (applicationId, plan semanticHash,
@@ -434,6 +436,35 @@ def exact_ntile_broadcast(
     )
     out = df
     for (name, key), dim_cuts in zip(dims, cuts):
+        # single-parse SQL fast path (r12, the fold_dot_sql lesson):
+        # the per-cut Column-DSL comparison ladder cost ~12 py4j
+        # round-trips per cut — tiles x dims of them per build. When
+        # every cut composite renders to an exact SQL literal and the
+        # tie-break is a plain identifier, the whole ladder is ONE
+        # parse; otherwise the DSL twin below runs (pinned equivalent
+        # by tests/test_plans_rankstats.py::
+        # test_broadcast_sql_ladder_matches_dsl).
+        lits = [
+            (_double_literal_sql(ck), _tb_literal_sql(ctb))
+            for ck, ctb in dim_cuts
+        ]
+        if is_plain_name(tie_break) and all(
+            a is not None and b is not None for a, b in lits
+        ):
+            tmp = f"_k_{name}"
+            terms = " + ".join(
+                f"(CASE WHEN {a} < `{tmp}` OR ({a} = `{tmp}`"
+                f" AND {b} < `{tie_break}`) THEN 1 ELSE 0 END)"
+                for a, b in lits
+            )
+            # an empty frame derives zero cuts: the ladder is just 1
+            bucket = f"CAST(1 + {terms} AS BIGINT)" if terms else "CAST(1 AS BIGINT)"
+            out = (
+                out.withColumn(tmp, key.cast("double"))
+                .withColumn(name, F.expr(bucket))
+                .drop(tmp)
+            )
+            continue
         k = key.cast("double")
         expr = F.lit(1).cast("bigint")
         for ck, ctb in dim_cuts:
@@ -443,3 +474,29 @@ def exact_ntile_broadcast(
             expr = expr + F.when(below, 1).otherwise(0)
         out = out.withColumn(name, expr.cast("bigint"))
     return out
+
+
+def _double_literal_sql(v) -> str | None:
+    """Exact SQL spelling of a float cut value, or None when the value
+    has no safe literal form (fast-path guard). CAST('repr' AS DOUBLE)
+    round-trips float64 exactly (repr is shortest-round-trip, the
+    parse is correctly rounded — same contract as similarity.py's
+    plane literals)."""
+    import math
+
+    if isinstance(v, bool) or not isinstance(v, float):
+        return None
+    if math.isnan(v):
+        return None  # NaN-free contract; never fast-path it
+    if math.isinf(v):
+        return f"double('{'-' if v < 0 else ''}Infinity')"
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _tb_literal_sql(v) -> str | None:
+    """SQL literal for a tie-break value: exact ints only (strings and
+    floats fall back to the DSL path — quoting/precision edge cases
+    are not worth guarding here)."""
+    if isinstance(v, bool) or not isinstance(v, int):
+        return None
+    return str(v)

@@ -190,10 +190,10 @@ def _plane_dot(emb: Column | str, plane: tuple[float, ...]) -> Column:
     # expression that dominated LSH-query plan construction); the
     # spelling is the shared functions.vectors.fold_dot_sql, with
     # cast_right=False because the plane literal is already double.
-    from ..functions.vectors import _NAME, fold_dot_sql
+    from ..functions.vectors import fold_dot_sql, is_plain_name
 
     arr_sql = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
-    if isinstance(emb, str) and _NAME.match(emb):
+    if is_plain_name(emb):
         return F.expr(fold_dot_sql(f"`{emb}`", arr_sql, cast_right=False))
     c = F.col(emb) if isinstance(emb, str) else emb
     prods = F.zip_with(c, F.expr(arr_sql), lambda x, y: x.cast("double") * y)

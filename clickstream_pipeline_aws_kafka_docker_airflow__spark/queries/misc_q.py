@@ -448,6 +448,62 @@ def _med2_sql(src: str, part: str, val: str) -> str:
 """
 
 
+def med2_from_hist(h, val):
+    """Doubled median via value-at-rank over the histogram: value v
+    spans ranks [lo, hi]; med2 = v@rank((n+1) div 2) + v@rank(n div
+    2 + 1) — identical to the corpus-ranked formulation for odd
+    (2x middle) and even (sum of the two middles) group sizes.
+
+    Spelled as TWO selectExpr parses (r12, the fold_dot_sql lesson):
+    the Column-DSL twin (kept below as the plan-equivalence anchor)
+    cost ~0.3 s of py4j round-trips per call and this runs twice per
+    build. Both window frames share one partitioning AND ordering so
+    they ride one WindowExec sort pass instead of two exchanges —
+    identical analyzed plan, pinned by
+    tests/test_hist_median.py::test_med2_sql_spelling_matches_dsl."""
+    over = f"OVER (PARTITION BY event_type ORDER BY {val}"
+    r = h.selectExpr(
+        "*",
+        f"sum(k) {over}) AS _hi",
+    ).selectExpr(
+        "*",
+        "_hi - k + 1 AS _lo",
+        f"sum(k) {over} ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND UNBOUNDED FOLLOWING) AS _n",
+    )
+    pick = (
+        f"{val} * (CAST((_lo <= (_n + 1) div 2 AND (_n + 1) div 2 <= _hi)"
+        " AS BIGINT)"
+        " + CAST((_lo <= _n div 2 + 1 AND _n div 2 + 1 <= _hi) AS BIGINT))"
+    )
+    return r.groupBy("event_type").agg(
+        F.expr(f"CAST(sum({pick}) AS BIGINT)").alias("med2")
+    )
+
+
+def med2_from_hist_dsl(h, val):
+    """Column-DSL twin of :func:`med2_from_hist` — the r9-r11 spelling,
+    kept as the equivalence anchor the plan test compares against."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(val)
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = (
+        h.withColumn("_hi", F.sum("k").over(w))
+        .withColumn("_lo", F.col("_hi") - F.col("k") + 1)
+        .withColumn("_n", F.sum("k").over(wn))
+    )
+    m1 = F.expr("(_n + 1) div 2")
+    m2 = F.expr("_n div 2 + 1")
+    covers = lambda m: (F.col("_lo") <= m) & (m <= F.col("_hi"))  # noqa: E731
+    pick = F.col(val) * (
+        covers(m1).cast("bigint") + covers(m2).cast("bigint")
+    )
+    return r.groupBy("event_type").agg(
+        F.sum(pick).cast("bigint").alias("med2")
+    )
+
+
 @register(
     "mad_outliers",
     oracle=f"""
@@ -487,8 +543,6 @@ def mad_outliers(spark, sf_dir):
     1.1 s for this shape); at 100 TB the histogram is the difference
     between sorting the fact table and shuffling a few thousand
     (group, value, count) rows."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cents = e.select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
@@ -509,30 +563,6 @@ def mad_outliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("k"))
         .persist()
     )
-
-    def med2_from_hist(h, val):
-        """Doubled median via value-at-rank over the histogram: value v
-        spans ranks [lo, hi]; med2 = v@rank((n+1) div 2) + v@rank(n div
-        2 + 1) — identical to the corpus-ranked formulation for odd
-        (2x middle) and even (sum of the two middles) group sizes."""
-        w = Window.partitionBy("event_type").orderBy(val)
-        # same partitioning AND ordering as ``w`` so both frames ride one
-        # WindowExec sort pass instead of two exchanges
-        wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        r = (
-            h.withColumn("_hi", F.sum("k").over(w))
-            .withColumn("_lo", F.col("_hi") - F.col("k") + 1)
-            .withColumn("_n", F.sum("k").over(wn))
-        )
-        m1 = F.expr("(_n + 1) div 2")
-        m2 = F.expr("_n div 2 + 1")
-        covers = (
-            lambda m: (F.col("_lo") <= m) & (m <= F.col("_hi"))
-        )
-        pick = F.col(val) * (
-            covers(m1).cast("bigint") + covers(m2).cast("bigint")
-        )
-        return r.groupBy("event_type").agg(F.sum(pick).cast("bigint").alias("med2"))
 
     med = med2_from_hist(hist, "c")
     dev_hist = (

@@ -345,24 +345,43 @@ def vocab_encode(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # TakeOrderedAndProject: the driver receives exactly V rows — the
-    # full vocabulary (huge at scale) is never collected
-    top = sorted(
-        (
-            (r["token"], r["n"])
-            for r in counts.orderBy(F.col("n").desc(), "token")
-            .limit(VOCAB_V)
-            .collect()
-        ),
-        key=lambda tn: (-tn[1], tn[0]),
+    # r12: rank the vocabulary IN the plan — the collect() shipped V
+    # rows to the driver only to re-inject them as a literal map,
+    # paying a separate TakeOrdered job + result serialization inside
+    # every construction (guide §5: the driver should do no data work).
+    # TakeOrderedAndProject still bounds the distributed top-K; the
+    # row_number over the V survivors is a V-row window; the map ships
+    # back as the same one-row broadcast encode_with_vocab builds.
+    from pyspark.sql import Window
+
+    top_v = counts.orderBy(F.col("n").desc(), "token").limit(VOCAB_V)
+    vocab = top_v.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .cast("int")
+        .alias("id"),
     )
-    return encode_with_vocab(d, top)
+    return encode_with_vocab_df(d, vocab)
 
 
 # Above this many vocab entries the token->id map ships as a one-row
 # broadcast relation instead of plan literals (a 50k-token map inlined
 # as literals is megabytes of plan re-parsed per query).
 VOCAB_LITERAL_MAX = 1024
+
+
+def encode_with_vocab_df(d, vocab):
+    """Encode documents against an in-plan (token, id) vocabulary frame:
+    pack it into a one-row broadcast map and project — the map never
+    touches the driver (r12; the query path's ranking stays inside the
+    one DAG instead of a collect + literal re-injection)."""
+    packed = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "id"))).alias(
+            "_vmap"
+        )
+    )
+    return _encode(d.join(F.broadcast(packed)), F.col("_vmap"))
 
 
 def encode_with_vocab(d, top, mode: str | None = None):
@@ -372,21 +391,14 @@ def encode_with_vocab(d, top, mode: str | None = None):
     (the map content is the same — only its transport differs)."""
     if mode is None:
         mode = "literal" if len(top) <= VOCAB_LITERAL_MAX else "broadcast"
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
     if mode == "broadcast":
-        packed = (
+        return encode_with_vocab_df(
+            d,
             d.sparkSession.createDataFrame(
                 [(tokn, i + 1) for i, (tokn, _) in enumerate(top)],
                 "token string, id int",
-            )
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("token", "id"))
-                ).alias("_vmap")
-            )
+            ),
         )
-        d = d.join(F.broadcast(packed))
-        vmap = F.col("_vmap")
     else:
         vmap = F.create_map(
             *[
@@ -395,6 +407,12 @@ def encode_with_vocab(d, top, mode: str | None = None):
                 for lit in (F.lit(tokn), F.lit(i + 1))
             ]
         )
+        return _encode(d, vmap)
+
+
+def _encode(d, vmap):
+    """The shared encode projection over a token->id map Column."""
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
     # try_element_at: plain map[key] / element_at raise under ANSI mode
     # when the token is out-of-vocabulary — OOV must map to null -> 0
     ids = F.transform(

@@ -223,23 +223,79 @@ def ff_schedule(
     return step_us, n_events
 
 
+def _det_select_sqls(start_date: str, step_us: int) -> list[str]:
+    """One-parse SQL spelling of the deterministic generator's select
+    list (r12, the fold_dot_sql lesson): the Column-DSL construction of
+    these ten expressions costs ~0.2-0.3 s of py4j round-trips per
+    query build, while a single ``selectExpr`` parse is ~2 ms. Each
+    string mirrors its DSL twin token for token, so the analyzed plan
+    is IDENTICAL (pinned by tests/test_generator.py::
+    test_deterministic_sql_spelling_matches_dsl)."""
+
+    def h(field: str) -> str:
+        return f"md5(concat('{GEN_SEED}|{field}|', CAST(id AS STRING)))"
+
+    def draw(field: str) -> str:
+        return f"CAST(conv(substring({h(field)}, 1, 6), 16, 10) AS BIGINT)"
+
+    def pick(field: str, values: tuple[str, ...]) -> str:
+        arr = ", ".join(f"'{v}'" for v in values)
+        idx = f"CAST(shiftright({draw(field)} * {len(values)}, {DRAW_BITS}) AS INT)"
+        return f"element_at(array({arr}), {idx} + 1)"
+
+    ts = (
+        f"timestamp_micros(unix_micros(CAST('{start_date}' AS TIMESTAMP))"
+        f" + id * {step_us})"
+    )
+    sess = h("sess")
+    type_ladder = " ".join(
+        f"WHEN {draw('type')} < {t} THEN '{v}'"
+        for t, v in zip(TYPE_THRESHOLDS, EVENT_TYPES[:-1])
+    )
+    return [
+        f'date_format({ts}, "yyyy-MM-dd\'T\'HH:mm:ss.SSSSSS\'Z\'")'
+        " AS event_ts",
+        f"concat('u_', CAST(shiftright({draw('user')} * {N_USERS},"
+        f" {DRAW_BITS}) + 1 AS STRING)) AS user_id",
+        f"concat_ws('-', substring({sess}, 1, 8), substring({sess}, 9, 4),"
+        f" substring({sess}, 13, 4), substring({sess}, 17, 4),"
+        f" substring({sess}, 21, 12)) AS session_id",
+        f"CASE {type_ladder} ELSE '{EVENT_TYPES[-1]}' END AS event_type",
+        f"{pick('page', PAGES)} AS page",
+        f"concat('sku_', CAST(shiftright({draw('sku')} * {N_SKUS},"
+        f" {DRAW_BITS}) + 1 AS STRING)) AS product_id",
+        f"CASE WHEN {draw('type')} >= {PURCHASE_MIN_DRAW} THEN"
+        f" (500 + shiftright({draw('price')} * {PRICE_CENT_SPAN},"
+        f" {DRAW_BITS})) / CAST(100 AS DOUBLE) END AS price",
+        "'USD' AS currency",
+        f"{pick('ref', REFERRERS)} AS referrer",
+        f"'{USER_AGENT}' AS user_agent",
+    ]
+
+
 def generate_events_batch_deterministic(
     spark: SparkSession,
     n_events: int,
     start_date: str = "2025-09-01",
     days: int = 7,
     num_partitions: int | None = None,
+    use_sql: bool = True,
 ) -> DataFrame:
     """Reproducible fast-forward backfill: same schema/distributions as
     :func:`generate_events_batch`, draws derived from the row index.
     Scale shape is identical — ``spark.range`` slices, no shuffle, no
     driver loop; md5 + integer ops run inside whole-stage codegen.
     ``n_events`` is the FF_EVENTS_TARGET; actual count/step follow the
-    reference edge semantics via :func:`ff_schedule`."""
+    reference edge semantics via :func:`ff_schedule`. ``use_sql``
+    selects the single-parse selectExpr spelling (identical plan,
+    ~0.2 s less py4j chatter per build); the Column-DSL twin stays as
+    the equivalence anchor."""
     step_us, n_rows = ff_schedule(n_events, days)
     base = spark.range(
         0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism
     )
+    if use_sql:
+        return base.selectExpr(*_det_select_sqls(start_date, step_us))
     i = F.col("id")
     ts = F.timestamp_micros(
         F.unix_micros(F.lit(start_date).cast("timestamp")) + i * step_us

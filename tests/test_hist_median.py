@@ -51,3 +51,33 @@ def test_hist_med2_equals_sorted_median(spark, groups):
         n = len(s)
         expect = s[(n - 1) // 2] + s[n // 2]
         assert got[g] == expect, (g, s, got[g], expect)
+
+
+def test_med2_sql_spelling_matches_dsl(spark):
+    """r12 single-parse selectExpr spelling of med2_from_hist: the
+    analyzed plan must be IDENTICAL to the Column-DSL twin (modulo
+    expression ids) and rows equal on a tie/negative-heavy histogram."""
+    import re
+
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.queries.misc_q import (
+        med2_from_hist,
+        med2_from_hist_dsl,
+    )
+
+    h = spark.createDataFrame(
+        [("a", -5, 3), ("a", 0, 1), ("a", 7, 2), ("b", 2, 4), ("c", -1, 1)],
+        "event_type string, c bigint, k bigint",
+    )
+    sql_df = med2_from_hist(h, "c")
+    dsl_df = med2_from_hist_dsl(h, "c")
+    assert sorted(map(tuple, sql_df.collect())) == sorted(
+        map(tuple, dsl_df.collect())
+    )
+
+    def norm(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return re.sub(r"#\d+|plan_id=\d+", "#", plan)
+
+    assert norm(sql_df) == norm(dsl_df)

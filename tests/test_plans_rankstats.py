@@ -155,6 +155,37 @@ def test_exact_ntile_broadcast_matches_three_windows(spark):
         assert got == exp, n_rows
 
 
+def test_broadcast_sql_ladder_matches_dsl(spark, monkeypatch):
+    """r12 single-parse CASE-ladder fast path ≡ the Column-DSL ladder:
+    force the DSL twin by disabling the literal renderer and compare
+    per-row buckets on a tie-heavy frame with the inf sentinel."""
+    from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators import (
+        rankstats,
+    )
+
+    df = _frame(spark, 203, seed=7)
+    dims = [
+        (
+            "a_q",
+            F.coalesce(F.col("v").cast("double"), F.lit(float("inf"))),
+        ),
+        ("b_q", -F.col("w").cast("double")),
+    ]
+
+    def run():
+        return {
+            r["id"]: (r["a_q"], r["b_q"])
+            for r in rankstats.exact_ntile_broadcast(
+                df, 4, dims, "id"
+            ).collect()
+        }
+
+    fast = run()
+    monkeypatch.setattr(rankstats, "_double_literal_sql", lambda v: None)
+    slow = run()
+    assert fast == slow and len(fast) == 203
+
+
 def test_rfm_segments_plan_has_no_window(spark):
     """The point of the rewrites: the FINAL rfm plan must contain NO
     WindowExec (the r7 plan's three unpartitioned ntile windows were a
