@@ -46,7 +46,18 @@ def checkpoint_release_scope(spark: SparkSession):
     """On exit, unpersist every RDD whose storage registration was
     created inside the scope (non-blocking). Exception-safe: a failed
     batch releases its blocks too — a retry re-materializes from
-    source, never from a half-built checkpoint."""
+    source, never from a half-built checkpoint.
+
+    SINGLE-THREADED CONTRACT (r11 advice): the diff is over the
+    session-global getPersistentRDDs(), so an RDD-storage registration
+    created by a CONCURRENT thread inside the scope window (e.g. a
+    CacheManager pin materializing on another query's thread) would be
+    swept on exit. Every current caller (artifact builds, per-batch
+    streaming release) runs on the driver's single query thread; SQL
+    caches also self-heal by recomputation, so a stray sweep degrades
+    to a recompute, never to wrong results. If concurrent builds ever
+    become possible, restrict the sweep to ids absent from the
+    CacheManager or serialize scopes with a session-level lock."""
     before = _persistent_ids(spark)
     try:
         yield

@@ -68,10 +68,29 @@ def main() -> None:
             finally:
                 sc._jsc.sc().clearJobGroup()
         ids = sorted(tracker.getJobIdsForGroup(f"prof:{name}:1") or [])
-        execs = rest("/sql?details=true&planDescription=true&length=1000")
+        # page the /sql listing from an advancing offset: a >1000-
+        # execution session would otherwise silently drop the warm
+        # executions out of the window and print "no plan" (r11 advice)
+        execs = []
+        offset = 0
+        while True:
+            page = rest(
+                f"/sql?details=true&planDescription=true"
+                f"&offset={offset}&length=1000"
+            )
+            execs += page
+            if len(page) < 1000:
+                break
+            offset += len(page)
         warm = [
             e for e in execs if set(e.get("successJobIds", [])) & set(ids)
         ]
+        if not warm:
+            print(
+                f"WARNING {name}: no /sql execution matched warm jobs "
+                f"{ids} — plan dump will be empty",
+                file=sys.stderr,
+            )
         print(f"\n########## {name}: {len(ids)} warm jobs")
         texts = []
         for e in warm:

@@ -20,8 +20,11 @@ from clickstream_pipeline_aws_kafka_docker_airflow__spark.operators import artif
 from conftest import SF_SMOKE
 
 
-def _blocks(spark) -> int:
-    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+def _block_ids(spark) -> set[int]:
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
 
 
 def test_cold_cluster_labels_build_releases_checkpoints(spark, monkeypatch):
@@ -32,7 +35,7 @@ def test_cold_cluster_labels_build_releases_checkpoints(spark, monkeypatch):
     monkeypatch.setattr(
         artifacts, "ARTIFACT_ROOT", tempfile.mkdtemp(prefix="cold_artifacts_")
     )
-    before = _blocks(spark)
+    before = _block_ids(spark)
     # BUILD_WALLS is session-global and never reset — snapshot so the
     # did-the-build-run guard can't be satisfied by an earlier test's
     # build in the default root
@@ -41,7 +44,11 @@ def test_cold_cluster_labels_build_releases_checkpoints(spark, monkeypatch):
     assert artifacts.BUILD_WALLS.get("cluster_labels", 0.0) > wall_before, (
         "build did not run — the cold-root monkeypatch failed"
     )
-    assert _blocks(spark) == before, (
+    # set-difference, not a raw count compare (r11 advice): the async
+    # ContextCleaner may release UNRELATED leftover blocks from earlier
+    # tests inside this window — only blocks the build itself created
+    # and leaked would show up as NEW ids
+    assert _block_ids(spark) - before == set(), (
         "artifact build left transient RDD-storage blocks registered "
         "(localCheckpoint lineage must be released once the parquet "
         "write commits)"
